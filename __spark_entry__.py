@@ -1,38 +1,721 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+Each ``queries()`` entry runs an engine operator (seqtables_spark/*)
+against the driver's testdata tables; ``oracle_sql()`` holds the
+ANSI-SQL equivalent DuckDB runs on the same parquet. Column names and
+types are aligned on both sides; float outputs are either exact by
+construction (integer-valued doubles, cents-trick bigint sums,
+fixed-fold dot products) or rounded identically on both sides.
+
+The `documents` table doubles as the sequence corpus: a fixed-width
+uppercase prefix of each text is a "read" aligned at position 1,
+which exercises every SeqTable operator relationally; a deterministic
+char->ACGT mapping exercises the NT-specific ops (translate, TS/TV).
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from seqtables_spark import from_df
+from seqtables_spark.operators import (
+    calculate_pwm,
+    consensus,
+    hamming_distance,
+    mutation_profile,
+    mutation_ts_tv_profile,
+    pos_entropy,
+    quality_dist,
+    seq_dist,
+    slice_sequences,
+)
+from seqtables_spark.operators.compare import ref_cells_from_strings
+from seqtables_spark.pipeline.dedup import (
+    exact_dedup,
+    minhash_signatures,
+    simhash,
+)
+from seqtables_spark.pipeline.hashing import HASH_PRIME, minhash_params
+from seqtables_spark.pipeline.similarity import cosine_topk
+from seqtables_spark.pipeline.text import (
+    LANG_MARKERS,
+    document_fingerprint,
+    language_id,
+    text_quality_features,
+    token_count,
+)
+
+# ---------------------------------------------------------------- constants
+
+W = 24  # document prefix width used as the aligned-read window
+DOC_REF = "TABLE VALUE DATA ROW SCAN"[:W]  # literal reference sequence
+SLICE_POSITIONS = [2, 3, 5, 7, 11, 13, 17, 19]
+PWM_WEIGHTS = {  # exact powers of two -> order-free double sums
+    "T": 2.0, "A": 1.0, "E": 0.5, " ": 0.25,
+}
+MINHASH_N = 8
+SHINGLE_K = 5
 
 
-def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _doc_reads(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents -> reads table: 24-char uppercase prefix, padded with
+    'N', plus a deterministic quality string derived from the chars
+    (qual phred = ascii(base) % 40, encoded +33)."""
+    docs = _t(spark, sf_dir, "documents")
+    seq = F.rpad(F.upper(F.substring("text", 1, W)), W, "N")
+    qual = F.concat_ws(
+        "",
+        F.transform(
+            F.sequence(F.lit(1), F.lit(W)),
+            lambda i: F.char(F.ascii(seq.substr(i, F.lit(1))) % 40 + 33),
+        ),
+    )
+    return docs.select(
+        F.col("doc_id").cast("string").alias("read_id"),
+        seq.alias("seq"),
+        qual.alias("qual"),
+        F.lit(1).cast("long").alias("pos_start"),
+    )
+
+
+def _doc_cells(spark: SparkSession, sf_dir: str, with_qual: bool = False) -> DataFrame:
+    st = from_df(_doc_reads(spark, sf_dir), max_len=W)
+    return st.cells(with_qual=with_qual)
+
+
+# oracle CTE fragments ------------------------------------------------------
+
+_SQL_DOC_SEQ = f"""
+doc_seq AS (
+  SELECT doc_id, rpad(upper(substring(text, 1, {W})), {W}, 'N') AS seq
+  FROM documents
+)"""
+
+_SQL_DOC_CELLS = f"""{_SQL_DOC_SEQ},
+doc_cells AS (
+  SELECT doc_id, CAST(i AS BIGINT) AS position,
+         substring(seq, CAST(i AS INTEGER), 1) AS base
+  FROM (SELECT doc_id, seq, unnest(generate_series(1, {W})) AS i FROM doc_seq)
+)"""
+
+# qual phred = ascii(base) % 40 (matches _doc_reads)
+_SQL_DOC_QCELLS = f"""{_SQL_DOC_CELLS},
+doc_qcells AS (
+  SELECT doc_id, position, base, ascii(base) % 40 AS qual FROM doc_cells
+)"""
+
+_SQL_PORTABLE_HASH = (
+    "CAST(('0x' || substring(md5({x}), 1, 15)) AS BIGINT) % 2147483647"
+)
+
+
+# ---------------------------------------------------------------- queries
+
+def q_seq_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1 get_seq_dist (counts) over the document corpus."""
+    return seq_dist(_doc_cells(spark, sf_dir)).select(
+        F.col("position"), F.col("base"), F.col("cnt")
+    )
+
+
+def q_seq_dist_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1 get_seq_dist (freq); exact double: cnt/total with both sides
+    computing the same integer division operands."""
+    return seq_dist(_doc_cells(spark, sf_dir), method="freq").select(
+        "position", "base", F.round("freq", 6).alias("freq")
+    )
+
+
+def q_consensus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2 get_consensus with modecutoff=0.5 (mode <= half -> 'N')."""
+    return consensus(_doc_cells(spark, sf_dir), modecutoff=0.5)
+
+
+def q_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6 pos_entropy (Shannon bits per position), rounded."""
+    return pos_entropy(_doc_cells(spark, sf_dir)).select(
+        "position", F.round("entropy", 6).alias("entropy")
+    )
+
+
+def q_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J3 hamming_distance of every document prefix vs a literal
+    reference sequence."""
+    cells = _doc_cells(spark, sf_dir)
+    refs = ref_cells_from_strings(spark, {"ref1": DOC_REF})
+    return hamming_distance(cells, refs).select(
+        F.col("read_id").cast("long").alias("doc_id"),
+        F.col("dist"),
+    )
+
+
+def q_mutation_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3 mutation_profile: substitution counts ref_base->read_base."""
+    cells = _doc_cells(spark, sf_dir)
+    refs = ref_cells_from_strings(spark, {"ref1": DOC_REF})
+    return mutation_profile(cells, refs)
+
+
+def q_slice_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P3 slice_sequences: re-assemble the subsequence at a fixed
+    position set per document."""
+    return slice_sequences(_doc_cells(spark, sf_dir), SLICE_POSITIONS).select(
+        F.col("read_id").cast("long").alias("doc_id"), F.col("seqs")
+    )
+
+
+def q_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P6 quality_filter analog: documents where >=60% of positions
+    have derived phred >= 20 (null-quality positions excluded)."""
+    cells = _doc_cells(spark, sf_dir, with_qual=True)
+    good = (
+        cells.filter(F.col("qual") > 0)
+        .groupBy("read_id")
+        .agg((F.avg((F.col("qual") >= 20).cast("double")) * 100).alias("pct"))
+        .filter(F.col("pct") >= 60.0)
+    )
+    return good.select(F.col("read_id").cast("long").alias("doc_id"))
+
+
+def q_quality_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5 get_quality_dist over fixed position bins of the derived
+    quality channel; exact percentiles rounded on both sides."""
+    cells = _doc_cells(spark, sf_dir, with_qual=True)
+    bins = [(1, 6), (7, 12), (13, 18), (19, 24)]
+    d = quality_dist(cells, bins=bins, percentiles=(10, 25, 50, 75, 90))
+    sel = [
+        F.col("bin_name"),
+        F.col("bin_lo"),
+        F.col("bin_hi"),
+        F.round("mean", 6).alias("mean"),
+        F.round("median", 6).alias("median"),
+        F.col("min").cast("long").alias("min"),
+        F.col("max").cast("long").alias("max"),
+    ] + [F.round(f"p{p}", 6).alias(f"p{p}") for p in (0, 10, 25, 50, 75, 90, 100)]
+    return d.select(*sel)
+
+
+def q_pwm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A12 calculate_pwm (plain-sum scoring; weights are powers of two
+    so double sums are order-free and exact)."""
+    rows = []
+    for p in range(1, W + 1):
+        for letter, w in PWM_WEIGHTS.items():
+            rows.append((p, letter, w))
+    pwm_df = spark.createDataFrame(rows, "position long, letter string, weight double")
+    scored = calculate_pwm(
+        _doc_cells(spark, sf_dir), pwm_df, null_score=0.0, use_log_before_sum=False
+    )
+    return scored.select(
+        F.col("read_id").cast("long").alias("doc_id"),
+        F.col("pwm_score"),
+    )
+
+
+def q_ts_tv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4 TS/TV profile on the deterministic char->ACGT projection of
+    the document prefixes vs an all-'A' reference."""
+    cells = _doc_cells(spark, sf_dir).withColumn(
+        "base", F.lit("ACGT").substr(F.ascii("base") % 4 + 1, F.lit(1))
+    )
+    refs = ref_cells_from_strings(spark, {"r": "A" * W})
+    return mutation_ts_tv_profile(cells, refs).select(
+        "transitions",
+        "transversions",
+        F.round("ts_tv_ratio", 6).alias("ts_tv_ratio"),
+    )
+
+
+def q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup (exact): digest -> survivor id + multiplicity."""
+    return exact_dedup(_t(spark, sf_dir, "documents"))
+
+
+def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup (MinHash): 8-hash signature per document over 5-char
+    shingles; fully deterministic via the portable md5-derived hash."""
+    return minhash_signatures(
+        _t(spark, sf_dir, "documents"), n_hashes=MINHASH_N, k=SHINGLE_K
+    )
+
+
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup (SimHash): 32-bit fingerprint over whitespace tokens."""
+    return simhash(_t(spark, sf_dir, "documents"))
+
+
+def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text: rolling-hash document fingerprint (min k-gram hash +
+    distinct k-gram count)."""
+    return document_fingerprint(_t(spark, sf_dir, "documents"), k=SHINGLE_K)
+
+
+def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text: token counting aggregated by language."""
+    tc = token_count(_t(spark, sf_dir, "documents"))
+    return tc.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+        F.sum("n_subtokens").alias("total_subtokens"),
+    )
+
+
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text: quality features aggregated by source; ratio averages use
+    the exact ppm-integer trick so double outputs are order-free."""
+    feats = text_quality_features(_t(spark, sf_dir, "documents"))
+    ppm = lambda c: F.sum(F.round(F.col(c) * 1e6).cast("long"))  # noqa: E731
+    return feats.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+        (ppm("alpha_ratio") / F.count(F.lit(1)) / 1e6).alias("avg_alpha_ratio"),
+        (ppm("stopword_ratio") / F.count(F.lit(1)) / 1e6).alias("avg_stopword_ratio"),
+    )
+
+
+def q_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text: stopword-marker language-ID confusion matrix."""
+    pred = language_id(_t(spark, sf_dir, "documents"))
+    return pred.groupBy("lang", "pred_lang").agg(F.count(F.lit(1)).alias("n"))
+
+
+def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Similarity: exact cosine top-10 against the vec_id=0 embedding
+    (fixed-fold dot products -> bit-identical doubles)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+    return cosine_topk(emb.filter(F.col("vec_id") != 0), qvec, k=10).select(
+        "vec_id", F.round("sim", 6).alias("sim")
+    )
+
+
+def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relational core: event-time bucketing + exact-cents aggregation
+    (streaming-agg shape of SURVEY 2.8 run as a batch).
+
+    events.parquet stores TIMESTAMP(NANOS), which Spark rejects by
+    default; nanosAsLong reads it as int64 nanos and we truncate to
+    the hour with integer arithmetic (exact, no tz ambiguity)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    ev = _t(spark, sf_dir, "events")
+    hour = F.date_format(
+        F.timestamp_seconds(F.floor(F.col("ts") / 3_600_000_000_000) * 3600),
+        "yyyy-MM-dd HH:mm:ss",
+    )
+    return ev.groupBy(F.col("event_type"), hour.alias("hour")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.round(F.col("value") * 100).cast("long")).alias("value_cents"),
+    )
+
+
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relational core (TPC-H Q1 shape): groupBy + multi-agg with the
+    exact-cents pattern for every monetary sum."""
+    li = _t(spark, sf_dir, "lineitem")
+    cents = lambda c: F.round(c * 100).cast("long")  # noqa: E731
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(F.col("l_quantity").cast("long")).alias("sum_qty"),
+            F.sum(cents(F.col("l_extendedprice"))).alias("sum_base_cents"),
+            F.sum(cents(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias(
+                "sum_disc_cents"
+            ),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+def q_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relational core: the star join (lineitem x orders x customer x
+    nation x region) with broadcast dimensions."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.sum(
+                F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100).cast(
+                    "long"
+                )
+            ).alias("revenue_cents"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+def q_top_orders_per_cust(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relational core: top-3 orders per customer (window row_number,
+    deterministic tie-break on orderkey)."""
+    from pyspark.sql import Window
+
+    orders = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return (
+        orders.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("o_custkey", "o_orderkey", "rk")
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "seq_dist": q_seq_dist,
+        "seq_dist_freq": q_seq_dist_freq,
+        "consensus": q_consensus,
+        "entropy": q_entropy,
+        "hamming": q_hamming,
+        "mutation_profile": q_mutation_profile,
+        "slice_sequences": q_slice_sequences,
+        "quality_filter": q_quality_filter,
+        "quality_dist": q_quality_dist,
+        "pwm_score": q_pwm_score,
+        "ts_tv": q_ts_tv,
+        "exact_dedup": q_exact_dedup,
+        "minhash_signatures": q_minhash_signatures,
+        "simhash": q_simhash,
+        "fingerprint": q_fingerprint,
+        "token_count": q_token_count,
+        "text_quality": q_text_quality,
+        "language_id": q_language_id,
+        "cosine_topk": q_cosine_topk,
+        "events_hourly": q_events_hourly,
+        "pricing_summary": q_pricing_summary,
+        "revenue_by_nation": q_revenue_by_nation,
+        "top_orders_per_cust": q_top_orders_per_cust,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+def entry(spark: SparkSession) -> DataFrame:
+    """Flagship: per-position letter distribution of the document
+    corpus at sf0.001 (the reference's workhorse A1 operator)."""
+    return q_seq_dist(spark, "/root/testdata/sf0.001")
+
+
+# ---------------------------------------------------------------- oracles
+
+def _sql_minhash() -> str:
+    params = minhash_params(MINHASH_N)
+    mh_cols = ",\n    ".join(
+        f"CAST(min(({a} * h + {b}) % {HASH_PRIME}) AS BIGINT) AS mh_{j}"
+        for j, (a, b) in enumerate(params)
+    )
+    ph = _SQL_PORTABLE_HASH.format(x="shingle")
+    return f"""
+WITH sh AS (
+  SELECT DISTINCT doc_id, substring(t, CAST(i AS INTEGER), {SHINGLE_K}) AS shingle
+  FROM (
+    SELECT doc_id, lower(text) AS t,
+           unnest(generate_series(1, greatest(length(text) - {SHINGLE_K - 1}, 1))) AS i
+    FROM documents WHERE length(text) >= {SHINGLE_K}
+  )
+  WHERE length(substring(t, CAST(i AS INTEGER), {SHINGLE_K})) = {SHINGLE_K}
+),
+hashed AS (SELECT doc_id, {ph} AS h FROM sh)
+SELECT doc_id, {mh_cols} FROM hashed GROUP BY doc_id
+"""
+
+
+def _sql_simhash(bits: int = 32) -> str:
+    ph = _SQL_PORTABLE_HASH.format(x="token")
+    sums = ",\n    ".join(
+        f"sum(CASE WHEN (h >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS s_{i}"
+        for i in range(bits)
+    )
+    fp = " + ".join(
+        f"(CASE WHEN s_{i} > 0 THEN CAST({1 << i} AS BIGINT) ELSE 0 END)"
+        for i in range(bits)
+    )
+    return f"""
+WITH tok AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '\\S+')) AS token
+  FROM documents
+),
+hashed AS (SELECT doc_id, {ph} AS h FROM tok),
+bit_sums AS (SELECT doc_id, {sums} FROM hashed GROUP BY doc_id)
+SELECT doc_id, {fp} AS simhash FROM bit_sums
+"""
+
+
+def _sql_pwm() -> str:
+    cases = " ".join(
+        f"WHEN '{letter}' THEN {w}" for letter, w in PWM_WEIGHTS.items()
+    )
+    return f"""
+WITH {_SQL_DOC_CELLS}
+SELECT doc_id, sum(CASE base {cases} ELSE 0.0 END) AS pwm_score
+FROM doc_cells GROUP BY doc_id
+"""
+
+
+def _sql_cosine_topk() -> str:
+    return """
+WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+scored AS (
+  SELECT e.vec_id,
+         list_reduce(list_transform(list_zip(e.embedding, q.qv),
+                     x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)), (a,b) -> a+b)
+         / (sqrt(list_reduce(list_transform(e.embedding, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE)), (a,b) -> a+b))
+            * sqrt(list_reduce(list_transform(q.qv, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE)), (a,b) -> a+b)))
+         AS sim
+  FROM embeddings e, q WHERE e.vec_id <> 0
+)
+SELECT vec_id, round(sim, 6) AS sim
+FROM scored ORDER BY sim DESC, vec_id ASC LIMIT 10
+"""
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    doc_ref_sql = DOC_REF.replace("'", "''")
+    sqls: dict[str, str] = {}
+
+    sqls["seq_dist"] = f"""
+WITH {_SQL_DOC_CELLS}
+SELECT position, base, count(*) AS cnt FROM doc_cells GROUP BY position, base
+"""
+
+    sqls["seq_dist_freq"] = f"""
+WITH {_SQL_DOC_CELLS}
+SELECT position, base,
+       round(count(*) / CAST(sum(count(*)) OVER (PARTITION BY position) AS DOUBLE), 6) AS freq
+FROM doc_cells GROUP BY position, base
+"""
+
+    sqls["consensus"] = f"""
+WITH {_SQL_DOC_CELLS},
+counts AS (
+  SELECT position, base, count(*) AS cnt FROM doc_cells GROUP BY position, base
+),
+ranked AS (
+  SELECT position, base, cnt,
+         row_number() OVER (PARTITION BY position ORDER BY cnt DESC, base ASC) AS rk,
+         sum(cnt) OVER (PARTITION BY position) AS total
+  FROM counts
+)
+SELECT position,
+       CASE WHEN cnt <= total * 0.5 THEN 'N' ELSE base END AS consensus_base
+FROM ranked WHERE rk = 1
+"""
+
+    sqls["entropy"] = f"""
+WITH {_SQL_DOC_CELLS},
+freq AS (
+  SELECT position, count(*) / CAST(sum(count(*)) OVER (PARTITION BY position) AS DOUBLE) AS p
+  FROM doc_cells GROUP BY position, base
+)
+SELECT position, round(-sum(p * ln(p)) / ln(2), 6) AS entropy
+FROM freq GROUP BY position
+"""
+
+    sqls["hamming"] = f"""
+WITH {_SQL_DOC_CELLS}
+SELECT doc_id,
+       CAST(sum(CASE WHEN base <> substring('{doc_ref_sql}', CAST(position AS INTEGER), 1) THEN 1 ELSE 0 END) AS BIGINT) AS dist
+FROM doc_cells GROUP BY doc_id
+"""
+
+    sqls["mutation_profile"] = f"""
+WITH {_SQL_DOC_CELLS}
+SELECT substring('{doc_ref_sql}', CAST(position AS INTEGER), 1) AS ref_base,
+       base AS read_base, count(*) AS cnt
+FROM doc_cells
+WHERE base <> substring('{doc_ref_sql}', CAST(position AS INTEGER), 1)
+GROUP BY 1, 2
+"""
+
+    pos_concat = ", ".join(
+        f"substring(seq, {p}, 1)" for p in sorted(SLICE_POSITIONS)
+    )
+    sqls["slice_sequences"] = f"""
+WITH {_SQL_DOC_SEQ}
+SELECT doc_id, concat({pos_concat}) AS seqs FROM doc_seq
+"""
+
+    sqls["quality_filter"] = f"""
+WITH {_SQL_DOC_QCELLS}
+SELECT doc_id FROM doc_qcells
+WHERE qual > 0
+GROUP BY doc_id
+HAVING avg(CASE WHEN qual >= 20 THEN 1.0 ELSE 0.0 END) * 100 >= 60.0
+"""
+
+    qd_bins = [(1, 6), (7, 12), (13, 18), (19, 24)]
+    bin_case = " ".join(
+        f"WHEN position BETWEEN {lo} AND {hi} THEN '{lo}-{hi}'" for lo, hi in qd_bins
+    )
+    bin_lo_case = " ".join(
+        f"WHEN position BETWEEN {lo} AND {hi} THEN {lo}" for lo, hi in qd_bins
+    )
+    bin_hi_case = " ".join(
+        f"WHEN position BETWEEN {lo} AND {hi} THEN {hi}" for lo, hi in qd_bins
+    )
+    pct_cols = ", ".join(
+        f"round(quantile_cont(qual, {p / 100.0}), 6) AS p{p}"
+        for p in (0, 10, 25, 50, 75, 90, 100)
+    )
+    sqls["quality_dist"] = f"""
+WITH {_SQL_DOC_QCELLS},
+binned AS (
+  SELECT CASE {bin_case} END AS bin_name,
+         CAST(CASE {bin_lo_case} END AS BIGINT) AS bin_lo,
+         CAST(CASE {bin_hi_case} END AS BIGINT) AS bin_hi,
+         qual
+  FROM doc_qcells WHERE qual > 0
+)
+SELECT bin_name, bin_lo, bin_hi,
+       round(avg(qual), 6) AS mean,
+       round(quantile_cont(qual, 0.5), 6) AS median,
+       CAST(min(qual) AS BIGINT) AS min, CAST(max(qual) AS BIGINT) AS max,
+       {pct_cols}
+FROM binned GROUP BY bin_name, bin_lo, bin_hi
+"""
+
+    sqls["pwm_score"] = _sql_pwm()
+
+    # char -> ACGT projection; reference all-'A': transitions are A<->G
+    sqls["ts_tv"] = f"""
+WITH {_SQL_DOC_CELLS},
+nt AS (
+  SELECT substring('ACGT', ascii(base) % 4 + 1, 1) AS read_base
+  FROM doc_cells
+),
+mismatch AS (SELECT read_base FROM nt WHERE read_base <> 'A'),
+classified AS (
+  SELECT CASE WHEN read_base = 'G' THEN 1 ELSE 0 END AS is_ts FROM mismatch
+)
+SELECT CAST(sum(is_ts) AS BIGINT) AS transitions,
+       CAST(sum(1 - is_ts) AS BIGINT) AS transversions,
+       round(CAST(sum(is_ts) AS DOUBLE) / sum(1 - is_ts), 6) AS ts_tv_ratio
+FROM classified
+"""
+
+    sqls["exact_dedup"] = """
+SELECT md5(text) AS digest, min(doc_id) AS keep_id, count(*) AS n_dups
+FROM documents GROUP BY md5(text)
+"""
+
+    sqls["minhash_signatures"] = _sql_minhash()
+    sqls["simhash"] = _sql_simhash()
+
+    ph_gram = _SQL_PORTABLE_HASH.format(x="gram")
+    sqls["fingerprint"] = f"""
+WITH grams AS (
+  SELECT DISTINCT doc_id, substring(t, CAST(i AS INTEGER), {SHINGLE_K}) AS gram
+  FROM (
+    SELECT doc_id, lower(text) AS t,
+           unnest(generate_series(1, greatest(length(text) - {SHINGLE_K - 1}, 1))) AS i
+    FROM documents WHERE length(lower(text)) >= {SHINGLE_K}
+  )
+  WHERE length(substring(t, CAST(i AS INTEGER), {SHINGLE_K})) = {SHINGLE_K}
+)
+SELECT doc_id, CAST(min({ph_gram}) AS BIGINT) AS fp_min, count(*) AS n_grams
+FROM grams GROUP BY doc_id
+"""
+
+    sqls["token_count"] = r"""
+SELECT lang, count(*) AS n_docs,
+       CAST(sum(len(regexp_extract_all(text, '\S+'))) AS BIGINT) AS total_tokens,
+       CAST(sum(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))) AS BIGINT) AS total_subtokens
+FROM documents GROUP BY lang
+"""
+
+    sqls["text_quality"] = r"""
+WITH feats AS (
+  SELECT source,
+         len(regexp_extract_all(text, '\S+')) AS n_tokens,
+         CASE WHEN length(text) > 0
+              THEN CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE) / length(text)
+              ELSE 0.0 END AS alpha_ratio,
+         CASE WHEN len(regexp_extract_all(text, '\S+')) > 0
+              THEN CAST(len(regexp_extract_all(lower(text), '\b(the|and|of|to|is|in|a|that|it|for)\b')) AS DOUBLE)
+                   / len(regexp_extract_all(text, '\S+'))
+              ELSE 0.0 END AS stopword_ratio
+  FROM documents
+)
+SELECT source, count(*) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+       CAST(sum(CAST(round(alpha_ratio * 1e6) AS BIGINT)) AS BIGINT) / count(*) / 1e6 AS avg_alpha_ratio,
+       CAST(sum(CAST(round(stopword_ratio * 1e6) AS BIGINT)) AS BIGINT) / count(*) / 1e6 AS avg_stopword_ratio
+FROM feats GROUP BY source
+"""
+
+    lang_scores = ",\n       ".join(
+        "len(regexp_extract_all(lower(text), '\\b(" + "|".join(words) + ")\\b')) AS s_" + lang
+        for lang, words in sorted(LANG_MARKERS.items())
+    )
+    langs = sorted(LANG_MARKERS)
+    best = "greatest(" + ", ".join(f"s_{l}" for l in langs) + ")"
+    pred_chain = "'und'"
+    for lang in reversed(langs):
+        pred_chain = (
+            f"CASE WHEN s_{lang} = {best} AND {best} > 0 THEN '{lang}' ELSE {pred_chain} END"
+        )
+    sqls["language_id"] = f"""
+WITH scored AS (
+  SELECT lang,
+       {lang_scores}
+  FROM documents
+)
+SELECT lang, {pred_chain} AS pred_lang, count(*) AS n
+FROM scored GROUP BY 1, 2
+"""
+
+    sqls["cosine_topk"] = _sql_cosine_topk()
+
+    sqls["events_hourly"] = """
+SELECT event_type,
+       strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
+       count(*) AS n,
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
+FROM events GROUP BY 1, 2
+"""
+
+    sqls["pricing_summary"] = """
+SELECT l_returnflag, l_linestatus,
+       CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_base_cents,
+       CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS sum_disc_cents,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+    sqls["revenue_by_nation"] = """
+SELECT r_name, n_name,
+       CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS revenue_cents,
+       count(*) AS n_items
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+GROUP BY r_name, n_name
+"""
+
+    sqls["top_orders_per_cust"] = """
+SELECT o_custkey, o_orderkey, rk FROM (
+  SELECT o_custkey, o_orderkey,
+         row_number() OVER (PARTITION BY o_custkey
+                            ORDER BY o_totalprice DESC, o_orderkey ASC) AS rk
+  FROM orders
+) WHERE rk <= 3
+"""
+
+    return sqls

@@ -1,0 +1,83 @@
+"""Domain scalar functions as Spark column expressions.
+
+Parity targets (file:line in /root/reference/seqtables/core/
+library_utils.py):
+  - translate: :173-186 (codon table incl. degenerate codons :8-134)
+  - get_codons: :189-200
+  - seq_to_regex: :154-161 (degenerate code map :136-151)
+  - nt_pos_to_res_num / nt_pos_shift: :203-236
+
+All are pure built-in expressions (JVM-side, codegen'd): translation
+is a broadcast-map lookup via a literal map column, not a UDF.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, functions as F
+
+from ..alphabets import CODON_TABLE, DEGENERATE_MAP, PHRED_ADJUST
+
+
+def _codon_map_col() -> Column:
+    """The 125+-entry codon table as a literal MAP column - constant-
+    folded by Catalyst, shipped once with the plan (no per-row python)."""
+    pairs: list[Column] = []
+    for codon, aa in CODON_TABLE.items():
+        pairs.append(F.lit(codon))
+        pairs.append(F.lit(aa))
+    return F.create_map(*pairs)
+
+
+def get_codons_expr(seq: Column | str, frame: int = 1) -> Column:
+    """Split into codon triplets starting at reading frame 1..3;
+    trailing partial codons are dropped (reference pads then strips)."""
+    c = F.col(seq) if isinstance(seq, str) else seq
+    shifted = c.substr(F.lit(frame), F.length(c))
+    n_codons = F.floor(F.length(shifted) / 3).cast("int")
+    return F.transform(
+        F.sequence(F.lit(0), n_codons - 1),
+        lambda i: shifted.substr(i * 3 + 1, F.lit(3)),
+    )
+
+
+def translate_expr(seq: Column | str, frame: int = 1, unknown: str = "X") -> Column:
+    """NT -> AA translation; unknown/ambiguous codons -> 'X'
+    (N-degenerate codons that are unambiguous still translate)."""
+    codons = get_codons_expr(seq, frame)
+    cmap = _codon_map_col()
+    return F.concat_ws(
+        "",
+        F.transform(codons, lambda cd: F.coalesce(F.element_at(cmap, cd), F.lit(unknown))),
+    )
+
+
+def seq_to_regex(seq: str) -> str:
+    """Degenerate-base sequence -> character-class regex string
+    (driver-side; feeds `rlike`)."""
+    out = []
+    for ch in seq.upper():
+        exp = DEGENERATE_MAP.get(ch, ch)
+        out.append(ch if len(exp) == 1 else f"[{exp}]")
+    return "".join(out)
+
+
+def nt_pos_to_res_num(pos: Column | str, frame: int = 1) -> Column:
+    """1-based nucleotide position -> 1-based residue number."""
+    p = F.col(pos) if isinstance(pos, str) else pos
+    return F.floor((p - frame) / 3) + 1
+
+
+def res_num_to_nt_pos(res: Column | str, frame: int = 1) -> Column:
+    """1-based residue number -> 1-based position of codon start."""
+    r = F.col(res) if isinstance(res, str) else res
+    return (r - 1) * 3 + frame
+
+
+def phred_decode(qual_char: Column | str, adjust: int = PHRED_ADJUST) -> Column:
+    c = F.col(qual_char) if isinstance(qual_char, str) else qual_char
+    return F.ascii(c) - F.lit(adjust)
+
+
+def phred_encode(qual_num: Column | str, adjust: int = PHRED_ADJUST) -> Column:
+    c = F.col(qual_num) if isinstance(qual_num, str) else qual_num
+    return F.char(c + F.lit(adjust))

@@ -1,0 +1,42 @@
+from .distribution import (
+    seq_dist,
+    consensus,
+    consensus_string,
+    pos_entropy,
+    seq_bits,
+    relative_entropy,
+)
+from .compare import (
+    compare_cells,
+    compare_to_references,
+    hamming_distance,
+    mutation_profile,
+    mutation_ts_tv_profile,
+    ref_cells_from_strings,
+)
+from .quality import quality_dist, quality_filter, convert_low_bases_to_null
+from .slices import slice_sequences, filter_by_count
+from .pwm import calculate_pwm
+from .kmers import get_substrings, contiguous_kmers
+from .merge import merge_seqtables
+from .insertions import (
+    get_insertion_events,
+    get_insertion_distribution,
+    get_average_insertion_quality,
+    get_insertion_expectations,
+    get_insertion_seq_dist,
+    view_with_insertions,
+)
+from .plogo import get_plogo
+
+__all__ = [
+    "seq_dist", "consensus", "consensus_string", "pos_entropy", "seq_bits",
+    "relative_entropy", "compare_cells", "compare_to_references",
+    "hamming_distance", "mutation_profile", "mutation_ts_tv_profile",
+    "ref_cells_from_strings", "quality_dist", "quality_filter",
+    "convert_low_bases_to_null", "slice_sequences", "filter_by_count",
+    "calculate_pwm", "get_substrings", "contiguous_kmers", "merge_seqtables",
+    "get_insertion_events", "get_insertion_distribution",
+    "get_average_insertion_quality", "get_insertion_expectations",
+    "get_insertion_seq_dist", "view_with_insertions", "get_plogo",
+]

@@ -1,0 +1,167 @@
+"""Insertion side-table operators.
+
+The rectangular read x position matrix cannot hold CIGAR 'I' bases;
+they live in the `insertions` table (read_id, position, loc_ins, base,
+qual) where loc_ins is NEGATIVE: -1 = the inserted base immediately
+LEFT of `position`, -2 the next one leftward, etc. (reference
+constructor_ops.py:297-339; numbering in cython/sam_to_arr.pyx:333-349).
+
+Parity targets (file:line in /root/reference/seqtables/core/seqtables.py):
+  - get_insertion_events:            :1452-1485 (facade :1396-1420)
+  - get_insertion_distribution:      :1422-1435
+  - get_average_insertion_quality:   :1437-1450
+  - get_insertion_expectations:      :1452-1485
+  - get_insertion_seq_dist:          :1036-1053
+  - view_with_ins:                   :408-564
+
+Scale: the insertions table is ~1000x smaller than cells (insertion
+rate ~0.1%/base); every agg here is a small groupBy. view_with_ins is
+a left join of cells against insertions on read_id+position - Spark
+broadcasts the insertion side.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def _pos_filter(ins: DataFrame, positions: Sequence[int] | None) -> DataFrame:
+    if positions is not None:
+        ins = ins.filter(F.col("position").isin(list(positions)))
+    return ins
+
+
+def get_insertion_events(
+    insertions: DataFrame,
+    positions: Sequence[int] | None = None,
+    min_quality: int = 0,
+) -> DataFrame:
+    """Number of reads with >= 1 insertion at each position.
+    Returns DF(position, n_reads)."""
+    ins = _pos_filter(insertions, positions)
+    if min_quality:
+        ins = ins.filter(F.col("qual") >= min_quality)
+    return ins.groupBy("position").agg(
+        F.countDistinct("read_id").alias("n_reads")
+    )
+
+
+def get_insertion_distribution(
+    insertions: DataFrame, positions: Sequence[int] | None = None
+) -> DataFrame:
+    """Counts by (position, loc_ins). Returns DF(position, loc_ins, cnt)."""
+    return (
+        _pos_filter(insertions, positions)
+        .groupBy("position", "loc_ins")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def get_average_insertion_quality(
+    insertions: DataFrame, positions: Sequence[int] | None = None
+) -> DataFrame:
+    """Mean quality by (position, loc_ins). Returns
+    DF(position, loc_ins, avg_qual)."""
+    return (
+        _pos_filter(insertions, positions)
+        .groupBy("position", "loc_ins")
+        .agg(F.avg("qual").alias("avg_qual"))
+    )
+
+
+def get_insertion_expectations(
+    insertions: DataFrame, positions: Sequence[int] | None = None
+) -> DataFrame:
+    """Per position: mean / max insertion length over reads that have
+    an insertion there (length of a read's insertion at a position =
+    count of its loc_ins rows; reference weights the per-length counts,
+    seqtables.py:1469: mean = sum(len*cnt)/sum(cnt)).
+    Returns DF(position, mean_len, max_len, n_reads)."""
+    per_read = (
+        _pos_filter(insertions, positions)
+        .groupBy("position", "read_id")
+        .agg(F.count(F.lit(1)).alias("ins_len"))
+    )
+    return per_read.groupBy("position").agg(
+        F.avg("ins_len").alias("mean_len"),
+        F.max("ins_len").alias("max_len"),
+        F.count(F.lit(1)).alias("n_reads"),
+    )
+
+
+def get_insertion_seq_dist(
+    insertions: DataFrame,
+    n_reads_total: int | None = None,
+    positions: Sequence[int] | None = None,
+    min_ins_count: int = 0,
+) -> DataFrame:
+    """Letter counts by (position, loc_ins); when n_reads_total is
+    given, adds the implicit gap row '-' = N - sum(counts) (reads with
+    no insertion at that slot; reference seqtables.py:1049).
+    Returns DF(position, loc_ins, base, cnt)."""
+    ins = _pos_filter(insertions, positions)
+    dist = ins.groupBy("position", "loc_ins", "base").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    if min_ins_count > 0:
+        totals = (
+            dist.groupBy("position", "loc_ins")
+            .agg(F.sum("cnt").alias("_t"))
+            .filter(F.col("_t") >= min_ins_count)
+            .select("position", "loc_ins")
+        )
+        dist = dist.join(F.broadcast(totals), ["position", "loc_ins"], "left_semi")
+    if n_reads_total is not None:
+        gaps = dist.groupBy("position", "loc_ins").agg(
+            (F.lit(n_reads_total) - F.sum("cnt")).alias("cnt")
+        ).select("position", "loc_ins", F.lit("-").alias("base"), "cnt")
+        dist = dist.unionByName(gaps)
+    return dist
+
+
+def view_with_insertions(
+    cells: DataFrame,
+    insertions: DataFrame,
+    positions: Sequence[int] | None = None,
+    min_ins_count: int = 0,
+    ins_gap: str = "-",
+    lowercase_insertions: bool = True,
+) -> DataFrame:
+    """Widened long view where insertion slots appear as extra
+    (position, loc_ins) rows interleaved with the base matrix
+    (loc_ins=0 for matrix cells; negative for insertions, sorting
+    (position, loc_ins) reproduces the reference's column order).
+    Reads without an insertion at a kept slot get `ins_gap`; insertion
+    letters are optionally lowercased (the reference's +32 ASCII trick,
+    seqtables.py:465,479).
+
+    Returns DF(read_id, position, loc_ins, base).
+    """
+    base_rows = _pos_filter(cells, positions).select(
+        "read_id", "position", F.lit(0).alias("loc_ins"), "base"
+    )
+    ins = _pos_filter(insertions, positions)
+    if min_ins_count > 0:
+        keep = (
+            ins.groupBy("position", "loc_ins")
+            .agg(F.countDistinct("read_id").alias("_n"))
+            .filter(F.col("_n") >= min_ins_count)
+            .select("position", "loc_ins")
+        )
+        ins = ins.join(F.broadcast(keep), ["position", "loc_ins"], "left_semi")
+    ins_col = F.lower(F.col("base")) if lowercase_insertions else F.col("base")
+    ins_rows = ins.select("read_id", "position", "loc_ins", ins_col.alias("base"))
+
+    # every read must show a value at every kept insertion slot: cross
+    # the distinct slot list (tiny) with the distinct read list, then
+    # left-join actual insertion letters and gap-fill.
+    slots = ins_rows.select("position", "loc_ins").distinct()
+    read_ids = cells.select("read_id").distinct()
+    slot_grid = read_ids.crossJoin(F.broadcast(slots))
+    filled = (
+        slot_grid.join(ins_rows, ["read_id", "position", "loc_ins"], "left")
+        .withColumn("base", F.coalesce(F.col("base"), F.lit(ins_gap)))
+    )
+    return base_rows.unionByName(filled)

@@ -1,0 +1,88 @@
+"""pLogo statistic (O'Shea et al. 2013, Nat Methods 10:1211-1212).
+
+Parity target: get_plogo /root/reference/seqtables/core/
+seq_logo.py:332-456 (facade seqtables.py:1305-1313): per
+(position, letter) the binomial log-odds
+    -(log10 sf(k-1; N, p) - log10 cdf(k; N, p))
+where k = observed count, N = reads, p = background frequency of the
+letter; the Bonferroni significance line is log10(a'/(1-a')) with
+a' = alpha / (number of (position,letter) cells).
+
+The binomial tails need scipy - the one place the reference's math
+has no Spark builtin (SURVEY 2.9). Implemented as a vectorized
+pandas UDF over the (position, letter) count table, which is TINY
+(positions x alphabet rows) regardless of read count, so the Python
+hop is off the hot path at any scale.
+"""
+
+from __future__ import annotations
+
+import math
+from collections.abc import Sequence
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.types import DoubleType
+
+try:
+    from scipy.stats import binom  # noqa: F401
+
+    HAVE_SCIPY = True
+except Exception:  # pragma: no cover
+    HAVE_SCIPY = False
+
+
+def get_plogo(
+    cells: DataFrame,
+    background_freq: DataFrame | None = None,
+    positions: Sequence[int] | None = None,
+    alpha: float = 0.01,
+    seq_type: str = "NT",
+) -> DataFrame:
+    """Returns DF(position, base, k, n, p_bg, plogo) plus a
+    `significance` column holding the Bonferroni line (constant).
+
+    background_freq: optional DF(base, p_bg); defaults to the unbiased
+    1/4 (NT) or 1/20 (AA) frequency (seq_logo.py:327-329).
+    """
+    if not HAVE_SCIPY:
+        raise NotImplementedError("get_plogo requires scipy for binomial tails")
+    from .distribution import seq_dist
+
+    counts = seq_dist(cells, "counts", positions=positions)
+    totals = counts.groupBy("position").agg(F.sum("cnt").alias("n"))
+    joined = counts.join(totals, "position")
+    if background_freq is None:
+        const = 1.0 / (20 if seq_type == "AA" else 4)
+        joined = joined.withColumn("p_bg", F.lit(const))
+    else:
+        joined = joined.join(F.broadcast(background_freq), "base", "left").withColumn(
+            "p_bg", F.coalesce(F.col("p_bg"), F.lit(0.0))
+        )
+
+    @F.pandas_udf(DoubleType())
+    def _plogo(k: pd.Series, n: pd.Series, p: pd.Series) -> pd.Series:
+        from scipy.stats import binom as _b
+        import numpy as np
+
+        # log10 odds of over- vs under-representation, capped like the
+        # reference (which searches a finite fill for +/-inf).
+        sf = _b.logsf(k - 1, n, p) / math.log(10)
+        cdf = _b.logcdf(k, n, p) / math.log(10)
+        out = -(sf - cdf)
+        out = np.clip(out, -350.0, 350.0)
+        return pd.Series(out)
+
+    n_cells = counts.count()
+    alpha_prime = alpha / max(n_cells, 1)
+    significance = math.log10(alpha_prime / (1 - alpha_prime))
+    return joined.select(
+        "position",
+        "base",
+        F.col("cnt").alias("k"),
+        "n",
+        "p_bg",
+        _plogo(F.col("cnt").cast("double"), F.col("n").cast("double"), F.col("p_bg")).alias("plogo"),
+        F.lit(significance).alias("significance"),
+    )

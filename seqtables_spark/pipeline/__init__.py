@@ -1,0 +1,27 @@
+from .hashing import portable_string_hash, HASH_PRIME
+from .dedup import (
+    exact_dedup,
+    shingles,
+    minhash_signatures,
+    minhash_candidate_pairs,
+    simhash,
+    simhash_near_dups,
+    ngram_jaccard_pairs,
+)
+from .text import (
+    token_count,
+    text_quality_features,
+    quality_score,
+    language_id,
+    document_fingerprint,
+)
+from .similarity import cosine_topk, lsh_bucketed_cosine
+
+__all__ = [
+    "portable_string_hash", "HASH_PRIME",
+    "exact_dedup", "shingles", "minhash_signatures",
+    "minhash_candidate_pairs", "simhash", "simhash_near_dups",
+    "ngram_jaccard_pairs", "token_count", "text_quality_features",
+    "quality_score", "language_id", "document_fingerprint",
+    "cosine_topk", "lsh_bucketed_cosine",
+]

@@ -1,0 +1,272 @@
+"""Deduplication operators for large-scale text pipelines.
+
+These extend the reference's surface (its filter_by_count /
+dropDuplicates-style count filtering, numpy_ops.py:374-405, is the
+closest native analog) with the standard large-corpus dedup toolbox:
+
+  - exact_dedup:            hash-groupBy on content digest
+  - minhash_signatures +    shingle -> universal-hash min-agg ->
+    minhash_candidate_pairs banded LSH self-join
+  - simhash / simhash_near_dups: sign-aggregated token hashes,
+    hamming-ball matching via banding
+  - ngram_jaccard_pairs:    exact n-gram Jaccard within blocks
+
+Scale design. Exact dedup is one hash aggregate (map-side partial on
+the digest). MinHash: the shingle explode is the wide step, but it
+feeds straight into a groupBy(doc) min-agg - partial aggregation
+collapses each partition to one row per doc before the shuffle. The
+LSH band join is an equi-join on (band_idx, band_hash): uniform by
+construction, no skew; candidate verification stays per-bucket.
+Nothing here ever self-joins the full corpus - that is the entire
+point of LSH at 100 TB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from .hashing import HASH_PRIME, minhash_params, portable_string_hash
+
+
+def exact_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    keep: str = "min",
+) -> DataFrame:
+    """One surviving row id per distinct text content: digest ->
+    groupBy -> min(id) (deterministic survivor). Returns
+    DF(digest, keep_id, n_dups)."""
+    agg = F.min(id_col) if keep == "min" else F.max(id_col)
+    return (
+        df.select(F.md5(F.col(text_col)).alias("digest"), F.col(id_col))
+        .groupBy("digest")
+        .agg(agg.alias("keep_id"), F.count(F.lit(1)).alias("n_dups"))
+    )
+
+
+def shingles(
+    df: DataFrame,
+    k: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    lowercase: bool = True,
+) -> DataFrame:
+    """Distinct character k-shingles per document:
+    DF(id, shingle). One explode; distinct is per (doc, shingle)."""
+    txt = F.lower(F.col(text_col)) if lowercase else F.col(text_col)
+    sh = F.explode(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(F.length(txt) - F.lit(k - 1), F.lit(1))),
+            lambda i: txt.substr(i, F.lit(k)),
+        )
+    ).alias("shingle")
+    return (
+        df.filter(F.length(txt) >= k)
+        .select(F.col(id_col), sh)
+        .filter(F.length("shingle") == k)
+        .distinct()
+    )
+
+
+def minhash_signatures(
+    df: DataFrame,
+    n_hashes: int = 16,
+    k: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    seed: int = 42,
+) -> DataFrame:
+    """MinHash signature per document: mh_j = min over shingles of
+    (a_j * h(shingle) + b_j) % p. Returns DF(id, mh_0..mh_{n-1}).
+
+    All n mins ride ONE aggregation (n agg columns), so the plan is a
+    single partial+final hash agg over the shingle explode."""
+    sh = shingles(df, k=k, text_col=text_col, id_col=id_col)
+    h = portable_string_hash("shingle").alias("h")
+    base = sh.select(F.col(id_col), h)
+    aggs = [
+        F.min((F.lit(a) * F.col("h") + F.lit(b)) % F.lit(HASH_PRIME)).alias(f"mh_{j}")
+        for j, (a, b) in enumerate(minhash_params(n_hashes, seed))
+    ]
+    return base.groupBy(id_col).agg(*aggs)
+
+
+def minhash_candidate_pairs(
+    df: DataFrame,
+    n_hashes: int = 16,
+    bands: int = 4,
+    k: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    seed: int = 42,
+) -> DataFrame:
+    """Banded-LSH candidate near-duplicate pairs: docs agreeing on ALL
+    rows of at least one band. Returns DF(id_a, id_b) with id_a < id_b.
+    """
+    assert n_hashes % bands == 0
+    rows = n_hashes // bands
+    sigs = minhash_signatures(df, n_hashes, k, text_col, id_col, seed)
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band_idx"),
+                F.md5(
+                    F.concat_ws(
+                        ",", *[F.col(f"mh_{b * rows + r}") for r in range(rows)]
+                    )
+                ).alias("band_hash"),
+            )
+            for b in range(bands)
+        ]
+    )
+    banded = sigs.select(F.col(id_col), F.explode(band_structs).alias("b")).select(
+        F.col(id_col), F.col("b.band_idx"), F.col("b.band_hash")
+    )
+    left = banded.alias("l")
+    right = banded.alias("r")
+    pairs = (
+        left.join(
+            right,
+            (F.col("l.band_idx") == F.col("r.band_idx"))
+            & (F.col("l.band_hash") == F.col("r.band_hash"))
+            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
+        )
+        .select(
+            F.col(f"l.{id_col}").alias("id_a"), F.col(f"r.{id_col}").alias("id_b")
+        )
+        .distinct()
+    )
+    return pairs
+
+
+def simhash(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bits: int = 32,
+) -> DataFrame:
+    """SimHash over whitespace tokens: bit i of the fingerprint is the
+    sign of sum over tokens of (+1 if bit i of h(token) else -1).
+    Returns DF(id, simhash bigint).
+
+    One explode + one groupBy with `bits` conditional sums - partial
+    aggregation keeps the shuffle at one row per doc."""
+    tok = F.explode(F.expr(f"regexp_extract_all(lower({text_col}), '\\\\S+', 0)")).alias(
+        "token"
+    )
+    base = df.select(F.col(id_col), tok).withColumn(
+        "h", portable_string_hash("token")
+    )
+    bit_sums = base.groupBy(id_col).agg(
+        *[
+            F.sum(
+                F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+            ).alias(f"s_{i}")
+            for i in range(bits)
+        ]
+    )
+    fingerprint = None
+    for i in range(bits):
+        bit = F.when(F.col(f"s_{i}") > 0, F.lit(2 ** i).cast("long")).otherwise(F.lit(0).cast("long"))
+        fingerprint = bit if fingerprint is None else fingerprint + bit
+    return bit_sums.select(F.col(id_col), fingerprint.alias("simhash"))
+
+
+def simhash_near_dups(
+    df: DataFrame,
+    max_hamming: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bits: int = 32,
+    bands: int = 4,
+) -> DataFrame:
+    """Near-duplicate pairs by simhash hamming distance <= max_hamming.
+
+    Pigeonhole banding: split the fingerprint into `bands` chunks; any
+    pair within distance < bands must agree on >= 1 chunk, so the join
+    is an equi-join on (chunk_idx, chunk_value), never all-pairs.
+    Returns DF(id_a, id_b, hamming)."""
+    sh = simhash(df, text_col, id_col, bits)
+    chunk = bits // bands
+    mask = (1 << chunk) - 1
+    chunks = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("chunk_idx"),
+                F.shiftright(F.col("simhash"), b * chunk)
+                .bitwiseAND(F.lit(mask))
+                .alias("chunk_val"),
+            )
+            for b in range(bands)
+        ]
+    )
+    expanded = sh.select(F.col(id_col), F.col("simhash"), F.explode(chunks).alias("c")).select(
+        id_col, "simhash", "c.chunk_idx", "c.chunk_val"
+    )
+    l, r = expanded.alias("l"), expanded.alias("r")
+    cand = (
+        l.join(
+            r,
+            (F.col("l.chunk_idx") == F.col("r.chunk_idx"))
+            & (F.col("l.chunk_val") == F.col("r.chunk_val"))
+            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
+        )
+        .select(
+            F.col(f"l.{id_col}").alias("id_a"),
+            F.col(f"r.{id_col}").alias("id_b"),
+            F.bit_count(
+                F.col("l.simhash").bitwiseXOR(F.col("r.simhash"))
+            ).alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )
+    return cand
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    k: int = 3,
+    min_jaccard: float = 0.8,
+    block_cols: tuple[str, ...] = (),
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact n-gram Jaccard similarity for candidate pairs.
+
+    Inverted-index join: docs sharing an n-gram meet in that n-gram's
+    posting list; |intersection| falls out of a groupBy over the join,
+    |union| = |A| + |B| - |A n B|. block_cols (e.g. ('lang',)) further
+    restrict candidates. Returns DF(id_a, id_b, jaccard)."""
+    sh = shingles(df, k=k, text_col=text_col, id_col=id_col)
+    if block_cols:
+        meta = df.select(F.col(id_col), *block_cols)
+        sh = sh.join(meta, id_col)
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n"))
+    l, r = sh.alias("l"), sh.alias("r")
+    join_cond = (F.col("l.shingle") == F.col("r.shingle")) & (
+        F.col(f"l.{id_col}") < F.col(f"r.{id_col}")
+    )
+    for bc in block_cols:
+        join_cond = join_cond & (F.col(f"l.{bc}") == F.col(f"r.{bc}"))
+    inter = (
+        l.join(r, join_cond)
+        .groupBy(F.col(f"l.{id_col}").alias("id_a"), F.col(f"r.{id_col}").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n").alias("n_a"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n").alias("n_b"))
+    return (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            (
+                F.col("n_common")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_common"))
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= min_jaccard)
+    )

@@ -1,0 +1,141 @@
+"""Text analysis operators: token counting, quality scoring,
+language ID, fingerprinting.
+
+All pure built-in expressions (regexp + arithmetic) so they run
+JVM-side in whole-stage codegen; nothing here shuffles except the
+optional aggregations callers add. Designed as the pre-training-data
+cleaning stage of a 100 TB corpus pipeline.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from .hashing import portable_string_hash
+
+# tiny per-language stopword marker sets for the n-gram/stopword
+# heuristic language identifier (deliberately small + deterministic;
+# real pipelines plug fasttext into the same operator shape)
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "is"],
+    "de": ["der", "die", "und", "ist", "nicht"],
+    "fr": ["le", "la", "et", "est", "les"],
+    "es": ["el", "la", "que", "de", "es"],
+}
+
+
+def token_count(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Whitespace token count + a BPE-ish subword estimate (words +
+    punctuation runs counted separately), per row."""
+    t = F.col(text_col)
+    return df.withColumn("n_tokens", F.size(F.regexp_extract_all(t, F.lit(r"\S+"), 0))).withColumn(
+        "n_subtokens",
+        F.size(F.regexp_extract_all(t, F.lit(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"), 0)),
+    )
+
+
+def text_quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document quality features: length, token count, mean word
+    length, alpha ratio, punct ratio, stopword ratio, digit ratio."""
+    t = F.col(text_col)
+    n_chars = F.length(t)
+    n_tokens = F.size(F.regexp_extract_all(t, F.lit(r"\S+"), 0))
+    n_alpha = F.length(F.regexp_replace(t, r"[^A-Za-z]", ""))
+    n_digit = F.length(F.regexp_replace(t, r"[^0-9]", ""))
+    n_punct = F.length(F.regexp_replace(t, r"[A-Za-z0-9\s]", ""))
+    n_stop = F.size(
+        F.regexp_extract_all(
+            F.lower(t), F.lit(r"\b(the|and|of|to|is|in|a|that|it|for)\b"), 0
+        )
+    )
+    return (
+        df.withColumn("n_chars", n_chars.cast("long"))
+        .withColumn("n_tokens", n_tokens.cast("long"))
+        .withColumn(
+            "mean_word_len",
+            F.when(n_tokens > 0, (n_alpha.cast("double") / n_tokens)).otherwise(F.lit(0.0)),
+        )
+        .withColumn(
+            "alpha_ratio",
+            F.when(n_chars > 0, n_alpha.cast("double") / n_chars).otherwise(F.lit(0.0)),
+        )
+        .withColumn(
+            "punct_ratio",
+            F.when(n_chars > 0, n_punct.cast("double") / n_chars).otherwise(F.lit(0.0)),
+        )
+        .withColumn(
+            "digit_ratio",
+            F.when(n_chars > 0, n_digit.cast("double") / n_chars).otherwise(F.lit(0.0)),
+        )
+        .withColumn(
+            "stopword_ratio",
+            F.when(n_tokens > 0, n_stop.cast("double") / n_tokens).otherwise(F.lit(0.0)),
+        )
+    )
+
+
+def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Scalar quality score in [0,1]: weighted blend of the features
+    (heuristic in the Gopher/C4-rule spirit; weights documented, not
+    learned). Deterministic arithmetic only."""
+    feats = text_quality_features(df, text_col)
+    score = (
+        F.least(F.col("n_tokens") / F.lit(100.0), F.lit(1.0)) * 0.3
+        + F.col("alpha_ratio") * 0.3
+        + (1 - F.least(F.col("punct_ratio") * 4, F.lit(1.0))) * 0.2
+        + F.least(F.col("stopword_ratio") * 5, F.lit(1.0)) * 0.2
+    )
+    return feats.withColumn("quality_score", score)
+
+
+def language_id(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Stopword-marker language identification: count each language's
+    marker words, predict the argmax (ties + zero evidence -> 'und',
+    undetermined). Returns df + (pred_lang, lang_score)."""
+    t = F.lower(F.col(text_col))
+    scores = [
+        F.size(
+            F.regexp_extract_all(t, F.lit(r"\b(" + "|".join(words) + r")\b"), 0)
+        ).alias(f"_s_{lang}")
+        for lang, words in sorted(LANG_MARKERS.items())
+    ]
+    scored = df.select("*", *scores)
+    langs = sorted(LANG_MARKERS)
+    best = F.greatest(*[F.col(f"_s_{l}") for l in langs])
+    pred = F.lit("und")
+    for lang in reversed(langs):  # earlier alphabetical wins ties
+        pred = F.when(
+            (F.col(f"_s_{lang}") == best) & (best > 0), F.lit(lang)
+        ).otherwise(pred)
+    # reversed + overwrite: the LAST when bound (alphabetically first
+    # lang) has highest precedence -> deterministic tie-break
+    out = scored.withColumn("pred_lang", pred).withColumn(
+        "lang_score", best.cast("long")
+    )
+    return out.drop(*[f"_s_{l}" for l in langs])
+
+
+def document_fingerprint(
+    df: DataFrame, k: int = 5, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Rolling-hash document fingerprint: the minimum portable hash
+    over all character k-grams (1-permutation minhash) plus the
+    distinct k-gram count - a compact content signature for
+    clustering / containment checks. Returns DF(id, fp_min bigint,
+    n_grams bigint)."""
+    t = F.lower(F.col(text_col))
+    gram = F.explode(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(F.length(t) - F.lit(k - 1), F.lit(1))),
+            lambda i: t.substr(i, F.lit(k)),
+        )
+    ).alias("gram")
+    grams = (
+        df.filter(F.length(t) >= k)
+        .select(F.col(id_col), gram)
+        .filter(F.length("gram") == k)
+        .distinct()
+    )
+    return grams.select(F.col(id_col), portable_string_hash("gram").alias("h")).groupBy(
+        id_col
+    ).agg(F.min("h").alias("fp_min"), F.count(F.lit(1)).alias("n_grams"))
