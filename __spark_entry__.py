@@ -84,9 +84,25 @@ def _doc_reads(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_doc_cells_cache: dict = {}
+
+
 def _doc_cells(spark: SparkSession, sf_dir: str, with_qual: bool = False) -> DataFrame:
-    st = from_df(_doc_reads(spark, sf_dir), max_len=W)
-    return st.cells(with_qual=with_qual)
+    """Exploded per-character view of the document prefixes.
+
+    Cached (per session x sf_dir) with both channels: ~12 of the
+    queries below share this exact scan+explode, so one in-memory
+    materialization amortizes across them; column pruning on the
+    cached plan drops `qual` for the callers that don't ask for it."""
+    key = (id(spark), sf_dir)
+    cells = _doc_cells_cache.get(key)
+    if cells is None:
+        st = from_df(_doc_reads(spark, sf_dir), max_len=W)
+        cells = st.cells(with_qual=True).persist()
+        _doc_cells_cache[key] = cells
+    if with_qual:
+        return cells
+    return cells.select("read_id", "position", "base")
 
 
 # oracle CTE fragments ------------------------------------------------------
@@ -208,7 +224,10 @@ def q_pwm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     for p in range(1, W + 1):
         for letter, w in PWM_WEIGHTS.items():
             rows.append((p, letter, w))
-    pwm_df = spark.createDataFrame(rows, "position long, letter string, weight double")
+    pwm_df = spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, 1),
+        "position long, letter string, weight double",
+    )
     scored = calculate_pwm(
         _doc_cells(spark, sf_dir), pwm_df, null_score=0.0, use_log_before_sum=False
     )

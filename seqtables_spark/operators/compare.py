@@ -40,23 +40,27 @@ def ref_cells_from_strings(
     pos_start: int = 1,
 ) -> DataFrame:
     """Build the reference-side cells table (ref_id, position, ref_base)
-    from literal strings; mirrors _align_ref_seqs (seqtables.py:688-709)
-    which re-enters the from_list constructor for the references."""
-    from ..constructors import from_list
+    from literal strings; mirrors _align_ref_seqs (seqtables.py:688-709).
 
+    References are by definition tiny (M refs x P positions), so the
+    cells are exploded driver-side into a single-partition local
+    relation: the broadcast side of every downstream join costs zero
+    Spark jobs to build (vs re-entering the from_list constructor,
+    which would add a width-discovery action + an explode stage)."""
     if isinstance(refs, dict):
-        ids, seqs = list(refs.keys()), list(refs.values())
+        items = list(refs.items())
     else:
-        ids = [str(i) for i in range(1, len(refs) + 1)]
-        seqs = list(refs)
-    st = from_list(spark, seqs, index=ids, pos=pos_start)
-    return (
-        st.cells(with_qual=False)
-        .select(
-            F.col("read_id").alias("ref_id"),
-            "position",
-            F.col("base").alias("ref_base"),
-        )
+        items = [(str(i), s) for i, s in enumerate(refs, start=1)]
+    width = max((len(s) for _, s in items), default=0)
+    fill = "N"
+    rows = [
+        (rid, pos_start + off, (s[off] if off < len(s) else fill).upper())
+        for rid, s in items
+        for off in range(width)
+    ]
+    return spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, 1),
+        "ref_id string, position long, ref_base string",
     )
 
 
