@@ -251,6 +251,247 @@ def q_ts_tv(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_kmers_gapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A10 get_substrings: gapped 2-mers over position combos of
+    {2,3,5} (C(3,2)=3 combos) on the document corpus."""
+    from seqtables_spark.operators.kmers import get_substrings
+
+    return get_substrings(_doc_reads(spark, sf_dir), 2, positions=[2, 3, 5])
+
+
+def q_kmers_contiguous(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A10 scale path: sliding-window 4-mer counts over the corpus."""
+    from seqtables_spark.operators.kmers import contiguous_kmers
+
+    return contiguous_kmers(_doc_reads(spark, sf_dir), k=4, text_col="seq")
+
+
+def q_translate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar fns: NT->AA codon translation of the deterministic
+    char->ACGT projection of each document prefix (8 codons)."""
+    from seqtables_spark.functions.dna import translate_expr
+
+    reads = _doc_reads(spark, sf_dir)
+    nt = F.concat_ws(
+        "",
+        F.transform(
+            F.sequence(F.lit(1), F.lit(W)),
+            lambda i: F.lit("ACGT").substr(
+                F.ascii(F.col("seq").substr(i, F.lit(1))) % 4 + 1, F.lit(1)
+            ),
+        ),
+    )
+    return reads.select(
+        F.col("read_id").cast("long").alias("doc_id"),
+        translate_expr(nt).alias("aa"),
+    )
+
+
+def q_filter_by_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P8 filter_by_count: keep cells whose (position, base) group has
+    count > 10, then tally survivors per base."""
+    from seqtables_spark.operators.slices import filter_by_count
+
+    kept = filter_by_count(_doc_cells(spark, sf_dir), ["position", "base"], 10)
+    return kept.groupBy("base").agg(F.count(F.lit(1)).alias("n"))
+
+
+def q_low_qual_mask(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P7 convert_low_bases_to_null: mask bases with 0 < phred < 15 to
+    'N', then the per-position distribution of the masked view."""
+    from seqtables_spark.operators.quality import convert_low_bases_to_null
+
+    masked = convert_low_bases_to_null(_doc_cells(spark, sf_dir, with_qual=True), q=15)
+    return masked.groupBy("position", "base").agg(F.count(F.lit(1)).alias("cnt"))
+
+
+# CIGAR-aligned corpus: deterministic SAM-shaped rows derived from the
+# documents (pos = doc_id%3+1; cigar pattern by doc_id%4 covering
+# M, S-clip, D and I events), aligned into the window [1, 30].
+ALIGN_WINDOW = (1, 30)
+
+
+def _sam_shaped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    reads = _doc_reads(spark, sf_dir)
+    cig = (
+        F.when(F.col("read_id").cast("long") % 4 == 0, F.lit("24M"))
+        .when(F.col("read_id").cast("long") % 4 == 1, F.lit("4S20M"))
+        .when(F.col("read_id").cast("long") % 4 == 2, F.lit("10M2D14M"))
+        .otherwise(F.lit("8M3I13M"))
+    )
+    return reads.select(
+        "read_id",
+        "seq",
+        "qual",
+        (F.col("read_id").cast("long") % 3 + 1).alias("pos"),
+        cig.alias("cigar"),
+    )
+
+
+def _aligned(spark: SparkSession, sf_dir: str):
+    from seqtables_spark.sources.align import align_sam_df
+
+    return align_sam_df(
+        _sam_shaped(spark, sf_dir),
+        min_pos=ALIGN_WINDOW[0],
+        max_pos=ALIGN_WINDOW[1],
+        id_col="read_id",
+    )
+
+
+def q_cigar_align(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S5 CIGAR realignment (the reference's Cython kernel as a
+    mapInPandas operator): gap-padded fixed-width aligned strings."""
+    reads, _ = _aligned(spark, sf_dir)
+    return reads.select(
+        F.col("read_id").cast("long").alias("doc_id"),
+        F.col("seq").alias("aligned_seq"),
+    )
+
+
+def q_cigar_insertions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S5 insertion side-table: CIGAR 'I' bases with the negative
+    left-of-base loc numbering."""
+    _, ins = _aligned(spark, sf_dir)
+    return ins.select(
+        F.col("read_id").cast("long").alias("doc_id"),
+        "position",
+        "loc_ins",
+        "base",
+        "qual",
+    )
+
+
+def q_insertion_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A11 get_insertion_distribution + get_average_insertion_quality
+    joined on the slot key."""
+    from seqtables_spark.operators.insertions import (
+        get_average_insertion_quality,
+        get_insertion_distribution,
+    )
+
+    _, ins = _aligned(spark, sf_dir)
+    dist = get_insertion_distribution(ins)
+    avgq = get_average_insertion_quality(ins)
+    return dist.join(avgq, ["position", "loc_ins"]).select(
+        "position", "loc_ins", "cnt", F.round("avg_qual", 6).alias("avg_qual")
+    )
+
+
+def q_insertion_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A11 get_insertion_expectations: per-position insertion-length
+    moments over reads that have an insertion."""
+    from seqtables_spark.operators.insertions import get_insertion_expectations
+
+    _, ins = _aligned(spark, sf_dir)
+    return get_insertion_expectations(ins).select(
+        "position",
+        F.round("mean_len", 6).alias("mean_len"),
+        "max_len",
+        "n_reads",
+    )
+
+
+def q_view_with_ins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P4 view_with_ins: matrix cells (loc_ins=0) interleaved with
+    lowercased insertion slots, gap-filled per read, over the
+    insertion-bearing positions 9-11."""
+    from seqtables_spark.operators.insertions import view_with_insertions
+
+    cells = _doc_cells(spark, sf_dir)
+    _, ins = _aligned(spark, sf_dir)
+    v = view_with_insertions(cells, ins, positions=[9, 10, 11])
+    return v.select(
+        F.col("read_id").cast("long").alias("doc_id"),
+        "position",
+        "loc_ins",
+        "base",
+    )
+
+
+def q_merge_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set op st_merge axis=0: vertical union of two tables with
+    different position windows (even docs: 24 chars at pos 1; odd
+    docs: 16 chars at pos 5), then the merged distribution."""
+    from seqtables_spark.operators.merge import merge_seqtables
+
+    docs = _t(spark, sf_dir, "documents")
+    a = from_df(
+        docs.filter(F.col("doc_id") % 2 == 0).select(
+            F.col("doc_id").cast("string").alias("read_id"),
+            F.substring("text", 1, W).alias("seq"),
+        ),
+        qual_col=None,
+        max_len=W,
+    )
+    b = from_df(
+        docs.filter(F.col("doc_id") % 2 == 1).select(
+            F.col("doc_id").cast("string").alias("read_id"),
+            F.substring("text", 1, 16).alias("seq"),
+        ),
+        qual_col=None,
+        pos=5,
+        max_len=16,
+    )
+    merged = merge_seqtables([a, b], axis=0)
+    return merged.cells(with_qual=False).groupBy("position", "base").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+
+
+def q_merge_overlay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set op st_merge axis=1: horizontal merge on shared read ids
+    with last-writer-wins overlap (chars 25-32 of each doc overwrite
+    positions 1-8 of the prefix table)."""
+    from seqtables_spark.operators.merge import merge_seqtables
+
+    docs = _t(spark, sf_dir, "documents")
+    a = from_df(_doc_reads(spark, sf_dir), max_len=W)
+    b = from_df(
+        docs.select(
+            F.col("doc_id").cast("string").alias("read_id"),
+            F.substring("text", 25, 8).alias("seq"),
+        ),
+        qual_col=None,
+        max_len=8,
+    )
+    merged = merge_seqtables([a, b], axis=1)
+    return merged.reads.select(
+        F.col("read_id").cast("long").alias("doc_id"), "seq"
+    )
+
+
+def q_sam_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S8/P10 SAM flag predicates: synthesize flag = (doc_id*7)%4096,
+    drop disallowed bits {4, 512}, classify R1/R2, count."""
+    from seqtables_spark.functions.sam import flag_bit_set, read_number
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", ((F.col("doc_id") * 7) % 4096).alias("flag")
+    )
+    kept = docs.filter(~flag_bit_set("flag", 4) & ~flag_bit_set("flag", 512))
+    return kept.groupBy(read_number("flag").alias("read_num")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+
+
+def q_softclip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P11 CIGAR scalar predicates: leading/trailing soft-clip lengths
+    and match-base totals over the synthetic cigar column."""
+    from seqtables_spark.functions.sam import (
+        cigar_event_total,
+        cterminal_softclip,
+        nterminal_softclip,
+    )
+
+    sam = _sam_shaped(spark, sf_dir)
+    return sam.groupBy(
+        nterminal_softclip("cigar").alias("n_clip"),
+        cterminal_softclip("cigar").alias("c_clip"),
+        cigar_event_total("cigar", "M").alias("m_bases"),
+    ).agg(F.count(F.lit(1)).alias("n"))
+
+
 def q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dedup (exact): digest -> survivor id + multiplicity."""
     return exact_dedup(_t(spark, sf_dir, "documents"))
@@ -406,6 +647,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_dist": q_quality_dist,
         "pwm_score": q_pwm_score,
         "ts_tv": q_ts_tv,
+        "kmers_gapped": q_kmers_gapped,
+        "kmers_contiguous": q_kmers_contiguous,
+        "translate": q_translate,
+        "filter_by_count": q_filter_by_count,
+        "low_qual_mask": q_low_qual_mask,
+        "cigar_align": q_cigar_align,
+        "cigar_insertions": q_cigar_insertions,
+        "insertion_stats": q_insertion_stats,
+        "insertion_expectations": q_insertion_expectations,
+        "view_with_ins": q_view_with_ins,
+        "merge_union": q_merge_union,
+        "merge_overlay": q_merge_overlay,
+        "sam_flags": q_sam_flags,
+        "softclip": q_softclip,
         "exact_dedup": q_exact_dedup,
         "minhash_signatures": q_minhash_signatures,
         "simhash": q_simhash,
@@ -624,9 +879,186 @@ SELECT CAST(sum(is_ts) AS BIGINT) AS transitions,
 FROM classified
 """
 
+    combos = [(2, 3), (2, 5), (3, 5)]
+    combo_selects = " UNION ALL ".join(
+        f"SELECT 'p{a},p{b}' AS combo, "
+        f"concat(substring(seq, {a}, 1), substring(seq, {b}, 1)) AS kmer FROM doc_seq"
+        for a, b in combos
+    )
+    sqls["kmers_gapped"] = f"""
+WITH {_SQL_DOC_SEQ},
+pairs AS ({combo_selects})
+SELECT combo, kmer, count(*) AS cnt FROM pairs GROUP BY combo, kmer
+"""
+
+    sqls["kmers_contiguous"] = f"""
+WITH {_SQL_DOC_SEQ},
+km AS (
+  SELECT substring(seq, CAST(i AS INTEGER), 4) AS kmer
+  FROM (SELECT seq, unnest(generate_series(1, {W - 3})) AS i FROM doc_seq)
+)
+SELECT kmer, count(*) AS cnt FROM km GROUP BY kmer
+"""
+
+    from seqtables_spark.alphabets import _STANDARD_CODONS
+
+    nt_concat = " || ".join(
+        f"substring('ACGT', ascii(substring(seq, {i}, 1)) % 4 + 1, 1)"
+        for i in range(1, W + 1)
+    )
+    codon_whens = " ".join(
+        f"WHEN '{c}' THEN '{aa}'" for c, aa in sorted(_STANDARD_CODONS.items())
+    )
+    aa_concat = " || ".join(
+        f"(CASE substring(nt, {c * 3 + 1}, 3) {codon_whens} ELSE 'X' END)"
+        for c in range(W // 3)
+    )
+    sqls["translate"] = f"""
+WITH {_SQL_DOC_SEQ},
+nt_seq AS (SELECT doc_id, {nt_concat} AS nt FROM doc_seq)
+SELECT doc_id, {aa_concat} AS aa FROM nt_seq
+"""
+
+    sqls["filter_by_count"] = f"""
+WITH {_SQL_DOC_CELLS},
+grp AS (
+  SELECT position, base, count(*) AS n FROM doc_cells GROUP BY position, base
+  HAVING count(*) > 10
+)
+SELECT c.base, count(*) AS n
+FROM doc_cells c JOIN grp g ON c.position = g.position AND c.base = g.base
+GROUP BY c.base
+"""
+
+    sqls["low_qual_mask"] = f"""
+WITH {_SQL_DOC_QCELLS},
+masked AS (
+  SELECT position,
+         CASE WHEN qual < 15 AND qual > 0 THEN 'N' ELSE base END AS base
+  FROM doc_qcells
+)
+SELECT position, base, count(*) AS cnt FROM masked GROUP BY position, base
+"""
+
     sqls["exact_dedup"] = """
 SELECT md5(text) AS digest, min(doc_id) AS keep_id, count(*) AS n_dups
 FROM documents GROUP BY md5(text)
+"""
+
+    # CIGAR alignment fragments: p = start pos, m = cigar pattern id
+    _sql_algn_doc = f"""{_SQL_DOC_SEQ},
+algn_in AS (
+  SELECT doc_id, seq, doc_id % 3 + 1 AS p, doc_id % 4 AS m FROM doc_seq
+)"""
+    _sql_ins_cte = f"""{_sql_algn_doc},
+ins AS (
+  SELECT doc_id, p + 8 AS position, loc_ins,
+         substring(seq, src, 1) AS base,
+         ascii(substring(seq, src, 1)) % 40 AS qual
+  FROM algn_in, (VALUES (-1, 11), (-2, 10), (-3, 9)) AS locs(loc_ins, src)
+  WHERE m = 3
+)"""
+
+    sqls["cigar_align"] = f"""
+WITH {_sql_algn_doc}
+SELECT doc_id,
+  CASE m
+    WHEN 0 THEN repeat('-', p - 1) || seq || repeat('-', 31 - p - 24)
+    WHEN 1 THEN repeat('-', p - 1) || substring(seq, 5, 20) || repeat('-', 31 - p - 20)
+    WHEN 2 THEN repeat('-', p - 1) || substring(seq, 1, 10) || '--' || substring(seq, 11, 14) || repeat('-', 31 - p - 26)
+    ELSE repeat('-', p - 1) || substring(seq, 1, 8) || substring(seq, 12, 13) || repeat('-', 31 - p - 21)
+  END AS aligned_seq
+FROM algn_in
+"""
+
+    sqls["cigar_insertions"] = f"""
+WITH {_sql_ins_cte}
+SELECT doc_id, CAST(position AS BIGINT) AS position,
+       CAST(loc_ins AS INTEGER) AS loc_ins, base, CAST(qual AS INTEGER) AS qual
+FROM ins
+"""
+
+    sqls["insertion_stats"] = f"""
+WITH {_sql_ins_cte}
+SELECT CAST(position AS BIGINT) AS position, CAST(loc_ins AS INTEGER) AS loc_ins,
+       count(*) AS cnt, round(avg(qual), 6) AS avg_qual
+FROM ins GROUP BY position, loc_ins
+"""
+
+    sqls["insertion_expectations"] = f"""
+WITH {_sql_ins_cte},
+per_read AS (
+  SELECT position, doc_id, count(*) AS ins_len FROM ins GROUP BY position, doc_id
+)
+SELECT CAST(position AS BIGINT) AS position,
+       round(avg(ins_len), 6) AS mean_len,
+       CAST(max(ins_len) AS BIGINT) AS max_len,
+       count(*) AS n_reads
+FROM per_read GROUP BY position
+"""
+
+    sqls["view_with_ins"] = f"""
+WITH {_sql_ins_cte},
+doc_cells AS (
+  SELECT doc_id, CAST(i AS BIGINT) AS position,
+         substring(seq, CAST(i AS INTEGER), 1) AS base
+  FROM (SELECT doc_id, seq, unnest(generate_series(9, 11)) AS i FROM doc_seq)
+),
+slots AS (SELECT DISTINCT position, loc_ins FROM ins),
+grid AS (SELECT d.doc_id, s.position, s.loc_ins FROM documents d CROSS JOIN slots s),
+filled AS (
+  SELECT g.doc_id, g.position, g.loc_ins, coalesce(lower(i.base), '-') AS base
+  FROM grid g LEFT JOIN ins i
+    ON g.doc_id = i.doc_id AND g.position = i.position AND g.loc_ins = i.loc_ins
+)
+SELECT doc_id, CAST(position AS BIGINT) AS position, CAST(loc_ins AS INTEGER) AS loc_ins, base FROM filled
+UNION ALL
+SELECT doc_id, position, 0 AS loc_ins, base FROM doc_cells
+"""
+
+    sqls["merge_union"] = f"""
+WITH a_cells AS (
+  SELECT CAST(i AS BIGINT) AS position,
+         substring(rpad(upper(substring(text, 1, {W})), {W}, 'N'), CAST(i AS INTEGER), 1) AS base
+  FROM (SELECT text, unnest(generate_series(1, {W})) AS i FROM documents WHERE doc_id % 2 = 0)
+),
+b_cells AS (
+  SELECT CAST(i + 4 AS BIGINT) AS position,
+         substring(rpad(upper(substring(text, 1, 16)), 16, 'N'), CAST(i AS INTEGER), 1) AS base
+  FROM (SELECT text, unnest(generate_series(1, 16)) AS i FROM documents WHERE doc_id % 2 = 1)
+),
+unioned AS (SELECT * FROM a_cells UNION ALL SELECT * FROM b_cells)
+SELECT position, base, count(*) AS cnt FROM unioned GROUP BY position, base
+"""
+
+    sqls["merge_overlay"] = f"""
+WITH {_SQL_DOC_SEQ}
+SELECT doc_id,
+       rpad(upper(substring(text, 25, 8)), 8, 'N') || substring(seq, 9, 16) AS seq
+FROM doc_seq JOIN documents USING (doc_id)
+"""
+
+    sqls["sam_flags"] = """
+WITH flagged AS (
+  SELECT (doc_id * 7) % 4096 AS flag FROM documents
+),
+kept AS (SELECT flag FROM flagged WHERE (flag & 4) = 0 AND (flag & 512) = 0)
+SELECT CASE WHEN (flag & 64) != 0 THEN 'R1'
+            WHEN (flag & 128) != 0 THEN 'R2'
+            ELSE 'R1' END AS read_num,
+       count(*) AS n
+FROM kept GROUP BY 1
+"""
+
+    sqls["softclip"] = """
+WITH pat AS (
+  SELECT CAST(CASE doc_id % 4 WHEN 1 THEN 4 ELSE 0 END AS INTEGER) AS n_clip,
+         CAST(0 AS INTEGER) AS c_clip,
+         CAST(CASE doc_id % 4 WHEN 0 THEN 24 WHEN 1 THEN 20 WHEN 2 THEN 24 ELSE 21 END AS INTEGER) AS m_bases
+  FROM documents
+)
+SELECT n_clip, c_clip, m_bases, count(*) AS n
+FROM pat GROUP BY n_clip, c_clip, m_bases
 """
 
     sqls["minhash_signatures"] = _sql_minhash()
