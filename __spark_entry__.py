@@ -272,15 +272,12 @@ def q_translate(spark: SparkSession, sf_dir: str) -> DataFrame:
     from seqtables_spark.functions.dna import translate_expr
 
     reads = _doc_reads(spark, sf_dir)
-    nt = F.concat_ws(
-        "",
-        F.transform(
-            F.sequence(F.lit(1), F.lit(W)),
-            lambda i: F.lit("ACGT").substr(
-                F.ascii(F.col("seq").substr(i, F.lit(1))) % 4 + 1, F.lit(1)
-            ),
-        ),
-    )
+    # char->ACGT projection as ONE translate() call (95-char mapping),
+    # not a 24-element transform - keeps the downstream codon substrs
+    # from inlining a wide expression tree 8x
+    printable = "".join(chr(i) for i in range(32, 127))
+    mapped = "".join("ACGT"[ord(c) % 4] for c in printable)
+    nt = F.translate("seq", printable, mapped)
     return reads.select(
         F.col("read_id").cast("long").alias("doc_id"),
         translate_expr(nt).alias("aa"),
@@ -510,6 +507,107 @@ def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash(_t(spark, sf_dir, "documents"))
 
 
+def _planted_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents plus a truncated twin of every 50th doc (id+10M) -
+    a deterministic near-duplicate population for the pair-finding
+    dedup operators."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    twins = docs.filter(F.col("doc_id") % 50 == 0).select(
+        (F.col("doc_id") + 10_000_000).alias("doc_id"),
+        F.substring(
+            "text", 1, F.greatest(F.length("text") - 5, F.lit(10))
+        ).alias("text"),
+    )
+    return docs.unionByName(twins)
+
+
+LSH_K = 9  # pair-finding shingle width: 5-char shingles of English are
+# too common across unrelated docs (Jaccard ~0.5 -> LSH false-positive
+# blowup); 9-char shingles separate the planted twins cleanly
+LSH_BANDS = 2
+
+
+def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup (MinHash+LSH): banded LSH candidate pairs over the
+    planted near-duplicate corpus (8 hashes, 2 bands of 4)."""
+    from seqtables_spark.pipeline.dedup import minhash_candidate_pairs
+
+    return minhash_candidate_pairs(
+        _planted_corpus(spark, sf_dir),
+        n_hashes=MINHASH_N,
+        bands=LSH_BANDS,
+        k=LSH_K,
+    )
+
+
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup (n-gram Jaccard): LSH-then-verify - exact 12-gram Jaccard
+    >= 0.4 computed only for the MinHash band candidates (the
+    inverted-index all-pairs join is quadratic in posting lists; the
+    candidate-restricted verify is the shape that scales)."""
+    from seqtables_spark.pipeline.dedup import (
+        minhash_candidate_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    corpus = _planted_corpus(spark, sf_dir)
+    cand = minhash_candidate_pairs(
+        corpus, n_hashes=MINHASH_N, bands=LSH_BANDS, k=LSH_K
+    )
+    pairs = ngram_jaccard_pairs(corpus, k=12, min_jaccard=0.4, candidates=cand)
+    return pairs.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+
+
+def q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup (embedding cosine): all pairs with cosine >= 0.2 among
+    the vec_id%10==0 slice (fixed-fold dot products, exact doubles)."""
+    from seqtables_spark.pipeline.similarity import cosine_similarity_col
+
+    emb = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") % 10 == 0)
+    a = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"))
+    b = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"))
+    pairs = a.join(b, F.col("id_a") < F.col("id_b"))
+    return (
+        pairs.select(
+            "id_a",
+            "id_b",
+            cosine_similarity_col(F.col("va"), F.col("vb")).alias("sim"),
+        )
+        .filter(F.col("sim") >= 0.2)
+        .select("id_a", "id_b", F.round("sim", 6).alias("sim"))
+    )
+
+
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing: text bytes as an opaque binary payload ->
+    mapInPandas decode (deterministic sha256-derived stand-in features;
+    real codecs slot into the same operator shape)."""
+    from seqtables_spark.pipeline.multimodal import decode_image_features
+
+    media = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("media_id"),
+        F.encode("text", "utf-8").alias("payload"),
+    )
+    feats = decode_image_features(media)
+    sel = [
+        F.col("media_id"),
+        F.col("n_bytes"),
+        F.col("sha256"),
+    ] + [
+        F.round(F.element_at("features", i + 1).cast("double"), 4).alias(f"f{i}")
+        for i in range(8)
+    ]
+    return feats.select(*sel)
+
+
+def q_subsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P5 subsample: exact-n engine-portable sample (md5-ranked)."""
+    from seqtables_spark.operators.slices import deterministic_sample
+
+    docs = _t(spark, sf_dir, "documents")
+    return deterministic_sample(docs, 200, id_col="doc_id").select("doc_id")
+
+
 def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Text: rolling-hash document fingerprint (min k-gram hash +
     distinct k-gram count)."""
@@ -553,6 +651,84 @@ def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_topk(emb.filter(F.col("vec_id") != 0), qvec, k=10).select(
         "vec_id", F.round("sim", 6).alias("sim")
     )
+
+
+def q_seq_bits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A7 get_bits: information-content letter heights (sequence logo)
+    with the small-sample correction."""
+    from seqtables_spark.operators.distribution import seq_bits
+
+    return seq_bits(_doc_cells(spark, sf_dir)).select(
+        "position", "base", F.round("bits", 6).alias("bits")
+    )
+
+
+def q_relative_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A8 relative_entropy: per-position KL divergence vs the uniform
+    1/4 background."""
+    from seqtables_spark.operators.distribution import relative_entropy
+
+    return relative_entropy(_doc_cells(spark, sf_dir)).select(
+        "position", F.round("rel_entropy", 6).alias("rel_entropy")
+    )
+
+
+def q_plogo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A9 pLogo binomial log-odds (scipy pandas UDF over the tiny
+    distribution table; no SQL oracle - binomial tails are not
+    expressible in DuckDB, driver records the rows-only check)."""
+    from seqtables_spark.operators.plogo import get_plogo
+
+    p = get_plogo(_doc_cells(spark, sf_dir))
+    return p.select(
+        "position", "base", "k", "n",
+        F.round("plogo", 6).alias("plogo"),
+        F.round("significance", 6).alias("significance"),
+    )
+
+
+def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Similarity scale path: random-hyperplane LSH bucketing +
+    multiprobe + exact re-rank (no SQL oracle; the exact-top-k twin
+    `cosine_topk` is the oracle-checked baseline)."""
+    from seqtables_spark.pipeline.similarity import lsh_bucketed_cosine
+
+    emb = _t(spark, sf_dir, "embeddings")
+    qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+    return lsh_bucketed_cosine(
+        emb.filter(F.col("vec_id") != 0), qvec, k=10, multiprobe_hamming=2
+    ).select("vec_id", F.round("sim", 6).alias("sim"))
+
+
+def q_streaming_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURVEY 2.8: the chunked-iterator pattern as Structured
+    Streaming - file-source stream over the events parquet, complete-
+    mode aggregation into a memory sink, drained with availableNow
+    (exactly what a continuous ingest would run, minus the tail)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    for q in spark.streams.active:
+        if q.name == "events_agg_stream":
+            q.stop()
+    stream = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")  # file source needs a dir
+        .parquet(sf_dir)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.round(F.col("value") * 100).cast("long")).alias("value_cents"),
+        )
+    )
+    query = (
+        stream.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("events_agg_stream")
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    return spark.table("events_agg_stream")
 
 
 def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -664,11 +840,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exact_dedup": q_exact_dedup,
         "minhash_signatures": q_minhash_signatures,
         "simhash": q_simhash,
+        "minhash_lsh_pairs": q_minhash_lsh_pairs,
+        "ngram_jaccard": q_ngram_jaccard,
+        "embedding_near_dups": q_embedding_near_dups,
+        "multimodal_features": q_multimodal_features,
+        "subsample": q_subsample,
         "fingerprint": q_fingerprint,
         "token_count": q_token_count,
         "text_quality": q_text_quality,
         "language_id": q_language_id,
         "cosine_topk": q_cosine_topk,
+        "seq_bits": q_seq_bits,
+        "relative_entropy": q_relative_entropy,
+        "plogo": q_plogo,
+        "ann_lsh": q_ann_lsh,
+        "streaming_events": q_streaming_events,
         "events_hourly": q_events_hourly,
         "pricing_summary": q_pricing_summary,
         "revenue_by_nation": q_revenue_by_nation,
@@ -752,6 +938,131 @@ scored AS (
 )
 SELECT vec_id, round(sim, 6) AS sim
 FROM scored ORDER BY sim DESC, vec_id ASC LIMIT 10
+"""
+
+
+_SQL_CORPUS = """corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 10000000 AS doc_id,
+         substring(text, 1, greatest(length(text) - 5, 10)) AS text
+  FROM documents WHERE doc_id % 50 = 0
+)"""
+
+
+def _sql_lsh_cte() -> str:
+    """The corpus -> shingle -> minhash -> banded -> candidate-pair
+    CTE chain, shared by the LSH-pairs oracle and the jaccard-verify
+    oracle."""
+    params = minhash_params(MINHASH_N)
+    rows_per_band = MINHASH_N // LSH_BANDS
+    mh_cols = ",\n    ".join(
+        f"CAST(min(({a} * h + {b}) % {HASH_PRIME}) AS BIGINT) AS mh_{j}"
+        for j, (a, b) in enumerate(params)
+    )
+    ph = _SQL_PORTABLE_HASH.format(x="shingle")
+    band_selects = " UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band_idx, md5("
+        + " || ',' || ".join(
+            f"CAST(mh_{b * rows_per_band + r} AS VARCHAR)"
+            for r in range(rows_per_band)
+        )
+        + ") AS band_hash FROM sigs"
+        for b in range(LSH_BANDS)
+    )
+    return f"""{_SQL_CORPUS},
+sh AS (
+  SELECT DISTINCT doc_id, substring(t, CAST(i AS INTEGER), {LSH_K}) AS shingle
+  FROM (
+    SELECT doc_id, lower(text) AS t,
+           unnest(generate_series(1, greatest(length(text) - {LSH_K - 1}, 1))) AS i
+    FROM corpus WHERE length(text) >= {LSH_K}
+  )
+  WHERE length(substring(t, CAST(i AS INTEGER), {LSH_K})) = {LSH_K}
+),
+hashed AS (SELECT doc_id, {ph} AS h FROM sh),
+sigs AS (SELECT doc_id, {mh_cols} FROM hashed GROUP BY doc_id),
+banded AS ({band_selects}),
+cand AS (
+  SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+  FROM banded l JOIN banded r
+    ON l.band_idx = r.band_idx AND l.band_hash = r.band_hash AND l.doc_id < r.doc_id
+)"""
+
+
+def _sql_lsh_pairs() -> str:
+    return f"WITH {_sql_lsh_cte()} SELECT id_a, id_b FROM cand"
+
+
+def _sql_ngram_jaccard(k: int = 12, min_j: float = 0.4) -> str:
+    return f"""
+WITH {_sql_lsh_cte()},
+grams AS (
+  SELECT DISTINCT doc_id, substring(t, CAST(i AS INTEGER), {k}) AS shingle
+  FROM (
+    SELECT doc_id, lower(text) AS t,
+           unnest(generate_series(1, greatest(length(text) - {k - 1}, 1))) AS i
+    FROM corpus WHERE length(lower(text)) >= {k}
+  )
+  WHERE length(substring(t, CAST(i AS INTEGER), {k})) = {k}
+),
+sizes AS (SELECT doc_id, count(*) AS n FROM grams GROUP BY doc_id),
+inter AS (
+  SELECT c.id_a, c.id_b, count(*) AS n_common
+  FROM cand c
+  JOIN grams l ON l.doc_id = c.id_a
+  JOIN grams r ON r.doc_id = c.id_b AND r.shingle = l.shingle
+  GROUP BY c.id_a, c.id_b
+)
+SELECT id_a, id_b,
+       round(CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common), 6) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = id_a
+JOIN sizes sb ON sb.doc_id = id_b
+WHERE CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common) >= {min_j}
+"""
+
+
+_SQL_DOT = (
+    "list_reduce(list_transform(list_zip({a}, {b}), "
+    "x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)), (x, y) -> x + y)"
+)
+_SQL_NORM = (
+    "sqrt(list_reduce(list_transform({a}, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE)), "
+    "(x, y) -> x + y))"
+)
+
+
+def _sql_embedding_pairs(threshold: float = 0.2) -> str:
+    dot = _SQL_DOT.format(a="a.embedding", b="b.embedding")
+    na = _SQL_NORM.format(a="a.embedding")
+    nb = _SQL_NORM.format(a="b.embedding")
+    return f"""
+WITH sub AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 10 = 0),
+pairs AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         {dot} / ({na} * {nb}) AS sim
+  FROM sub a JOIN sub b ON a.vec_id < b.vec_id
+)
+SELECT id_a, id_b, round(sim, 6) AS sim FROM pairs WHERE sim >= {threshold}
+"""
+
+
+def _sql_multimodal() -> str:
+    feats = ",\n       ".join(
+        f"round(CAST(('0x' || substring(sha, {8 * i + 1}, 8)) AS BIGINT) % 10000 / 10000.0, 4) AS f{i}"
+        for i in range(8)
+    )
+    return f"""
+WITH hashed AS (
+  SELECT doc_id AS media_id,
+         octet_length(encode(text)) AS n_bytes,
+         sha256(text) AS sha
+  FROM documents
+)
+SELECT media_id, CAST(n_bytes AS BIGINT) AS n_bytes, sha AS sha256,
+       {feats}
+FROM hashed
 """
 
 
@@ -1127,7 +1438,53 @@ SELECT lang, {pred_chain} AS pred_lang, count(*) AS n
 FROM scored GROUP BY 1, 2
 """
 
+    sqls["minhash_lsh_pairs"] = _sql_lsh_pairs()
+    sqls["ngram_jaccard"] = _sql_ngram_jaccard()
+    sqls["embedding_near_dups"] = _sql_embedding_pairs()
+    sqls["multimodal_features"] = _sql_multimodal()
+
+    sqls["subsample"] = """
+SELECT doc_id FROM documents
+ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id LIMIT 200
+"""
+
     sqls["cosine_topk"] = _sql_cosine_topk()
+
+    # A7 bits: N=4 alphabet; correction = (1/ln 2)*(4-1)/(2*n_reads)
+    sqls["seq_bits"] = f"""
+WITH {_SQL_DOC_CELLS},
+freq AS (
+  SELECT position, base,
+         count(*) / CAST(sum(count(*)) OVER (PARTITION BY position) AS DOUBLE) AS p,
+         sum(count(*)) OVER (PARTITION BY position) AS n_reads
+  FROM doc_cells GROUP BY position, base
+),
+ent AS (
+  SELECT position, base, p, n_reads,
+         sum(-p * log2(p)) OVER (PARTITION BY position) AS h
+  FROM freq
+)
+SELECT position, base,
+       round(greatest(p * (log2(4.0) - (h + ((1.0/ln(2)) * 3 / (2 * n_reads)) / 2)), 0.0), 6) AS bits
+FROM ent
+"""
+
+    sqls["relative_entropy"] = f"""
+WITH {_SQL_DOC_CELLS},
+freq AS (
+  SELECT position,
+         count(*) / CAST(sum(count(*)) OVER (PARTITION BY position) AS DOUBLE) AS p
+  FROM doc_cells GROUP BY position, base
+)
+SELECT position, round(sum(p * ln(p / 0.25)), 6) AS rel_entropy
+FROM freq GROUP BY position
+"""
+
+    sqls["streaming_events"] = """
+SELECT event_type, count(*) AS n,
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
+FROM events GROUP BY event_type
+"""
 
     sqls["events_hourly"] = """
 SELECT event_type,

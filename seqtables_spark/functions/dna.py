@@ -40,15 +40,52 @@ def get_codons_expr(seq: Column | str, frame: int = 1) -> Column:
     )
 
 
+# 64-char AA lookup string indexed by 16*i1 + 4*i2 + i3 where
+# i = (ascii(base) >> 1) & 3 maps A->0, C->1, T->2, G->3 - the classic
+# 2-bit nucleotide encoding; one substr replaces a per-row map build.
+_NT_IDX_ORDER = "ACTG"  # index 0..3 under (ascii >> 1) & 3
+
+
+def _build_aa64() -> str:
+    from ..alphabets import _STANDARD_CODONS
+
+    out = []
+    for i1 in _NT_IDX_ORDER:
+        for i2 in _NT_IDX_ORDER:
+            for i3 in _NT_IDX_ORDER:
+                out.append(_STANDARD_CODONS[i1 + i2 + i3])
+    return "".join(out)
+
+
+_AA64 = _build_aa64()
+
+
+def _nt_index(ch: Column) -> Column:
+    return F.shiftright(F.ascii(ch), 1).bitwiseAND(F.lit(3))
+
+
 def translate_expr(seq: Column | str, frame: int = 1, unknown: str = "X") -> Column:
     """NT -> AA translation; unknown/ambiguous codons -> 'X'
-    (N-degenerate codons that are unambiguous still translate)."""
+    (N-degenerate codons that are unambiguous still translate).
+
+    Fast path: pure-ACGT codons index a 64-char literal via the 2-bit
+    encoding (whole-stage-codegen'd substr, no per-row map). Degenerate
+    codons fall back to the full codon-table map lookup - the `when`
+    guard keeps the map build off the hot path."""
     codons = get_codons_expr(seq, frame)
     cmap = _codon_map_col()
-    return F.concat_ws(
-        "",
-        F.transform(codons, lambda cd: F.coalesce(F.element_at(cmap, cd), F.lit(unknown))),
-    )
+
+    def _one(cd: Column) -> Column:
+        fast_idx = (
+            _nt_index(F.substring(cd, 1, 1)) * 16
+            + _nt_index(F.substring(cd, 2, 1)) * 4
+            + _nt_index(F.substring(cd, 3, 1))
+        )
+        fast = F.lit(_AA64).substr(fast_idx + 1, F.lit(1))
+        slow = F.coalesce(F.element_at(cmap, cd), F.lit(unknown))
+        return F.when(cd.rlike("^[ACGT]{3}$"), fast).otherwise(slow)
+
+    return F.concat_ws("", F.transform(codons, _one))
 
 
 def seq_to_regex(seq: str) -> str:

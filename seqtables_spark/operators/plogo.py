@@ -29,8 +29,48 @@ try:
     from scipy.stats import binom  # noqa: F401
 
     HAVE_SCIPY = True
-except Exception:  # pragma: no cover
+except Exception:
     HAVE_SCIPY = False
+
+
+def _binom_log_tails(ks, ns, ps):
+    """log10 sf(k-1; n, p) and log10 cdf(k; n, p) without scipy.
+
+    The pmf is evaluated in log space with math.lgamma and reduced by
+    log-sum-exp cumulatives. One pmf vector is computed per distinct
+    (n, p) - in pLogo all rows share one (N, background p), so this is
+    a single O(N) pass regardless of row count."""
+    import numpy as np
+
+    ks = np.asarray(ks, dtype=np.int64)
+    ns = np.asarray(ns, dtype=np.int64)
+    ps = np.asarray(ps, dtype=np.float64)
+    log_sf = np.empty(len(ks), dtype=np.float64)
+    log_cdf = np.empty(len(ks), dtype=np.float64)
+    lgamma = np.vectorize(math.lgamma, otypes=[np.float64])
+
+    def _cum_logsumexp(v):
+        out = np.empty_like(v)
+        acc = -np.inf
+        for i, x in enumerate(v):
+            hi = max(acc, x)
+            acc = hi + math.log(math.exp(acc - hi) + math.exp(x - hi))
+            out[i] = acc
+        return out
+
+    for n, p in {(int(n), float(p)) for n, p in zip(ns, ps)}:
+        i = np.arange(n + 1, dtype=np.float64)
+        logpmf = (
+            lgamma(n + 1.0) - lgamma(i + 1.0) - lgamma(n - i + 1.0)
+            + i * math.log(p) + (n - i) * math.log1p(-p)
+        )
+        cum_lo = _cum_logsumexp(logpmf)            # log P(X <= k)
+        cum_hi = _cum_logsumexp(logpmf[::-1])[::-1]  # log P(X >= k)
+        mask = (ns == n) & (ps == p)
+        k = ks[mask]
+        log_sf[mask] = cum_hi[np.clip(k, 0, n)] / math.log(10)
+        log_cdf[mask] = cum_lo[np.clip(k, 0, n)] / math.log(10)
+    return log_sf, log_cdf
 
 
 def get_plogo(
@@ -46,8 +86,6 @@ def get_plogo(
     background_freq: optional DF(base, p_bg); defaults to the unbiased
     1/4 (NT) or 1/20 (AA) frequency (seq_logo.py:327-329).
     """
-    if not HAVE_SCIPY:
-        raise NotImplementedError("get_plogo requires scipy for binomial tails")
     from .distribution import seq_dist
 
     counts = seq_dist(cells, "counts", positions=positions)
@@ -63,14 +101,18 @@ def get_plogo(
 
     @F.pandas_udf(DoubleType())
     def _plogo(k: pd.Series, n: pd.Series, p: pd.Series) -> pd.Series:
-        from scipy.stats import binom as _b
         import numpy as np
 
         # log10 odds of over- vs under-representation, capped like the
         # reference (which searches a finite fill for +/-inf).
-        sf = _b.logsf(k - 1, n, p) / math.log(10)
-        cdf = _b.logcdf(k, n, p) / math.log(10)
-        out = -(sf - cdf)
+        if HAVE_SCIPY:
+            from scipy.stats import binom as _b
+
+            sf = _b.logsf(k - 1, n, p) / math.log(10)
+            cdf = _b.logcdf(k, n, p) / math.log(10)
+        else:
+            sf, cdf = _binom_log_tails(k, n, p)
+        out = -(np.asarray(sf) - np.asarray(cdf))
         out = np.clip(out, -350.0, 350.0)
         return pd.Series(out)
 

@@ -75,6 +75,22 @@ def slice_sequences(
     return grouped.select("read_id", seq_expr, qual_expr)
 
 
+def deterministic_sample(
+    df: DataFrame,
+    n: int,
+    id_col: str = "read_id",
+) -> DataFrame:
+    """Exact-n pseudo-random sample, reproducible across engines: rank
+    by md5 of the id (a fixed universal permutation) and take the
+    first n. The scalable analog of the reference's `subsample`
+    (seqtables.py:675-686) - seeded `rand()` is engine-specific, a
+    content hash is not. TakeOrderedAndProject: no full sort."""
+    return (
+        df.orderBy(F.md5(F.col(id_col).cast("string")), F.col(id_col))
+        .limit(n)
+    )
+
+
 def filter_by_count(
     df: DataFrame,
     value_cols: Sequence[str],

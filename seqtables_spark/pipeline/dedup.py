@@ -232,29 +232,45 @@ def ngram_jaccard_pairs(
     block_cols: tuple[str, ...] = (),
     text_col: str = "text",
     id_col: str = "doc_id",
+    candidates: DataFrame | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity for candidate pairs.
 
-    Inverted-index join: docs sharing an n-gram meet in that n-gram's
-    posting list; |intersection| falls out of a groupBy over the join,
-    |union| = |A| + |B| - |A n B|. block_cols (e.g. ('lang',)) further
-    restrict candidates. Returns DF(id_a, id_b, jaccard)."""
+    Without `candidates`: inverted-index join - docs sharing an n-gram
+    meet in that n-gram's posting list; |intersection| falls out of a
+    groupBy over the join, |union| = |A| + |B| - |A n B|. block_cols
+    (e.g. ('lang',)) restrict candidates. Quadratic in posting-list
+    length, so at corpus scale pass `candidates` (DF(id_a, id_b), e.g.
+    from minhash_candidate_pairs): intersections are then computed
+    only for those pairs - the standard LSH-then-verify pipeline.
+    Returns DF(id_a, id_b, jaccard)."""
     sh = shingles(df, k=k, text_col=text_col, id_col=id_col)
     if block_cols:
         meta = df.select(F.col(id_col), *block_cols)
         sh = sh.join(meta, id_col)
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n"))
-    l, r = sh.alias("l"), sh.alias("r")
-    join_cond = (F.col("l.shingle") == F.col("r.shingle")) & (
-        F.col(f"l.{id_col}") < F.col(f"r.{id_col}")
-    )
-    for bc in block_cols:
-        join_cond = join_cond & (F.col(f"l.{bc}") == F.col(f"r.{bc}"))
-    inter = (
-        l.join(r, join_cond)
-        .groupBy(F.col(f"l.{id_col}").alias("id_a"), F.col(f"r.{id_col}").alias("id_b"))
-        .agg(F.count(F.lit(1)).alias("n_common"))
-    )
+    if candidates is not None:
+        ga = sh.select(F.col(id_col).alias("id_a"), "shingle")
+        gb = sh.select(F.col(id_col).alias("id_b"), "shingle")
+        inter = (
+            candidates.select("id_a", "id_b")
+            .join(ga, "id_a")
+            .join(gb, ["id_b", "shingle"])
+            .groupBy("id_a", "id_b")
+            .agg(F.count(F.lit(1)).alias("n_common"))
+        )
+    else:
+        l, r = sh.alias("l"), sh.alias("r")
+        join_cond = (F.col("l.shingle") == F.col("r.shingle")) & (
+            F.col(f"l.{id_col}") < F.col(f"r.{id_col}")
+        )
+        for bc in block_cols:
+            join_cond = join_cond & (F.col(f"l.{bc}") == F.col(f"r.{bc}"))
+        inter = (
+            l.join(r, join_cond)
+            .groupBy(F.col(f"l.{id_col}").alias("id_a"), F.col(f"r.{id_col}").alias("id_b"))
+            .agg(F.count(F.lit(1)).alias("n_common"))
+        )
     sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n").alias("n_a"))
     sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n").alias("n_b"))
     return (
