@@ -325,15 +325,26 @@ def _sam_shaped(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_aligned_cache: dict = {}
+
+
 def _aligned(spark: SparkSession, sf_dir: str):
+    """Aligned (reads, insertions) pair, persisted per session x sf:
+    five queries consume the mapInPandas aligner output, and the
+    insertion stats join both sides of it - one materialization
+    instead of re-running the Python kernel per consumer."""
     from seqtables_spark.sources.align import align_sam_df
 
-    return align_sam_df(
-        _sam_shaped(spark, sf_dir),
-        min_pos=ALIGN_WINDOW[0],
-        max_pos=ALIGN_WINDOW[1],
-        id_col="read_id",
-    )
+    key = (id(spark), sf_dir)
+    if key not in _aligned_cache:
+        reads, ins = align_sam_df(
+            _sam_shaped(spark, sf_dir),
+            min_pos=ALIGN_WINDOW[0],
+            max_pos=ALIGN_WINDOW[1],
+            id_col="read_id",
+        )
+        _aligned_cache[key] = (reads.persist(), ins.persist())
+    return _aligned_cache[key]
 
 
 def q_cigar_align(spark: SparkSession, sf_dir: str) -> DataFrame:

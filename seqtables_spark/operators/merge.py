@@ -87,9 +87,12 @@ def _merge_axis1(tables: list[SeqTable]) -> SeqTable:
     bounds = winner.agg(F.min("position"), F.max("position")).first()
     lo, hi = int(bounds[0]), int(bounds[1])
     pos_arr = F.sequence(F.lit(lo).cast("long"), F.lit(hi).cast("long"))
+    # map_from_entries over structs, NOT map_from_arrays over two
+    # collect_lists: collect_list skips NULL quals, which would
+    # desynchronize the key and value arrays
     grouped = winner.groupBy("read_id").agg(
-        F.map_from_arrays(F.collect_list("position"), F.collect_list("base")).alias("_b"),
-        F.map_from_arrays(F.collect_list("position"), F.collect_list("qual")).alias("_q"),
+        F.map_from_entries(F.collect_list(F.struct("position", "base"))).alias("_b"),
+        F.map_from_entries(F.collect_list(F.struct("position", "qual"))).alias("_q"),
     )
     reads = grouped.select(
         "read_id",

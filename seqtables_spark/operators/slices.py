@@ -40,14 +40,16 @@ def slice_sequences(
     has_qual = return_quality and "qual" in cells.columns
 
     sliced = cells.filter(F.col("position").isin(pos_list))
+    # map_from_entries over structs (NOT map_from_arrays over parallel
+    # collect_lists - collect_list drops NULL quals and desyncs arrays)
     grouped = sliced.groupBy("read_id").agg(
-        F.map_from_arrays(
-            F.collect_list("position"), F.collect_list("base")
+        F.map_from_entries(
+            F.collect_list(F.struct("position", "base"))
         ).alias("_bases"),
         *(
             [
-                F.map_from_arrays(
-                    F.collect_list("position"), F.collect_list("qual")
+                F.map_from_entries(
+                    F.collect_list(F.struct("position", "qual"))
                 ).alias("_quals")
             ]
             if has_qual

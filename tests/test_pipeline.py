@@ -1,0 +1,191 @@
+"""LLM-data-pipeline operators: dedup (exact/minhash/simhash/jaccard),
+similarity search, text analysis, multimodal plumbing."""
+
+import hashlib
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from seqtables_spark.pipeline.dedup import (
+    exact_dedup,
+    minhash_candidate_pairs,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    shingles,
+    simhash,
+    simhash_near_dups,
+)
+from seqtables_spark.pipeline.multimodal import (
+    attach_media_metadata,
+    decode_image_features,
+    frame_sample_plan,
+)
+from seqtables_spark.pipeline.similarity import cosine_topk, lsh_bucketed_cosine
+from seqtables_spark.pipeline.text import (
+    language_id,
+    quality_score,
+    text_quality_features,
+    token_count,
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "the quick brown fox jumps over the lazy dog"),  # exact dup of 1
+        (3, "the quick brown fox jumps over the lazy cat"),  # near dup
+        (4, "completely unrelated text about spark engines"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_dedup(docs):
+    rows = exact_dedup(docs).collect()
+    by_digest = {r["digest"]: (r["keep_id"], r["n_dups"]) for r in rows}
+    assert len(rows) == 3
+    dup = [v for v in by_digest.values() if v[1] == 2]
+    assert dup == [(1, 2)]  # min id survives
+
+
+def test_shingles_distinct(docs):
+    sh = shingles(docs.filter(F.col("doc_id") == 1), k=4)
+    n = sh.count()
+    text = "the quick brown fox jumps over the lazy dog"
+    expect = len({text.lower()[i : i + 4] for i in range(len(text) - 3)})
+    assert n == expect
+
+
+def test_minhash_identical_docs_same_signature(docs):
+    sig = minhash_signatures(docs, n_hashes=4, k=5)
+    rows = {r["doc_id"]: tuple(r[f"mh_{j}"] for j in range(4)) for r in sig.collect()}
+    assert rows[1] == rows[2]
+    assert rows[1] != rows[4]
+
+
+def test_minhash_lsh_finds_dups(docs):
+    pairs = {
+        (r["id_a"], r["id_b"])
+        for r in minhash_candidate_pairs(docs, n_hashes=8, bands=4, k=5).collect()
+    }
+    assert (1, 2) in pairs  # identical docs always collide
+
+
+def test_simhash_near_dups(docs):
+    sh = {r["doc_id"]: r["simhash"] for r in simhash(docs).collect()}
+    assert sh[1] == sh[2]
+    pairs = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in simhash_near_dups(docs, max_hamming=10).collect()
+    }
+    assert pairs[(1, 2)] == 0
+
+
+def test_ngram_jaccard_exact_value(spark):
+    d = spark.createDataFrame(
+        [(1, "abcdef"), (2, "abcdeX")], "doc_id long, text string"
+    )
+    # 3-grams: doc1 {abc,bcd,cde,def}, doc2 {abc,bcd,cde,deX}; J = 3/5
+    rows = ngram_jaccard_pairs(d, k=3, min_jaccard=0.1).collect()
+    assert len(rows) == 1 and abs(rows[0]["jaccard"] - 0.6) < 1e-12
+
+
+def test_ngram_jaccard_candidates_path(spark, docs):
+    cand = spark.createDataFrame([(1, 3)], "id_a long, id_b long")
+    rows = ngram_jaccard_pairs(docs, k=3, min_jaccard=0.1, candidates=cand).collect()
+    assert len(rows) == 1 and rows[0]["id_a"] == 1 and rows[0]["id_b"] == 3
+    assert 0.5 < rows[0]["jaccard"] < 1.0
+
+
+# ------------------------------------------------------------- similarity
+
+@pytest.fixture(scope="module")
+def vecs(spark):
+    import math
+
+    rows = []
+    for i in range(50):
+        ang = i * math.pi / 100
+        rows.append((i, [math.cos(ang), math.sin(ang), 0.0, 0.0]))
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def test_cosine_topk_exact(vecs):
+    got = [r["vec_id"] for r in cosine_topk(vecs, [1.0, 0.0, 0.0, 0.0], k=3).collect()]
+    assert got == [0, 1, 2]  # smallest angles first
+
+
+def test_lsh_bucketed_recall(vecs):
+    exact = [r["vec_id"] for r in cosine_topk(vecs, [1.0, 0.0, 0.0, 0.0], k=5).collect()]
+    approx = [
+        r["vec_id"]
+        for r in lsh_bucketed_cosine(
+            vecs, [1.0, 0.0, 0.0, 0.0], k=5, n_planes=4, multiprobe_hamming=2
+        ).collect()
+    ]
+    # multiprobe over 4 planes on a smooth 1-D manifold: top-1 must be found
+    assert approx[0] == exact[0]
+    assert set(approx) <= set(range(50))
+
+
+# ------------------------------------------------------------------- text
+
+def test_token_count(spark):
+    df = spark.createDataFrame([(1, "hello world, 42 times!")], "doc_id long, text string")
+    r = token_count(df).first()
+    assert r["n_tokens"] == 4
+    # subtokens: hello world , 42 times ! -> 6
+    assert r["n_subtokens"] == 6
+
+
+def test_quality_features(spark):
+    df = spark.createDataFrame([(1, "the cat sat")], "doc_id long, text string")
+    r = text_quality_features(df).first()
+    assert r["n_chars"] == 11 and r["n_tokens"] == 3
+    assert abs(r["alpha_ratio"] - 9 / 11) < 1e-12
+    assert abs(r["stopword_ratio"] - 1 / 3) < 1e-12
+    r2 = quality_score(df).first()
+    assert 0.0 <= r2["quality_score"] <= 1.0
+
+
+def test_language_id(spark):
+    rows = [
+        (1, "the cat and the dog is here"),
+        (2, "der hund und die katze ist nicht da"),
+        (3, "xyzzy plugh"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r["pred_lang"] for r in language_id(df).collect()}
+    assert got == {1: "en", 2: "de", 3: "und"}
+
+
+# ------------------------------------------------------------- multimodal
+
+def test_attach_media_metadata(spark):
+    df = spark.createDataFrame([(1, bytearray(b"abc"))], "media_id long, payload binary")
+    r = attach_media_metadata(df).first()
+    assert r["n_bytes"] == 3
+    assert r["sha256"] == hashlib.sha256(b"abc").hexdigest()
+
+
+def test_decode_image_features_deterministic(spark):
+    df = spark.createDataFrame(
+        [(1, bytearray(b"abc")), (2, bytearray(b"abc"))], "media_id long, payload binary"
+    )
+    rows = decode_image_features(df).collect()
+    feats = {r["media_id"]: list(r["features"]) for r in rows}
+    assert feats[1] == feats[2] and len(feats[1]) == 8
+    assert all(0.0 <= v < 1.0 for v in feats[1])
+
+
+def test_decode_real_raises(spark):
+    df = spark.createDataFrame([(1, bytearray(b"x"))], "media_id long, payload binary")
+    with pytest.raises(NotImplementedError):
+        decode_image_features(df, real_decode=True)
+
+
+def test_frame_sample_plan(spark):
+    df = spark.createDataFrame([(1, 100)], "media_id long, n_frames int")
+    idx = [r["frame_idx"] for r in frame_sample_plan(df, every_n=30).collect()]
+    assert idx == [0, 30, 60, 90]
