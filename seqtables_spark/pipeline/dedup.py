@@ -51,9 +51,12 @@ def shingles(
     text_col: str = "text",
     id_col: str = "doc_id",
     lowercase: bool = True,
+    distinct: bool = True,
 ) -> DataFrame:
-    """Distinct character k-shingles per document:
-    DF(id, shingle). One explode; distinct is per (doc, shingle)."""
+    """Character k-shingles per document: DF(id, shingle). One explode;
+    distinct (per doc+shingle) costs a shuffle of the exploded width -
+    callers whose aggregate is duplicate-insensitive (min-hash) pass
+    distinct=False and skip it."""
     txt = F.lower(F.col(text_col)) if lowercase else F.col(text_col)
     sh = F.explode(
         F.transform(
@@ -61,12 +64,12 @@ def shingles(
             lambda i: txt.substr(i, F.lit(k)),
         )
     ).alias("shingle")
-    return (
+    out = (
         df.filter(F.length(txt) >= k)
         .select(F.col(id_col), sh)
         .filter(F.length("shingle") == k)
-        .distinct()
     )
+    return out.distinct() if distinct else out
 
 
 def minhash_signatures(
@@ -81,8 +84,10 @@ def minhash_signatures(
     (a_j * h(shingle) + b_j) % p. Returns DF(id, mh_0..mh_{n-1}).
 
     All n mins ride ONE aggregation (n agg columns), so the plan is a
-    single partial+final hash agg over the shingle explode."""
-    sh = shingles(df, k=k, text_col=text_col, id_col=id_col)
+    single partial+final hash agg over the shingle explode; min() is
+    duplicate-insensitive, so the shingle set is NOT deduplicated
+    first (saves a full shuffle of the exploded data)."""
+    sh = shingles(df, k=k, text_col=text_col, id_col=id_col, distinct=False)
     h = portable_string_hash("shingle").alias("h")
     base = sh.select(F.col(id_col), h)
     aggs = [
