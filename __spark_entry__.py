@@ -251,6 +251,104 @@ def q_ts_tv(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_seq_dist_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1 weight_by: per-position letter counts weighted by a
+    per-read weight table (weight = doc_id % 5 + 1)."""
+    w = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("string").alias("read_id"),
+        (F.col("doc_id") % 5 + 1).cast("double").alias("weight"),
+    )
+    return seq_dist(_doc_cells(spark, sf_dir), weights=w).select(
+        "position", "base", F.col("cnt").cast("double").alias("cnt")
+    )
+
+
+def q_hamming_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J3 hamming normalized with ignore_characters: mismatch fraction
+    over non-'N' compared positions."""
+    cells = _doc_cells(spark, sf_dir)
+    refs = ref_cells_from_strings(spark, {"ref1": DOC_REF})
+    return hamming_distance(
+        cells, refs, normalized=True, ignore_characters=["N"]
+    ).select(
+        F.col("read_id").cast("long").alias("doc_id"),
+        F.round("dist", 6).alias("dist"),
+    )
+
+
+def q_compare_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1/J2 compare with treat_as_match + ignore_characters: per-read
+    match and compared-base counts (NULL-skipping aggregation)."""
+    from seqtables_spark.operators.compare import compare_cells
+
+    cells = _doc_cells(spark, sf_dir)
+    refs = ref_cells_from_strings(spark, {"ref1": DOC_REF})
+    cmp_df = compare_cells(
+        cells, refs, treat_as_match=[" "], ignore_characters=["N"]
+    )
+    return cmp_df.groupBy("read_id").agg(
+        F.sum(F.col("match").cast("long")).alias("n_match"),
+        F.count("match").alias("n_comp"),
+    ).select(
+        F.col("read_id").cast("long").alias("doc_id"), "n_match", "n_comp"
+    )
+
+
+def q_mutation_by_position(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3 mutation_profile aggregate_positions=False over a position
+    window."""
+    cells = _doc_cells(spark, sf_dir)
+    refs = ref_cells_from_strings(spark, {"ref1": DOC_REF})
+    return mutation_profile(
+        cells, refs, positions=list(range(1, 9)), aggregate_positions=False
+    )
+
+
+def q_pwm_log_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A12 calculate_pwm log path: exp(sum(log w)) product scoring."""
+    rows = []
+    for p in range(1, W + 1):
+        for letter, w in PWM_WEIGHTS.items():
+            rows.append((p, letter, w))
+    pwm_df = spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, 1),
+        "position long, letter string, weight double",
+    )
+    scored = calculate_pwm(
+        _doc_cells(spark, sf_dir), pwm_df, null_score=1.0, use_log_before_sum=True
+    )
+    return scored.select(
+        F.col("read_id").cast("long").alias("doc_id"),
+        F.round("pwm_score", 4).alias("pwm_score"),
+    )
+
+
+def q_quality_dist_fastqc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5 with the FASTQC bin preset (including its (75,79) gap -
+    irrelevant at W=24 but the preset path is exercised)."""
+    cells = _doc_cells(spark, sf_dir, with_qual=True)
+    d = quality_dist(cells, bins="fastqc", percentiles=(50,))
+    return d.select(
+        "bin_name",
+        "bin_lo",
+        "bin_hi",
+        F.round("mean", 6).alias("mean"),
+        F.round("median", 6).alias("median"),
+        F.col("min").cast("long").alias("min"),
+        F.col("max").cast("long").alias("max"),
+    )
+
+
+def q_insertion_seq_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A11e get_insertion_seq_dist with the implicit gap row
+    ('-' count = N_reads - letters at the slot)."""
+    from seqtables_spark.operators.insertions import get_insertion_seq_dist
+
+    _, ins = _aligned(spark, sf_dir)
+    n_docs = _t(spark, sf_dir, "documents").count()
+    return get_insertion_seq_dist(ins, n_reads_total=n_docs)
+
+
 def q_kmers_gapped(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A10 get_substrings: gapped 2-mers over position combos of
     {2,3,5} (C(3,2)=3 combos) on the document corpus."""
@@ -532,9 +630,11 @@ def _planted_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.unionByName(twins)
 
 
-LSH_K = 9  # pair-finding shingle width: 5-char shingles of English are
-# too common across unrelated docs (Jaccard ~0.5 -> LSH false-positive
-# blowup); 9-char shingles separate the planted twins cleanly
+LSH_K = 12  # pair-finding shingle width: short shingles of English are
+# too common across unrelated docs (5-char Jaccard ~0.5 -> LSH
+# false-positive blowup, quadratic verify cost); 12-char shingles put
+# unrelated pairs at s~0.1 (s^4 per band ~1e-4) while the planted
+# twins stay at s~0.95
 LSH_BANDS = 2
 
 
@@ -825,6 +925,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "seq_dist": q_seq_dist,
         "seq_dist_freq": q_seq_dist_freq,
+        "seq_dist_weighted": q_seq_dist_weighted,
+        "hamming_norm": q_hamming_norm,
+        "compare_matches": q_compare_matches,
+        "mutation_by_position": q_mutation_by_position,
+        "pwm_log_score": q_pwm_log_score,
+        "quality_dist_fastqc": q_quality_dist_fastqc,
+        "insertion_seq_dist": q_insertion_seq_dist,
         "consensus": q_consensus,
         "entropy": q_entropy,
         "hamming": q_hamming,
@@ -1201,6 +1308,86 @@ SELECT CAST(sum(is_ts) AS BIGINT) AS transitions,
 FROM classified
 """
 
+    sqls["seq_dist_weighted"] = f"""
+WITH {_SQL_DOC_CELLS},
+w AS (SELECT doc_id, CAST(doc_id % 5 + 1 AS DOUBLE) AS weight FROM documents)
+SELECT position, base, CAST(sum(weight) AS DOUBLE) AS cnt
+FROM doc_cells c JOIN w USING (doc_id) GROUP BY position, base
+"""
+
+    sqls["hamming_norm"] = f"""
+WITH {_SQL_DOC_CELLS},
+cmp AS (
+  SELECT doc_id, base,
+         substring('{doc_ref_sql}', CAST(position AS INTEGER), 1) AS rb
+  FROM doc_cells
+)
+SELECT doc_id,
+       round(CAST(sum(CASE WHEN base <> 'N' AND rb <> 'N' AND base <> rb THEN 1 ELSE 0 END) AS DOUBLE)
+             / sum(CASE WHEN base <> 'N' AND rb <> 'N' THEN 1 ELSE 0 END), 6) AS dist
+FROM cmp GROUP BY doc_id
+"""
+
+    sqls["compare_matches"] = f"""
+WITH {_SQL_DOC_CELLS},
+cmp AS (
+  SELECT doc_id, base,
+         substring('{doc_ref_sql}', CAST(position AS INTEGER), 1) AS rb
+  FROM doc_cells
+)
+SELECT doc_id,
+       CAST(sum(CASE WHEN base <> 'N' AND rb <> 'N'
+                      AND (base = rb OR base = ' ' OR rb = ' ') THEN 1 ELSE 0 END) AS BIGINT) AS n_match,
+       CAST(sum(CASE WHEN base <> 'N' AND rb <> 'N' THEN 1 ELSE 0 END) AS BIGINT) AS n_comp
+FROM cmp GROUP BY doc_id
+"""
+
+    sqls["mutation_by_position"] = f"""
+WITH {_SQL_DOC_CELLS}
+SELECT position, substring('{doc_ref_sql}', CAST(position AS INTEGER), 1) AS ref_base,
+       base AS read_base, count(*) AS cnt
+FROM doc_cells
+WHERE position BETWEEN 1 AND 8
+  AND base <> substring('{doc_ref_sql}', CAST(position AS INTEGER), 1)
+GROUP BY 1, 2, 3
+"""
+
+    pwm_cases = " ".join(f"WHEN '{l}' THEN {w}" for l, w in PWM_WEIGHTS.items())
+    sqls["pwm_log_score"] = f"""
+WITH {_SQL_DOC_CELLS}
+SELECT doc_id, round(exp(sum(ln(CASE base {pwm_cases} ELSE 1.0 END))), 4) AS pwm_score
+FROM doc_cells GROUP BY doc_id
+"""
+
+    from seqtables_spark.operators.quality import fastqc_bins
+
+    fq_bins = [(lo, hi) for lo, hi in fastqc_bins(W) if 1 <= lo <= W]
+    fq_name = " ".join(
+        f"WHEN position BETWEEN {lo} AND {hi} THEN '{f'{lo}-{hi}' if lo != hi else lo}'"
+        for lo, hi in fq_bins
+    )
+    fq_lo = " ".join(
+        f"WHEN position BETWEEN {lo} AND {hi} THEN {lo}" for lo, hi in fq_bins
+    )
+    fq_hi = " ".join(
+        f"WHEN position BETWEEN {lo} AND {hi} THEN {hi}" for lo, hi in fq_bins
+    )
+    sqls["quality_dist_fastqc"] = f"""
+WITH {_SQL_DOC_QCELLS},
+binned AS (
+  SELECT CASE {fq_name} END AS bin_name,
+         CAST(CASE {fq_lo} END AS BIGINT) AS bin_lo,
+         CAST(CASE {fq_hi} END AS BIGINT) AS bin_hi,
+         qual
+  FROM doc_qcells WHERE qual > 0
+)
+SELECT bin_name, bin_lo, bin_hi,
+       round(avg(qual), 6) AS mean,
+       round(quantile_cont(qual, 0.5), 6) AS median,
+       CAST(min(qual) AS BIGINT) AS min, CAST(max(qual) AS BIGINT) AS max
+FROM binned GROUP BY bin_name, bin_lo, bin_hi
+"""
+
     combos = [(2, 3), (2, 5), (3, 5)]
     combo_selects = " UNION ALL ".join(
         f"SELECT 'p{a},p{b}' AS combo, "
@@ -1317,6 +1504,23 @@ SELECT CAST(position AS BIGINT) AS position,
        CAST(max(ins_len) AS BIGINT) AS max_len,
        count(*) AS n_reads
 FROM per_read GROUP BY position
+"""
+
+    sqls["insertion_seq_dist"] = f"""
+WITH {_sql_ins_cte},
+dist AS (
+  SELECT CAST(position AS BIGINT) AS position, CAST(loc_ins AS INTEGER) AS loc_ins,
+         base, count(*) AS cnt
+  FROM ins GROUP BY position, loc_ins, base
+),
+gaps AS (
+  SELECT position, loc_ins, '-' AS base,
+         (SELECT count(*) FROM documents) - sum(cnt) AS cnt
+  FROM dist GROUP BY position, loc_ins
+)
+SELECT position, loc_ins, base, CAST(cnt AS BIGINT) AS cnt FROM dist
+UNION ALL
+SELECT position, loc_ins, base, CAST(cnt AS BIGINT) AS cnt FROM gaps
 """
 
     sqls["view_with_ins"] = f"""
