@@ -169,6 +169,213 @@ class SeqTable:
             c = c.filter(F.col("position") <= max_pos)
         return c
 
+    # -- reference-parity analysis facade --------------------------------
+    # Thin delegations to the operator modules under the reference's
+    # method names (seqtables.py), so a user of the reference can port
+    # call sites 1:1. Each returns a DataFrame (long form).
+
+    def get_seq_dist(self, method: str = "counts", positions=None,
+                     ignore_characters=(), weight_by=None) -> DataFrame:
+        """Reference get_seq_dist (seqtables.py:882-934)."""
+        from .operators.distribution import seq_dist
+
+        return seq_dist(
+            self.cells(with_qual=False), method=method, positions=positions,
+            ignore_characters=ignore_characters, weights=weight_by,
+            seq_type=self.seq_type,
+        )
+
+    def get_consensus(self, positions=None, modecutoff: float = 0.5) -> DataFrame:
+        """Reference get_consensus (seqtables.py:1512-1553)."""
+        from .operators.distribution import consensus
+
+        return consensus(
+            self.cells(with_qual=False), modecutoff=modecutoff,
+            positions=positions, fill=self.fillna_val,
+        )
+
+    def compare_to_references(self, reference_seqs, positions_to_compare=None,
+                              flip=False, set_diff=False,
+                              ignore_characters=(), treat_as_match=()) -> DataFrame:
+        """Reference compare_to_references (seqtables.py:757-833)."""
+        from .operators.compare import compare_to_references
+
+        return compare_to_references(
+            self.cells(with_qual=False), reference_seqs,
+            flip=flip, treat_as_match=treat_as_match,
+            ignore_characters=ignore_characters,
+            positions=positions_to_compare, set_diff=set_diff,
+        )
+
+    def hamming_distance(self, reference_seqs, positions_to_compare=None,
+                         normalized=False, ignore_characters=(),
+                         treat_as_match=()) -> DataFrame:
+        """Reference hamming_distance (seqtables.py:835-872)."""
+        from .operators.compare import hamming_distance
+
+        return hamming_distance(
+            self.cells(with_qual=False), reference_seqs,
+            normalized=normalized, treat_as_match=treat_as_match,
+            ignore_characters=ignore_characters,
+            positions=positions_to_compare,
+        )
+
+    def mutation_profile(self, reference_seqs, positions_to_compare=None,
+                         normalized=False, aggregate_positions=True,
+                         ignore_characters=(), treat_as_match=()) -> DataFrame:
+        """Reference mutation_profile (seqtables.py:1055-1118)."""
+        from .operators.compare import mutation_profile
+
+        return mutation_profile(
+            self.cells(with_qual=False), reference_seqs,
+            positions=positions_to_compare, normalized=normalized,
+            aggregate_positions=aggregate_positions,
+            ignore_characters=ignore_characters, treat_as_match=treat_as_match,
+        )
+
+    def mutation_TS_TV_profile(self, reference_seqs,
+                               positions_to_compare=None) -> DataFrame:
+        """Reference mutation_TS_TV_profile (seqtables.py:1170-1221)."""
+        from .operators.compare import mutation_ts_tv_profile
+
+        if self.seq_type != "NT":
+            raise ValueError("TS/TV profile requires NT sequences")
+        return mutation_ts_tv_profile(
+            self.cells(with_qual=False), reference_seqs,
+            positions=positions_to_compare,
+        )
+
+    def get_quality_dist(self, positions=None, bins="even",
+                         exclude_null_quality=True, sample=None,
+                         percentiles=(10, 25, 50, 75, 90)) -> DataFrame:
+        """Reference get_quality_dist (seqtables.py:1328-1377)."""
+        from .operators.quality import quality_dist
+
+        cells = self.cells()
+        if positions is not None:
+            cells = cells.filter(F.col("position").isin(list(positions)))
+        return quality_dist(
+            cells, bins=bins, exclude_null_quality=exclude_null_quality,
+            percentiles=percentiles, sample_fraction=sample,
+        )
+
+    def pos_entropy(self, positions=None, ignore_characters=(), nbit=2) -> DataFrame:
+        """Reference pos_entropy (seqtables.py:1315-1317)."""
+        from .operators.distribution import pos_entropy
+
+        return pos_entropy(
+            self.cells(with_qual=False), positions=positions,
+            ignore_characters=ignore_characters, nbit=nbit,
+        )
+
+    def get_bits(self, positions=None, ignore_characters=()) -> DataFrame:
+        """Reference get_bits / seq-logo heights (seq_logo.py:297-311)."""
+        from .operators.distribution import seq_bits
+
+        return seq_bits(
+            self.cells(with_qual=False), positions=positions,
+            ignore_characters=ignore_characters, seq_type=self.seq_type,
+        )
+
+    def relative_entropy(self, background_seqs=None, positions=None) -> DataFrame:
+        """Reference relative_entropy (seqtables.py:1319-1326)."""
+        from .operators.distribution import relative_entropy
+
+        bg = background_seqs.cells(with_qual=False) if isinstance(
+            background_seqs, SeqTable) else background_seqs
+        return relative_entropy(
+            self.cells(with_qual=False), background_cells=bg,
+            positions=positions, seq_type=self.seq_type,
+        )
+
+    def get_plogo(self, background_freq=None, positions=None, alpha=0.01) -> DataFrame:
+        """Reference get_plogo (seqtables.py:1305-1313)."""
+        from .operators.plogo import get_plogo
+
+        return get_plogo(
+            self.cells(with_qual=False), background_freq=background_freq,
+            positions=positions, alpha=alpha, seq_type=self.seq_type,
+        )
+
+    def calculate_pwm(self, pwm, positions=None, pwm_column_names="ACTG",
+                      null_scores=1.0) -> DataFrame:
+        """Reference calculate_pwm (seqtables.py:874-880); `pwm` may be
+        a DataFrame(position, letter, weight) or a nested list shaped
+        like the reference's positions x letters matrix."""
+        from .operators.pwm import calculate_pwm, pwm_to_df
+
+        if not isinstance(pwm, DataFrame):
+            spark = SparkSession.getActiveSession()
+            pwm = pwm_to_df(spark, pwm, positions=positions,
+                            column_names=pwm_column_names)
+        return calculate_pwm(
+            self.cells(with_qual=False), pwm, positions=positions,
+            null_score=null_scores,
+        )
+
+    def get_substrings(self, word_length, positions=None, weights=None) -> DataFrame:
+        """Reference get_substrings / gapped k-mers (seqtables.py:936-1034)."""
+        from .operators.kmers import get_substrings
+
+        return get_substrings(
+            self.reads, word_length, positions=positions, weights=weights,
+        )
+
+    def slice_sequences(self, positions, name="seqs",
+                        return_quality=False, empty_chars=None) -> DataFrame:
+        """Reference slice_sequences (seqtables.py:566-673)."""
+        from .operators.slices import slice_sequences
+
+        return slice_sequences(
+            self.cells(), positions, name=name, return_quality=return_quality,
+            empty_char=empty_chars or self.fillna_val,
+        )
+
+    def view_with_ins(self, positions=None, min_ins_count=0, ins_gap="-",
+                      lowercase_insertions=True) -> DataFrame:
+        """Reference view_with_ins (seqtables.py:408-564)."""
+        from .operators.insertions import view_with_insertions
+
+        return view_with_insertions(
+            self.cells(with_qual=False), self.insertions, positions=positions,
+            min_ins_count=min_ins_count, ins_gap=ins_gap,
+            lowercase_insertions=lowercase_insertions,
+        )
+
+    def quality_filter(self, q, p, ignore_null_qual=True) -> "SeqTable":
+        """Reference quality_filter (seqtables.py:1223-1258)."""
+        from .operators.quality import quality_filter
+
+        return quality_filter(self, q, p, ignore_null_qual=ignore_null_qual)
+
+    def convert_low_bases_to_null(self, q, replace_with=None,
+                                  ignore_null_qual=True) -> DataFrame:
+        """Reference convert_low_bases_to_null (seqtables.py:1260-1303)."""
+        from .operators.quality import convert_low_bases_to_null
+
+        return convert_low_bases_to_null(
+            self.cells(), q, replace_with=replace_with or self.fillna_val,
+            ignore_null_qual=ignore_null_qual,
+        )
+
+    def get_insertion_events(self, positions=None, min_quality=0) -> DataFrame:
+        """Reference get_insertion_events (seqtables.py:1452-1485)."""
+        from .operators.insertions import get_insertion_events
+
+        return get_insertion_events(self.insertions, positions, min_quality)
+
+    def get_insertion_distribution(self, positions=None) -> DataFrame:
+        """Reference get_insertion_distribution (seqtables.py:1422-1435)."""
+        from .operators.insertions import get_insertion_distribution
+
+        return get_insertion_distribution(self.insertions, positions)
+
+    def merge_seqs(self, others: list["SeqTable"], axis: int = 0) -> "SeqTable":
+        """Reference merge_seqs / st_merge_arrays (st_merge.py:63-138)."""
+        from .operators.merge import merge_seqtables
+
+        return merge_seqtables([self, *others], axis=axis)
+
 
 def phred_char_to_num(col: Column | str, phred_adjust: int = PHRED_ADJUST) -> Column:
     """chr(q+33) -> numeric phred (reference seqtables.py:401)."""

@@ -1,0 +1,80 @@
+"""Reference-parity facade: the SeqTable methods mirror the
+reference's call surface and delegate to the operator modules."""
+
+import pytest
+
+from seqtables_spark import from_list
+
+
+@pytest.fixture(scope="module")
+def st(spark, golden_seqs):
+    return from_list(spark, golden_seqs)
+
+
+def test_get_seq_dist(st):
+    d = {(r["position"], r["base"]): r["cnt"] for r in st.get_seq_dist().collect()}
+    assert d[(1, "A")] == 4
+
+
+def test_get_consensus(st):
+    rows = {r["position"]: r["consensus_base"] for r in st.get_consensus().collect()}
+    assert rows[1] == "A"
+
+
+def test_hamming(st, golden_seqs):
+    rows = st.hamming_distance(golden_seqs[:1]).collect()
+    d = {r["read_id"]: r["dist"] for r in rows}
+    assert d["1"] == 0 and d["2"] == 3
+
+
+def test_mutation_profile(st, golden_seqs):
+    rows = st.mutation_profile(golden_seqs[:1]).collect()
+    total = sum(r["cnt"] for r in rows)
+    assert total == 14  # sum of mismatches vs read 1
+
+
+def test_ts_tv(st, golden_seqs):
+    r = st.mutation_TS_TV_profile(golden_seqs[:1]).first()
+    assert r["transitions"] + r["transversions"] == 14
+
+
+def test_entropy_and_bits(st):
+    assert st.pos_entropy().count() == 4
+    assert st.get_bits().count() > 0
+    assert st.relative_entropy().count() == 4
+
+
+def test_plogo_facade(st):
+    assert st.get_plogo().count() > 0
+
+
+def test_pwm_nested_list(st):
+    pwm = [[1.0, 1.0, 1.0, 1.0]] * 4  # uniform ACTG weights, 4 positions
+    rows = st.calculate_pwm(pwm).collect()
+    assert all(abs(r["pwm_score"] - 1.0) < 1e-12 for r in rows)
+
+
+def test_substrings_and_slices(st):
+    assert st.get_substrings(2, positions=[1, 2]).count() > 0
+    assert st.slice_sequences([1, 2]).count() == 6
+
+
+def test_quality_ops(spark):
+    st = from_list(spark, ["ACGT"], quals=["II#!"])
+    assert st.get_quality_dist(bins=[(1, 4)]).count() == 1
+    masked = st.convert_low_bases_to_null(q=20)
+    assert masked.filter("base = 'N'").count() == 1  # pos3 low; pos4 null-qual kept
+    assert st.quality_filter(q=20, p=50.0).reads.count() == 1
+
+
+def test_merge_facade(spark):
+    a = from_list(spark, ["AA", "AC"])
+    b = from_list(spark, ["TT"])
+    assert a.merge_seqs([b]).reads.count() == 3
+
+
+def test_view_with_ins_empty(st):
+    # no insertion table -> only loc_ins=0 rows
+    v = st.view_with_ins(positions=[1])
+    assert v.filter("loc_ins < 0").count() == 0
+    assert v.filter("loc_ins = 0").count() == 6
