@@ -1,0 +1,89 @@
+"""Property-based tests for the CIGAR realignment kernel: invariants
+that must hold for ANY read/cigar/window combination (the reference's
+in-silico generator strategy, SURVEY section 5, with hypothesis
+driving the generation)."""
+
+import re
+
+from hypothesis import given, settings, strategies as st
+
+from seqtables_spark.sources.align import align_read
+
+BASES = "ACGT"
+
+
+@st.composite
+def cigar_and_read(draw):
+    """A consistent (seq, qual, cigar) triple: seq length equals the
+    total of read-consuming events (M/I/S/=/X)."""
+    n_events = draw(st.integers(1, 6))
+    events = []
+    for _ in range(n_events):
+        op = draw(st.sampled_from("MIDNS"))
+        n = draw(st.integers(1, 5))
+        events.append((n, op))
+    read_len = sum(n for n, op in events if op in "MIS")
+    if read_len == 0:
+        events.append((2, "M"))
+        read_len = 2
+    seq = "".join(
+        BASES[draw(st.integers(0, 3))] for _ in range(read_len)
+    )
+    qual = "".join(chr(33 + draw(st.integers(0, 40))) for _ in range(read_len))
+    cigar = "".join(f"{n}{op}" for n, op in events)
+    return seq, qual, cigar
+
+
+@given(
+    data=cigar_and_read(),
+    pos=st.integers(1, 12),
+    win_lo=st.integers(1, 8),
+    win_width=st.integers(1, 24),
+)
+@settings(max_examples=300, deadline=None)
+def test_align_invariants(data, pos, win_lo, win_width):
+    seq, qual, cigar = data
+    win_hi = win_lo + win_width
+    s, q, ins = align_read(seq, qual, pos, cigar, win_lo, win_hi)
+
+    # 1. output is always exactly the window width, seq and qual agree
+    assert len(s) == win_hi - win_lo + 1
+    assert len(q) == len(s)
+
+    # 2. every aligned char is a read base or a gap/intron symbol
+    assert set(s) <= set(BASES) | {"-", "."}
+
+    # 3. insertions: only I-event bases inside the window, each loc < 0
+    total_I = sum(
+        int(n) for n, op in re.findall(r"(\d+)([MIDNS])", cigar) if op == "I"
+    )
+    assert len(ins) <= total_I
+    assert all(loc < 0 for (_p, loc, _b, _q) in ins)
+    assert all(win_lo <= p <= win_hi for (p, _l, _b, _q) in ins)
+
+    # 4. insertion loc numbering is dense per position: -1..-k
+    by_pos = {}
+    for p, loc, _b, _q in ins:
+        by_pos.setdefault(p, []).append(loc)
+    for locs in by_pos.values():
+        assert sorted(locs) == list(range(-len(locs), 0))
+
+    # 5. non-gap chars appear in read order (subsequence of seq)
+    aligned_bases = [c for c in s if c in BASES]
+    it = iter(seq)
+    assert all(any(c == x for x in it) for c in aligned_bases)
+
+
+@given(data=cigar_and_read(), pos=st.integers(1, 6))
+@settings(max_examples=200, deadline=None)
+def test_align_no_window_equals_full_span(data, pos):
+    """With the window covering the read's whole reference span, every
+    M base of the read appears in the output."""
+    seq, qual, cigar = data
+    events = re.findall(r"(\d+)([MIDNS])", cigar)
+    ref_span = sum(int(n) for n, op in events if op in "MDN")
+    if ref_span == 0:
+        return
+    s, q, ins = align_read(seq, qual, pos, cigar, pos, pos + ref_span - 1)
+    n_m = sum(int(n) for n, op in events if op == "M")
+    assert sum(1 for c in s if c in BASES) == n_m
