@@ -94,12 +94,12 @@ def _doc_cells(spark: SparkSession, sf_dir: str, with_qual: bool = False) -> Dat
     queries below share this exact scan+explode, so one in-memory
     materialization amortizes across them; column pruning on the
     cached plan drops `qual` for the callers that don't ask for it."""
-    key = (id(spark), sf_dir)
-    cells = _doc_cells_cache.get(key)
-    if cells is None:
+    entry_ = _doc_cells_cache.get(sf_dir)
+    if entry_ is None or entry_[0] is not spark:  # new session -> rebuild
         st = from_df(_doc_reads(spark, sf_dir), max_len=W)
-        cells = st.cells(with_qual=True).persist()
-        _doc_cells_cache[key] = cells
+        entry_ = (spark, st.cells(with_qual=True).persist())
+        _doc_cells_cache[sf_dir] = entry_
+    cells = entry_[1]
     if with_qual:
         return cells
     return cells.select("read_id", "position", "base")
@@ -433,16 +433,17 @@ def _aligned(spark: SparkSession, sf_dir: str):
     instead of re-running the Python kernel per consumer."""
     from seqtables_spark.sources.align import align_sam_df
 
-    key = (id(spark), sf_dir)
-    if key not in _aligned_cache:
+    entry_ = _aligned_cache.get(sf_dir)
+    if entry_ is None or entry_[0] is not spark:  # new session -> rebuild
         reads, ins = align_sam_df(
             _sam_shaped(spark, sf_dir),
             min_pos=ALIGN_WINDOW[0],
             max_pos=ALIGN_WINDOW[1],
             id_col="read_id",
         )
-        _aligned_cache[key] = (reads.persist(), ins.persist())
-    return _aligned_cache[key]
+        entry_ = (spark, reads.persist(), ins.persist())
+        _aligned_cache[sf_dir] = entry_
+    return entry_[1], entry_[2]
 
 
 def q_cigar_align(spark: SparkSession, sf_dir: str) -> DataFrame:
