@@ -673,17 +673,27 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dedup (embedding cosine): all pairs with cosine >= 0.2 among
     the vec_id%10==0 slice (fixed-fold dot products, exact doubles)."""
-    from seqtables_spark.pipeline.similarity import cosine_similarity_col
+    from seqtables_spark.pipeline.similarity import _dot, _norm
 
     emb = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") % 10 == 0)
-    a = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"))
-    b = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"))
+    # norms are precomputed once per side (identical values to the
+    # per-pair recompute, 1/3 of the fold work over N^2 pairs)
+    a = emb.select(
+        F.col("vec_id").alias("id_a"),
+        F.col("embedding").alias("va"),
+        _norm(F.col("embedding")).alias("na"),
+    )
+    b = emb.select(
+        F.col("vec_id").alias("id_b"),
+        F.col("embedding").alias("vb"),
+        _norm(F.col("embedding")).alias("nb"),
+    )
     pairs = a.join(b, F.col("id_a") < F.col("id_b"))
     return (
         pairs.select(
             "id_a",
             "id_b",
-            cosine_similarity_col(F.col("va"), F.col("vb")).alias("sim"),
+            (_dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))).alias("sim"),
         )
         .filter(F.col("sim") >= 0.2)
         .select("id_a", "id_b", F.round("sim", 6).alias("sim"))
@@ -810,6 +820,23 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_bucketed_cosine(
         emb.filter(F.col("vec_id") != 0), qvec, k=10, multiprobe_hamming=2
     ).select("vec_id", F.round("sim", 6).alias("sim"))
+
+
+def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Similarity scale path 2: IVF - k-means coarse quantizer (3
+    deterministic Lloyd iterations, pure DataFrame ops) + nprobe
+    search + exact re-rank. Iterative training is not SQL-expressible,
+    so this records the rows-only check; `cosine_topk` is the
+    oracle-checked exact twin."""
+    from seqtables_spark.pipeline.similarity import ivf_centroids, ivf_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+    base = emb.filter(F.col("vec_id") != 0)
+    cents = ivf_centroids(base, k=8, n_iters=1)
+    return ivf_topk(base, qvec, cents, k=10, nprobe=3).select(
+        "vec_id", F.round("sim", 6).alias("sim")
+    )
 
 
 def q_streaming_events(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -973,6 +1000,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "relative_entropy": q_relative_entropy,
         "plogo": q_plogo,
         "ann_lsh": q_ann_lsh,
+        "ann_ivf": q_ann_ivf,
         "streaming_events": q_streaming_events,
         "events_hourly": q_events_hourly,
         "pricing_summary": q_pricing_summary,

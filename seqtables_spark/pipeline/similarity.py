@@ -10,9 +10,13 @@
     100 TB the brute force is O(N*Q); LSH reduces to O(N/2^b * Q) per
     bucket probe with the same final ranking semantics.
 
-An IVF variant (k-means coarse quantizer) would slot in the same
-shape: assign -> equi-join on centroid id -> re-rank; omitted until a
-clustering op lands.
+  - ivf_centroids / ivf_topk: the IVF path - a k-means coarse
+    quantizer trained with a few Lloyd iterations (pure DataFrame
+    ops: argmin assignment + groupBy mean), then search probes the
+    nprobe nearest cells and re-ranks exactly. The iterative training
+    is the one genuinely non-SQL-expressible op in this module
+    (driver-side loop over small aggregates), which is why it carries
+    no DuckDB oracle.
 """
 
 from __future__ import annotations
@@ -58,6 +62,103 @@ def cosine_topk(
     scored = df.select(
         F.col(id_col),
         cosine_similarity_col(F.col(vec_col), q).alias("sim"),
+    )
+    return scored.orderBy(F.desc("sim"), F.asc(id_col)).limit(k)
+
+
+def _assign_expr(vec: Column, centroids: list[list[float]]) -> Column:
+    """Index of the nearest centroid by squared L2 - an unrolled argmin
+    over the (small) centroid list, fully codegen'd."""
+    def sqdist(c):
+        carr = F.array(*[F.lit(float(x)) for x in c])
+        return F.aggregate(
+            F.zip_with(vec, carr, lambda x, y: (x.cast("double") - y) * (x.cast("double") - y)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    best_idx = F.lit(0)
+    best_d = sqdist(centroids[0])
+    for i, c in enumerate(centroids[1:], start=1):
+        d = sqdist(c)
+        best_idx = F.when(d < best_d, F.lit(i)).otherwise(best_idx)
+        best_d = F.when(d < best_d, d).otherwise(best_d)
+    return best_idx
+
+
+def ivf_centroids(
+    df: DataFrame,
+    k: int = 16,
+    n_iters: int = 3,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    dim: int | None = None,
+) -> list[list[float]]:
+    """Train the IVF coarse quantizer: k-means with deterministic
+    hash-ranked seeding and `n_iters` Lloyd steps.
+
+    Each step is one job: assign (argmin over k centroids, map-side
+    only) then groupBy(cluster).avg over the vector components via
+    posexplode - the shuffle carries k x dim doubles. The centroid
+    list itself is tiny and lives on the driver, exactly like a real
+    IVF index build."""
+    if dim is None:
+        dim = len(df.select(vec_col).first()[0])
+    seeds = (
+        df.orderBy(F.md5(F.col(id_col).cast("string")), F.col(id_col))
+        .limit(k)
+        .select(vec_col)
+        .collect()
+    )
+    centroids = [[float(x) for x in r[0]] for r in seeds]
+    for _ in range(n_iters):
+        assigned = df.select(
+            _assign_expr(F.col(vec_col), centroids).alias("_c"),
+            F.col(vec_col),
+        )
+        comp = assigned.select(
+            "_c", F.posexplode(F.col(vec_col)).alias("_i", "_v")
+        )
+        means = (
+            comp.groupBy("_c", "_i")
+            .agg(F.avg(F.col("_v").cast("double")).alias("m"))
+            .groupBy("_c")
+            .agg(F.map_from_entries(F.collect_list(F.struct("_i", "m"))).alias("mm"))
+            .collect()
+        )
+        new = {r["_c"]: [r["mm"][i] for i in range(dim)] for r in means}
+        centroids = [new.get(i, centroids[i]) for i in range(k)]
+    return centroids
+
+
+def ivf_topk(
+    df: DataFrame,
+    query_vec: list[float],
+    centroids: list[list[float]],
+    k: int = 10,
+    nprobe: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """IVF search: probe the nprobe centroids nearest the query (by
+    cosine, driver-side over the tiny centroid list), filter to those
+    cells, exact cosine re-rank. At scale the assignment column is
+    precomputed/partitioned-by, so the probe is partition pruning."""
+    import math as _m
+
+    def cos(a, b):
+        dot = sum(x * y for x, y in zip(a, b))
+        na = _m.sqrt(sum(x * x for x in a))
+        nb = _m.sqrt(sum(x * x for x in b))
+        return dot / (na * nb) if na and nb else -1.0
+
+    order = sorted(range(len(centroids)), key=lambda i: -cos(query_vec, centroids[i]))
+    probes = order[:nprobe]
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    assigned = df.withColumn("_c", _assign_expr(F.col(vec_col), centroids))
+    cand = assigned.filter(F.col("_c").isin(probes))
+    scored = cand.select(
+        F.col(id_col), cosine_similarity_col(F.col(vec_col), q).alias("sim")
     )
     return scored.orderBy(F.desc("sim"), F.asc(id_col)).limit(k)
 

@@ -44,6 +44,28 @@ def test_gapped_kmers(spark):
     assert d[("p2,p3", "CG")] == 2 and d[("p2,p3", "AG")] == 1
 
 
+def test_gapped_kmers_weighted(spark):
+    st = from_list(spark, ["ACGT", "AAGT"])
+    w = spark.createDataFrame([("1", 2.0), ("2", 3.0)], "read_id string, weight double")
+    d = {
+        (r["combo"], r["kmer"]): r["cnt"]
+        for r in get_substrings(st.reads, 2, positions=[1, 2], weights=w).collect()
+    }
+    assert d[("p1,p2", "AC")] == 2.0 and d[("p1,p2", "AA")] == 3.0
+
+
+def test_compare_set_diff(spark):
+    from seqtables_spark.operators.compare import compare_to_references
+
+    st = from_list(spark, ["ACGT"])
+    # positions={1,2} with set_diff -> compare only the complement {3,4}
+    cmp_df = compare_to_references(
+        st.cells(with_qual=False), ["ACGT"], positions=[1, 2], set_diff=True
+    )
+    got = sorted(r["position"] for r in cmp_df.collect())
+    assert got == [3, 4]
+
+
 def test_gapped_kmers_guard(spark):
     st = from_list(spark, ["A" * 30])
     with pytest.raises(ValueError):

@@ -116,6 +116,27 @@ def test_cosine_topk_exact(vecs):
     assert got == [0, 1, 2]  # smallest angles first
 
 
+def test_ivf_topk_recall(vecs):
+    from seqtables_spark.pipeline.similarity import ivf_centroids, ivf_topk
+
+    cents = ivf_centroids(vecs, k=4, n_iters=2)
+    assert len(cents) == 4 and all(len(c) == 4 for c in cents)
+    exact = [r["vec_id"] for r in cosine_topk(vecs, [1.0, 0.0, 0.0, 0.0], k=3).collect()]
+    got = [
+        r["vec_id"]
+        for r in ivf_topk(vecs, [1.0, 0.0, 0.0, 0.0], cents, k=3, nprobe=2).collect()
+    ]
+    assert got[0] == exact[0]  # nearest vector lives in the probed cell
+
+
+def test_ivf_centroids_deterministic(vecs):
+    from seqtables_spark.pipeline.similarity import ivf_centroids
+
+    a = ivf_centroids(vecs, k=4, n_iters=1)
+    b = ivf_centroids(vecs, k=4, n_iters=1)
+    assert a == b
+
+
 def test_lsh_bucketed_recall(vecs):
     exact = [r["vec_id"] for r in cosine_topk(vecs, [1.0, 0.0, 0.0, 0.0], k=5).collect()]
     approx = [
