@@ -833,7 +833,7 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
     qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
     base = emb.filter(F.col("vec_id") != 0)
-    cents = ivf_centroids(base, k=8, n_iters=1)
+    cents = ivf_centroids(base, k=8, n_iters=1, dim=len(qvec))
     return ivf_topk(base, qvec, cents, k=10, nprobe=3).select(
         "vec_id", F.round("sim", 6).alias("sim")
     )

@@ -64,28 +64,58 @@ def _nt_index(ch: Column) -> Column:
     return F.shiftright(F.ascii(ch), 1).bitwiseAND(F.lit(3))
 
 
+# Full translation as perfect hashing: every degenerate-alphabet char
+# maps to a 4-bit index (1..15, 0 = unknown) via ONE translate() pass
+# over the whole sequence, then each codon indexes a 4096-char literal
+# AA table with idx = a1*256 + a2*16 + a3. No regex, no map build, no
+# branching in the hot path - pure codegen'd substr/ascii arithmetic.
+# This is the Spark analog of the reference's ASCII-indexed 256-wide
+# PWM perfect-hash trick (numpy_ops.py:500-509).
+_DEGEN_ORDER = "ABCDGHKMNRSTVWY"  # all chars appearing in CODON_TABLE
+_PRINTABLE = "".join(chr(i) for i in range(32, 127))
+_IDX_CHARS = "".join(
+    chr(48 + (_DEGEN_ORDER.index(ch) + 1 if ch in _DEGEN_ORDER else 0))
+    for ch in _PRINTABLE
+)
+
+
+def _build_aa4096(unknown: str) -> str:
+    out = []
+    for i1 in range(16):
+        for i2 in range(16):
+            for i3 in range(16):
+                if i1 == 0 or i2 == 0 or i3 == 0:
+                    out.append(unknown)
+                else:
+                    codon = (
+                        _DEGEN_ORDER[i1 - 1] + _DEGEN_ORDER[i2 - 1] + _DEGEN_ORDER[i3 - 1]
+                    )
+                    out.append(CODON_TABLE.get(codon, unknown))
+    return "".join(out)
+
+
 def translate_expr(seq: Column | str, frame: int = 1, unknown: str = "X") -> Column:
     """NT -> AA translation; unknown/ambiguous codons -> 'X'
-    (N-degenerate codons that are unambiguous still translate).
+    (N-degenerate codons that are unambiguous still translate)."""
+    c = F.col(seq) if isinstance(seq, str) else seq
+    shifted = c.substr(F.lit(frame), F.length(c))
+    n_codons = F.floor(F.length(shifted) / 3).cast("int")
+    mapped = F.translate(shifted, _PRINTABLE, _IDX_CHARS)
+    table = _build_aa4096(unknown)
 
-    Fast path: pure-ACGT codons index a 64-char literal via the 2-bit
-    encoding (whole-stage-codegen'd substr, no per-row map). Degenerate
-    codons fall back to the full codon-table map lookup - the `when`
-    guard keeps the map build off the hot path."""
-    codons = get_codons_expr(seq, frame)
-    cmap = _codon_map_col()
-
-    def _one(cd: Column) -> Column:
-        fast_idx = (
-            _nt_index(F.substring(cd, 1, 1)) * 16
-            + _nt_index(F.substring(cd, 2, 1)) * 4
-            + _nt_index(F.substring(cd, 3, 1))
+    def _one(i: Column) -> Column:
+        a1 = F.ascii(mapped.substr(i * 3 + 1, F.lit(1))) - 48
+        a2 = F.ascii(mapped.substr(i * 3 + 2, F.lit(1))) - 48
+        a3 = F.ascii(mapped.substr(i * 3 + 3, F.lit(1))) - 48
+        # non-printable / non-ASCII chars pass translate() untouched;
+        # their index falls outside 0..15 -> unknown
+        valid = (F.greatest(a1, a2, a3) <= 15) & (F.least(a1, a2, a3) >= 0)
+        idx = a1 * 256 + a2 * 16 + a3
+        return F.when(valid, F.lit(table).substr(idx + 1, F.lit(1))).otherwise(
+            F.lit(unknown)
         )
-        fast = F.lit(_AA64).substr(fast_idx + 1, F.lit(1))
-        slow = F.coalesce(F.element_at(cmap, cd), F.lit(unknown))
-        return F.when(cd.rlike("^[ACGT]{3}$"), fast).otherwise(slow)
 
-    return F.concat_ws("", F.transform(codons, _one))
+    return F.concat_ws("", F.transform(F.sequence(F.lit(0), n_codons - 1), _one))
 
 
 def seq_to_regex(seq: str) -> str:

@@ -9,18 +9,22 @@ Parity targets (file:line in /root/reference):
 
 Scale notes. quality_dist joins cells against a tiny broadcast bins
 table on a BETWEEN range condition (broadcast nested loop over ~60
-bins - cheap, no shuffle of the big side), then one hash aggregate
-per bin. quality_filter computes the per-read pass predicate with a
-single groupBy(read_id) and applies it with LEFT SEMI joins, which
-Spark executes broadcast when the survivor set is small and shuffled
-hash otherwise; no data is collected to the driver.
+bins - cheap, no shuffle of the big side). Percentiles are EXACT but
+computed from a (bin x qual) histogram rather than a sort-based
+percentile() over the raw cells: phred is a small integer domain
+(~0..45), so one partial+final hash aggregate collapses each map
+partition to at most |bins| x 46 rows before the exchange, and the
+interpolation runs on that tiny table with window functions. At
+100 TB the shuffle carries kilobytes. quality_filter computes the
+per-read pass predicate with a single groupBy(read_id) and applies
+it with LEFT SEMI joins; no data is collected to the driver.
 """
 
 from __future__ import annotations
 
 from collections.abc import Sequence
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from ..model import SeqTable
 
@@ -59,9 +63,10 @@ def quality_dist(
     Returns one row per bin: (bin_name, bin_lo, bin_hi, mean, median,
     min, max, p0, p10, p25, p50, p75, p90, p100, ... user percentiles).
     The percentile set always includes {0,10,25,50,75,90,100} like the
-    reference (numpy_ops.py:251-257). Exact percentiles are used for
-    parity; swap `F.percentile` for `F.percentile_approx` at very high
-    cardinality if a sketch is acceptable.
+    reference (numpy_ops.py:251-257). Percentiles are exact with
+    linear interpolation (numpy/Spark `percentile` semantics:
+    rank = p*(n-1), v = v[floor] + frac*(v[ceil] - v[floor])), computed
+    from the per-bin quality histogram - see module docstring.
     """
     qcells = cells.filter(F.col("qual").isNotNull())
     if exclude_null_quality:
@@ -79,7 +84,9 @@ def quality_dist(
 
     spark = SparkSession.getActiveSession()
     bins_df = spark.createDataFrame(
-        [(f"{lo}-{hi}" if lo != hi else str(lo), lo, hi) for lo, hi in bin_list],
+        spark.sparkContext.parallelize(
+            [(f"{lo}-{hi}" if lo != hi else str(lo), lo, hi) for lo, hi in bin_list], 1
+        ),
         "bin_name string, bin_lo long, bin_hi long",
     )
     joined = qcells.join(
@@ -87,13 +94,61 @@ def quality_dist(
         (F.col("position") >= F.col("bin_lo")) & (F.col("position") <= F.col("bin_hi")),
     )
     pset = sorted(set(int(p) for p in percentiles) | {0, 10, 25, 50, 75, 90, 100})
-    aggs = [
-        F.avg("qual").alias("mean"),
-        F.expr("percentile(qual, 0.5)").alias("median"),
-        F.min("qual").alias("min"),
-        F.max("qual").alias("max"),
-    ] + [F.expr(f"percentile(qual, {p / 100.0})").alias(f"p{p}") for p in pset]
-    return joined.groupBy("bin_name", "bin_lo", "bin_hi").agg(*aggs)
+
+    # (bin x qual) histogram: the ONLY aggregation that sees the raw
+    # cells; partial aggregation bounds the shuffle at |bins|*|phred|.
+    hist = joined.groupBy("bin_name", "bin_lo", "bin_hi", "qual").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    bywin = Window.partitionBy("bin_name")
+    cumwin = bywin.orderBy("qual").rowsBetween(Window.unboundedPreceding, 0)
+    hist = (
+        hist.withColumn("cum", F.sum("c").over(cumwin))
+        .withColumn("cum_lo", F.col("cum") - F.col("c"))
+        .withColumn("n", F.sum("c").over(bywin))
+        .withColumn("qc_sum", F.sum(F.col("qual") * F.col("c")).over(bywin))
+    )
+
+    pct_df = F.broadcast(
+        spark.createDataFrame(
+            spark.sparkContext.parallelize([(p, p / 100.0) for p in pset], 1),
+            "p long, frac double",
+        )
+    )
+    rk = (F.col("n") - 1).cast("double") * F.col("frac")
+    # a histogram row holds sorted indexes [cum_lo, cum); pick the rows
+    # covering the two indexes that bracket the fractional rank
+    covers = lambda idx: (idx >= F.col("cum_lo")) & (idx < F.col("cum"))  # noqa: E731
+    vals = (
+        hist.join(pct_df, how="cross")
+        .withColumn("rk", rk)
+        .groupBy("bin_name", "bin_lo", "bin_hi", "p")
+        .agg(
+            F.max(F.when(covers(F.floor("rk")), F.col("qual"))).alias("v_lo"),
+            F.max(F.when(covers(F.ceil("rk")), F.col("qual"))).alias("v_hi"),
+            F.max("rk").alias("rk"),
+            F.max("n").alias("n"),
+            F.max("qc_sum").alias("qc_sum"),
+            F.min(F.when(F.col("cum_lo") == 0, F.col("qual"))).alias("minq"),
+            F.max(F.when(F.col("cum") == F.col("n"), F.col("qual"))).alias("maxq"),
+        )
+        .withColumn(
+            "val",
+            F.col("v_lo")
+            + (F.col("rk") - F.floor("rk")) * (F.col("v_hi") - F.col("v_lo")),
+        )
+    )
+    out = vals.groupBy("bin_name", "bin_lo", "bin_hi").agg(
+        (F.max("qc_sum").cast("double") / F.max("n")).alias("mean"),
+        F.max(F.when(F.col("p") == 50, F.col("val"))).alias("median"),
+        F.max("minq").alias("min"),
+        F.max("maxq").alias("max"),
+        *[
+            F.max(F.when(F.col("p") == p, F.col("val"))).alias(f"p{p}")
+            for p in pset
+        ],
+    )
+    return out
 
 
 def quality_filter(
