@@ -1,0 +1,101 @@
+"""Physical-plan regression tests.
+
+The scale claims in README ("Scale design") are properties of the
+plans Catalyst produces, not of the Python code - so they can rot
+silently when an operator is refactored. These tests pin them:
+
+  - reference comparisons broadcast the small side (never shuffle
+    the cells table for the join),
+  - per-position aggregations are hash aggregates with a map-side
+    partial before the exchange (the shuffle carries the collapsed
+    distribution, not the exploded cells),
+  - quality_dist never falls back to a sort-based / object-hash
+    aggregate (its percentiles come from the tiny histogram),
+  - parquet scans under a filter push the predicate into the scan.
+
+The assertions read the pre-execution executedPlan string (the
+AdaptiveSparkPlan's initial plan, after EnsureRequirements has placed
+the exchanges), so they hold regardless of AQE's runtime re-planning
+(AQE can only *improve* on the static choice, e.g. demote a shuffle
+join to broadcast).
+"""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from seqtables_spark.constructors import from_list
+from seqtables_spark.operators.compare import hamming_distance, ref_cells_from_strings
+from seqtables_spark.operators.distribution import seq_dist
+from seqtables_spark.operators.quality import quality_dist
+
+SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+@pytest.fixture(scope="module")
+def cells(spark):
+    st = from_list(
+        spark,
+        ["ACGTACGT", "ACGAACGA", "TCGTACGA"] * 10,
+        quals=["IIIIIIII", "IIII!!II", "#IIIIIII"] * 10,
+    )
+    return st.cells(with_qual=True)
+
+
+def test_compare_broadcasts_the_reference_side(spark, cells):
+    refs = ref_cells_from_strings(spark, {"r1": "ACGTACGT"})
+    plan = _plan(hamming_distance(cells, refs))
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+    # the big (cells) side must not be exchanged for the join itself:
+    # the only hashpartitioning exchange keys on the groupBy, not on
+    # the join key (position)
+    for line in plan.splitlines():
+        if "Exchange hashpartitioning" in line:
+            assert "read_id" in line
+
+
+def test_seq_dist_is_partial_then_final_hash_aggregate(cells):
+    plan = _plan(seq_dist(cells))
+    assert plan.count("HashAggregate") >= 2
+    assert "SortAggregate" not in plan
+    # partial aggregate runs below the exchange: the shuffle carries
+    # (position, base) groups, never raw cells
+    assert "Exchange hashpartitioning(position" in plan
+    pre, _, post = plan.partition("Exchange hashpartitioning")
+    assert "HashAggregate" in pre and "HashAggregate" in post
+
+
+def test_quality_dist_has_no_sort_based_percentile(cells):
+    plan = _plan(quality_dist(cells, bins=[(1, 4), (5, 8)]))
+    assert "SortAggregate" not in plan
+    assert "ObjectHashAggregate" not in plan  # percentile() would force one
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_parquet_scan_pushes_filters_and_prunes_columns(spark):
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    q = li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("date")).groupBy(
+        "l_returnflag"
+    ).agg(F.sum("l_quantity").alias("sum_qty"))
+    plan = _plan(q)
+    assert "PushedFilters: [" in plan and "l_shipdate" in plan.split("PushedFilters")[1][:200]
+    # column pruning: the scan schema must not include uninvolved
+    # wide columns like l_comment
+    read_schema = plan.split("ReadSchema")[1][:400]
+    assert "l_comment" not in read_schema
+
+
+def test_exact_dedup_is_single_hash_aggregate(spark):
+    from seqtables_spark.pipeline.dedup import exact_dedup
+
+    docs = spark.createDataFrame(
+        [(i, f"text {i % 5}") for i in range(50)], "doc_id long, text string"
+    )
+    plan = _plan(exact_dedup(docs))
+    assert plan.count("HashAggregate") == 2  # partial + final, nothing else
+    assert plan.count("Exchange") == 1
