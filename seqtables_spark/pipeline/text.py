@@ -122,20 +122,25 @@ def document_fingerprint(
     over all character k-grams (1-permutation minhash) plus the
     distinct k-gram count - a compact content signature for
     clustering / containment checks. Returns DF(id, fp_min bigint,
-    n_grams bigint)."""
+    n_grams bigint).
+
+    A per-document signature needs no data movement: the k-grams of a
+    row live in that row, so dedup (array_distinct), hashing and the
+    min all run as a map-side projection - ZERO shuffle at any scale.
+    (An explode + distinct + groupBy formulation shuffles every
+    exploded k-gram string; map-side dedup can't shrink it because
+    grams are mostly unique within a doc.)"""
     t = F.lower(F.col(text_col))
-    gram = F.explode(
+    grams = F.array_distinct(
         F.transform(
-            F.sequence(F.lit(1), F.greatest(F.length(t) - F.lit(k - 1), F.lit(1))),
+            F.sequence(F.lit(1), F.length(t) - F.lit(k - 1)),
             lambda i: t.substr(i, F.lit(k)),
         )
-    ).alias("gram")
-    grams = (
-        df.filter(F.length(t) >= k)
-        .select(F.col(id_col), gram)
-        .filter(F.length("gram") == k)
-        .distinct()
     )
-    return grams.select(F.col(id_col), portable_string_hash("gram").alias("h")).groupBy(
-        id_col
-    ).agg(F.min("h").alias("fp_min"), F.count(F.lit(1)).alias("n_grams"))
+    return df.filter(F.length(t) >= k).select(
+        F.col(id_col),
+        F.array_min(
+            F.transform(grams, lambda g: portable_string_hash(g))
+        ).alias("fp_min"),
+        F.size(grams).cast("long").alias("n_grams"),
+    )
