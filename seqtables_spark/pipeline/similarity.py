@@ -77,13 +77,12 @@ def _assign_expr(vec: Column, centroids: list[list[float]]) -> Column:
             lambda acc, x: acc + x,
         )
 
-    best_idx = F.lit(0)
-    best_d = sqdist(centroids[0])
-    for i, c in enumerate(centroids[1:], start=1):
-        d = sqdist(c)
-        best_idx = F.when(d < best_d, F.lit(i)).otherwise(best_idx)
-        best_d = F.when(d < best_d, d).otherwise(best_d)
-    return best_idx
+    # array_position(ds, min(ds)) keeps the expression LINEAR in k and
+    # ties break to the lowest index. (A when-chain carrying a running
+    # best_d nests the previous best twice per step - 2^k expression
+    # copies, which stalls codegen long before the data is the cost.)
+    ds = F.array(*[sqdist(c) for c in centroids])
+    return (F.array_position(ds, F.array_min(ds)) - F.lit(1)).cast("int")
 
 
 def ivf_centroids(
@@ -116,17 +115,16 @@ def ivf_centroids(
             _assign_expr(F.col(vec_col), centroids).alias("_c"),
             F.col(vec_col),
         )
-        comp = assigned.select(
-            "_c", F.posexplode(F.col(vec_col)).alias("_i", "_v")
-        )
-        means = (
-            comp.groupBy("_c", "_i")
-            .agg(F.avg(F.col("_v").cast("double")).alias("m"))
-            .groupBy("_c")
-            .agg(F.map_from_entries(F.collect_list(F.struct("_i", "m"))).alias("mm"))
-            .collect()
-        )
-        new = {r["_c"]: [r["mm"][i] for i in range(dim)] for r in means}
+        # one partial+final hash agg with dim average buffers per
+        # cluster - the shuffle carries k x dim doubles and the big
+        # side is never exploded (a posexplode formulation shuffles
+        # N x dim rows before collapsing to the same k x dim).
+        means = assigned.groupBy("_c").agg(
+            F.array(
+                *[F.avg(F.col(vec_col)[i].cast("double")) for i in range(dim)]
+            ).alias("m")
+        ).collect()
+        new = {r["_c"]: [float(x) for x in r["m"]] for r in means}
         centroids = [new.get(i, centroids[i]) for i in range(k)]
     return centroids
 
