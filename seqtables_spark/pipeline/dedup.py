@@ -45,6 +45,24 @@ def exact_dedup(
     )
 
 
+def shingle_array(
+    text_col: str = "text",
+    k: int = 5,
+    lowercase: bool = True,
+    distinct: bool = True,
+):
+    """Column expr: the document's character k-shingles as an array.
+    Dedup happens INSIDE the row (array_distinct) - a shingle's home is
+    its own row, so per-doc distinctness never needs a shuffle. Only
+    valid where length(text) >= k (callers filter)."""
+    txt = F.lower(F.col(text_col)) if lowercase else F.col(text_col)
+    arr = F.transform(
+        F.sequence(F.lit(1), F.length(txt) - F.lit(k - 1)),
+        lambda i: txt.substr(i, F.lit(k)),
+    )
+    return F.array_distinct(arr) if distinct else arr
+
+
 def shingles(
     df: DataFrame,
     k: int = 5,
@@ -53,23 +71,15 @@ def shingles(
     lowercase: bool = True,
     distinct: bool = True,
 ) -> DataFrame:
-    """Character k-shingles per document: DF(id, shingle). One explode;
-    distinct (per doc+shingle) costs a shuffle of the exploded width -
-    callers whose aggregate is duplicate-insensitive (min-hash) pass
-    distinct=False and skip it."""
+    """Character k-shingles per document: DF(id, shingle). One explode,
+    map-side only: per-doc dedup is row-local (array_distinct before
+    the explode), so there is NO distinct() shuffle of the exploded
+    width at any scale."""
     txt = F.lower(F.col(text_col)) if lowercase else F.col(text_col)
-    sh = F.explode(
-        F.transform(
-            F.sequence(F.lit(1), F.greatest(F.length(txt) - F.lit(k - 1), F.lit(1))),
-            lambda i: txt.substr(i, F.lit(k)),
-        )
-    ).alias("shingle")
-    out = (
-        df.filter(F.length(txt) >= k)
-        .select(F.col(id_col), sh)
-        .filter(F.length("shingle") == k)
+    return df.filter(F.length(txt) >= k).select(
+        F.col(id_col),
+        F.explode(shingle_array(text_col, k, lowercase, distinct)).alias("shingle"),
     )
-    return out.distinct() if distinct else out
 
 
 def minhash_signatures(
@@ -84,10 +94,15 @@ def minhash_signatures(
     (a_j * h(shingle) + b_j) % p. Returns DF(id, mh_0..mh_{n-1}).
 
     All n mins ride ONE aggregation (n agg columns), so the plan is a
-    single partial+final hash agg over the shingle explode; min() is
-    duplicate-insensitive, so the shingle set is NOT deduplicated
-    first (saves a full shuffle of the exploded data)."""
-    sh = shingles(df, k=k, text_col=text_col, id_col=id_col, distinct=False)
+    single partial+final hash agg over the shingle explode: each
+    partition collapses to one row per doc before the exchange, and
+    the md5 per shingle is computed exactly once. Per-doc dedup of the
+    shingles is row-local (array_distinct pre-explode) and only trims
+    hash work - min() is duplicate-insensitive. (A fully row-local
+    array_min formulation was measured 6x SLOWER: repeated
+    higher-order-function subtrees are NOT subexpression-eliminated,
+    so the md5 re-runs per hash function.)"""
+    sh = shingles(df, k=k, text_col=text_col, id_col=id_col, distinct=True)
     h = portable_string_hash("shingle").alias("h")
     base = sh.select(F.col(id_col), h)
     aggs = [
@@ -249,6 +264,18 @@ def ngram_jaccard_pairs(
     from minhash_candidate_pairs): intersections are then computed
     only for those pairs - the standard LSH-then-verify pipeline.
     Returns DF(id_a, id_b, jaccard)."""
+    if candidates is not None:
+        # Verify cost must scale with the CANDIDATE set, not the
+        # corpus: semi-join the corpus down to ids that appear in a
+        # candidate pair BEFORE shingling, so only those docs are ever
+        # exploded/shuffled. (AQE broadcasts the id list when small.)
+        cand = candidates.select("id_a", "id_b")
+        ids = (
+            cand.select(F.col("id_a").alias(id_col))
+            .union(cand.select(F.col("id_b").alias(id_col)))
+            .distinct()
+        )
+        df = df.join(ids, id_col, "left_semi")
     sh = shingles(df, k=k, text_col=text_col, id_col=id_col)
     if block_cols:
         meta = df.select(F.col(id_col), *block_cols)
@@ -258,8 +285,7 @@ def ngram_jaccard_pairs(
         ga = sh.select(F.col(id_col).alias("id_a"), "shingle")
         gb = sh.select(F.col(id_col).alias("id_b"), "shingle")
         inter = (
-            candidates.select("id_a", "id_b")
-            .join(ga, "id_a")
+            cand.join(ga, "id_a")
             .join(gb, ["id_b", "shingle"])
             .groupBy("id_a", "id_b")
             .agg(F.count(F.lit(1)).alias("n_common"))
