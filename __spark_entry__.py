@@ -63,6 +63,16 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def _wide(spark: SparkSession, df: DataFrame) -> DataFrame:
+    """Restore map parallelism for the compute-bound pipelines: the sf
+    parquet files are written as ONE row group, so a scan is one task
+    no matter how many cores (a row group is indivisible). On a real
+    cluster the reader supplies splits and this is a no-op concern;
+    locally, one tiny round-robin exchange of the small corpus lets
+    the downstream per-gram md5 / translate work use every core."""
+    return df.repartition(spark.sparkContext.defaultParallelism)
+
+
 def _doc_reads(spark: SparkSession, sf_dir: str) -> DataFrame:
     """documents -> reads table: 24-char uppercase prefix, padded with
     'N', plus a deterministic quality string derived from the chars
@@ -76,11 +86,14 @@ def _doc_reads(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda i: F.char(F.ascii(seq.substr(i, F.lit(1))) % 40 + 33),
         ),
     )
-    return docs.select(
-        F.col("doc_id").cast("string").alias("read_id"),
-        seq.alias("seq"),
-        qual.alias("qual"),
-        F.lit(1).cast("long").alias("pos_start"),
+    return _wide(
+        spark,
+        docs.select(
+            F.col("doc_id").cast("string").alias("read_id"),
+            seq.alias("seq"),
+            qual.alias("qual"),
+            F.lit(1).cast("long").alias("pos_start"),
+        ),
     )
 
 
@@ -608,13 +621,15 @@ def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dedup (MinHash): 8-hash signature per document over 5-char
     shingles; fully deterministic via the portable md5-derived hash."""
     return minhash_signatures(
-        _t(spark, sf_dir, "documents"), n_hashes=MINHASH_N, k=SHINGLE_K
+        _wide(spark, _t(spark, sf_dir, "documents")),
+        n_hashes=MINHASH_N,
+        k=SHINGLE_K,
     )
 
 
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dedup (SimHash): 32-bit fingerprint over whitespace tokens."""
-    return simhash(_t(spark, sf_dir, "documents"))
+    return simhash(_wide(spark, _t(spark, sf_dir, "documents")))
 
 
 def _planted_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -628,7 +643,7 @@ def _planted_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
             "text", 1, F.greatest(F.length("text") - 5, F.lit(10))
         ).alias("text"),
     )
-    return docs.unionByName(twins)
+    return _wide(spark, docs.unionByName(twins))
 
 
 LSH_K = 12  # pair-finding shingle width: short shingles of English are
@@ -744,7 +759,9 @@ def q_subsample(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Text: rolling-hash document fingerprint (min k-gram hash +
     distinct k-gram count)."""
-    return document_fingerprint(_t(spark, sf_dir, "documents"), k=SHINGLE_K)
+    return document_fingerprint(
+        _wide(spark, _t(spark, sf_dir, "documents")), k=SHINGLE_K
+    )
 
 
 def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -788,7 +805,7 @@ def _emb_and_query(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, list[fl
     if entry_ is None or entry_[0] is not spark:
         emb = _t(spark, sf_dir, "embeddings")
         qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
-        base = emb.filter(F.col("vec_id") != 0).persist()
+        base = _wide(spark, emb.filter(F.col("vec_id") != 0)).persist()
         entry_ = (spark, base, qvec)
         _emb_cache[sf_dir] = entry_
     return entry_[1], entry_[2]
