@@ -261,47 +261,67 @@ def ngram_jaccard_pairs(
     groupBy over the join, |union| = |A| + |B| - |A n B|. block_cols
     (e.g. ('lang',)) restrict candidates. Quadratic in posting-list
     length, so at corpus scale pass `candidates` (DF(id_a, id_b), e.g.
-    from minhash_candidate_pairs): intersections are then computed
-    only for those pairs - the standard LSH-then-verify pipeline.
-    Returns DF(id_a, id_b, jaccard)."""
+    from minhash_candidate_pairs): verification is then fully
+    ROW-LOCAL - each pair joins to its two shingle arrays and the
+    Jaccard is one array_intersect inside the row, with no explode, no
+    aggregation, and cost proportional to the candidate set - the
+    standard LSH-then-verify pipeline. Returns DF(id_a, id_b, jaccard).
+    """
     if candidates is not None:
         # Verify cost must scale with the CANDIDATE set, not the
         # corpus: semi-join the corpus down to ids that appear in a
         # candidate pair BEFORE shingling, so only those docs are ever
-        # exploded/shuffled. (AQE broadcasts the id list when small.)
+        # materialized. (AQE broadcasts the id list when small.)
         cand = candidates.select("id_a", "id_b")
         ids = (
             cand.select(F.col("id_a").alias(id_col))
             .union(cand.select(F.col("id_b").alias(id_col)))
             .distinct()
         )
-        df = df.join(ids, id_col, "left_semi")
+        arr = shingle_array(text_col, k, lowercase=True, distinct=True)
+        docs = df.join(ids, id_col, "left_semi").select(
+            F.col(id_col),
+            F.when(F.length(F.col(text_col)) >= k, arr)
+            .otherwise(F.array().cast("array<string>"))
+            .alias("sh"),
+        )
+        a = docs.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"))
+        b = docs.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"))
+        inter = (
+            cand.join(a, "id_a")
+            .join(b, "id_b")
+            .select(
+                "id_a",
+                "id_b",
+                F.size(F.array_intersect("sh_a", "sh_b")).alias("n_common"),
+                F.size("sh_a").alias("n_a"),
+                F.size("sh_b").alias("n_b"),
+            )
+        )
+        return inter.select(
+            "id_a",
+            "id_b",
+            (
+                F.col("n_common")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_common"))
+            ).alias("jaccard"),
+        ).filter(F.col("jaccard") >= min_jaccard)
     sh = shingles(df, k=k, text_col=text_col, id_col=id_col)
     if block_cols:
         meta = df.select(F.col(id_col), *block_cols)
         sh = sh.join(meta, id_col)
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n"))
-    if candidates is not None:
-        ga = sh.select(F.col(id_col).alias("id_a"), "shingle")
-        gb = sh.select(F.col(id_col).alias("id_b"), "shingle")
-        inter = (
-            cand.join(ga, "id_a")
-            .join(gb, ["id_b", "shingle"])
-            .groupBy("id_a", "id_b")
-            .agg(F.count(F.lit(1)).alias("n_common"))
-        )
-    else:
-        l, r = sh.alias("l"), sh.alias("r")
-        join_cond = (F.col("l.shingle") == F.col("r.shingle")) & (
-            F.col(f"l.{id_col}") < F.col(f"r.{id_col}")
-        )
-        for bc in block_cols:
-            join_cond = join_cond & (F.col(f"l.{bc}") == F.col(f"r.{bc}"))
-        inter = (
-            l.join(r, join_cond)
-            .groupBy(F.col(f"l.{id_col}").alias("id_a"), F.col(f"r.{id_col}").alias("id_b"))
-            .agg(F.count(F.lit(1)).alias("n_common"))
-        )
+    l, r = sh.alias("l"), sh.alias("r")
+    join_cond = (F.col("l.shingle") == F.col("r.shingle")) & (
+        F.col(f"l.{id_col}") < F.col(f"r.{id_col}")
+    )
+    for bc in block_cols:
+        join_cond = join_cond & (F.col(f"l.{bc}") == F.col(f"r.{bc}"))
+    inter = (
+        l.join(r, join_cond)
+        .groupBy(F.col(f"l.{id_col}").alias("id_a"), F.col(f"r.{id_col}").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
     sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n").alias("n_a"))
     sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n").alias("n_b"))
     return (
