@@ -129,6 +129,17 @@ def ivf_centroids(
     return centroids
 
 
+def ivf_assign(
+    df: DataFrame,
+    centroids: list[list[float]],
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Tag each row with its IVF cell (`_c`) - the index-build step.
+    At scale this is written out partitioned by `_c` so a probe is
+    partition pruning; locally, persist it and pass to ivf_topk."""
+    return df.withColumn("_c", _assign_expr(F.col(vec_col), centroids))
+
+
 def ivf_topk(
     df: DataFrame,
     query_vec: list[float],
@@ -153,7 +164,13 @@ def ivf_topk(
     order = sorted(range(len(centroids)), key=lambda i: -cos(query_vec, centroids[i]))
     probes = order[:nprobe]
     q = F.array(*[F.lit(float(x)) for x in query_vec])
-    assigned = df.withColumn("_c", _assign_expr(F.col(vec_col), centroids))
+    # An IVF index is assign-once, search-many: if the caller already
+    # carries the assignment column (ivf_assign, persisted or
+    # partitioned-by at scale), the probe is a pure filter on it.
+    if "_c" in df.columns:
+        assigned = df
+    else:
+        assigned = df.withColumn("_c", _assign_expr(F.col(vec_col), centroids))
     cand = assigned.filter(F.col("_c").isin(probes))
     scored = cand.select(
         F.col(id_col), cosine_similarity_col(F.col(vec_col), q).alias("sim")
