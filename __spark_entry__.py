@@ -995,6 +995,38 @@ def q_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+INSILICO_SEED = 11
+INSILICO_N = 200
+INSILICO_LEN = 60
+
+
+def _insilico_scaffold() -> str:
+    from seqtables_spark.sources.generate import generate_sequence_py
+
+    return generate_sequence_py(INSILICO_LEN, seed=INSILICO_SEED, read_id=0)
+
+
+def q_insilico_library(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S9 in-silico generators: deterministic site-saturation +
+    error-prone mutagenesis library from a generated wildtype
+    (reference insilica_sequences.py:30-137 semantics; portable
+    md5-derived randomness, so the oracle reproduces every letter).
+    Positions 1-2 are mutation-protected, position 5 is
+    NNK-style-saturated (N), position 12 is saturated to R=A/G."""
+    from seqtables_spark.sources.generate import generate_library
+
+    return generate_library(
+        spark,
+        _insilico_scaffold(),
+        INSILICO_N,
+        error_prone_rate=0.05,
+        no_error_prone_pos=(1, 2),
+        ss_pos=(5,),
+        site_saturation={12: "R"},
+        seed=INSILICO_SEED,
+    )
+
+
 def q_top_orders_per_cust(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Relational core: top-3 orders per customer (window row_number,
     deterministic tie-break on orderkey)."""
@@ -1063,6 +1095,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "plogo": q_plogo,
         "ann_lsh": q_ann_lsh,
         "ann_ivf": q_ann_ivf,
+        "insilico_library": q_insilico_library,
         "streaming_events": q_streaming_events,
         "events_hourly": q_events_hourly,
         "pricing_summary": q_pricing_summary,
@@ -1752,6 +1785,38 @@ FROM scored GROUP BY 1, 2
     sqls["subsample"] = """
 SELECT doc_id FROM documents
 ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id LIMIT 200
+"""
+
+    # S9 in-silico library: same portable hash -> same letters.
+    # u(tag, rid, j) in [0,1); pick = chars[least(floor(u*k), k-1)]
+    def _u(tag: str, j: str) -> str:
+        key = f"'{INSILICO_SEED}:{tag}:' || CAST(read_id AS VARCHAR) || ':' || CAST({j} AS VARCHAR)"
+        return (
+            f"((CAST(('0x' || substring(md5({key}), 1, 15)) AS BIGINT) % 2147483647)"
+            " / 2147483647.0)"
+        )
+
+    def _pick(chars: str, u: str) -> str:
+        k = len(chars)
+        return (
+            f"substring('{chars}', 1 + least(CAST(floor({u} * {k}) AS INTEGER), {k - 1}), 1)"
+        )
+
+    sqls["insilico_library"] = f"""
+WITH cells AS (
+  SELECT r.read_id, p.j,
+    CASE
+      WHEN {_u("ep", "p.j")} < 0.05 AND p.j NOT IN (1, 2)
+        THEN {_pick("ACTG", _u("mut", "p.j"))}
+      WHEN p.j = 5 THEN {_pick("ACGT", _u("ss", "5"))}
+      WHEN p.j = 12 THEN {_pick("AG", _u("ss", "12"))}
+      ELSE substring('{_insilico_scaffold()}', CAST(p.j AS INTEGER), 1)
+    END AS ch
+  FROM (SELECT unnest(generate_series(1, {INSILICO_N})) AS read_id) r,
+       (SELECT unnest(generate_series(1, {INSILICO_LEN})) AS j) p
+)
+SELECT read_id, string_agg(ch, '' ORDER BY j) AS seq
+FROM cells GROUP BY read_id
 """
 
     sqls["cosine_topk"] = _sql_cosine_topk()
