@@ -932,6 +932,44 @@ def q_streaming_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table("events_agg_stream")
 
 
+def q_streaming_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURVEY 2.8 scale extension: watermarked event-time tumbling
+    windows over the event stream (late rows beyond the 2h watermark
+    are dropped; none exist in a single availableNow drain, so the
+    batch oracle reproduces the result exactly)."""
+    from seqtables_spark.streaming.ingest import windowed_event_counts
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    for q in spark.streams.active:
+        if q.name == "events_windowed_stream":
+            q.stop()
+    stream = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    win = windowed_event_counts(stream, window="1 hour", watermark="2 hours")
+    query = (
+        win.writeStream.outputMode("update")
+        .format("memory")
+        .queryName("events_windowed_stream")
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    tbl = spark.table("events_windowed_stream")
+    # update mode re-emits a window each batch it changes: keep the
+    # freshest emission (max n) per (window, key)
+    return tbl.groupBy(
+        F.date_format(F.col("win.start"), "yyyy-MM-dd HH:mm:ss").alias("hour"),
+        "event_type",
+    ).agg(
+        F.max("n").alias("n"),
+        F.expr("max_by(value_cents, n)").alias("value_cents"),
+    )
+
+
 def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Relational core: event-time bucketing + exact-cents aggregation
     (streaming-agg shape of SURVEY 2.8 run as a batch).
@@ -1097,6 +1135,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf": q_ann_ivf,
         "insilico_library": q_insilico_library,
         "streaming_events": q_streaming_events,
+        "streaming_windowed": q_streaming_windowed,
         "events_hourly": q_events_hourly,
         "pricing_summary": q_pricing_summary,
         "revenue_by_nation": q_revenue_by_nation,
@@ -1855,6 +1894,16 @@ FROM freq GROUP BY position
 SELECT event_type, count(*) AS n,
        CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
 FROM events GROUP BY event_type
+"""
+
+    # the watermarked stream drains in one availableNow pass with no
+    # late data, so the batch hourly rollup is its exact oracle
+    sqls["streaming_windowed"] = """
+SELECT event_type,
+       strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
+       count(*) AS n,
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
+FROM events GROUP BY 1, 2
 """
 
     sqls["events_hourly"] = """

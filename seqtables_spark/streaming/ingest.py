@@ -3,15 +3,27 @@ pattern (from_sam/from_pysam yielding one SeqTable per chunk,
 /root/reference/seqtables/core/seqtables.py:214-283) re-expressed as
 a file-source stream + foreachBatch.
 
-The domain has no event time (SURVEY 2.8), so aggregations stream
-without watermarks: per-position letter counts are a classic
-incremental groupBy whose state is |positions| x |alphabet| rows.
+The domain has no event time (SURVEY 2.8), so the sequence
+aggregations stream without watermarks: per-position letter counts
+are a classic incremental groupBy whose state is |positions| x
+|alphabet| rows. For event-shaped data (the events table) the module
+also provides the standard late-data machinery - watermarked
+event-time windows - and a custom stateful operator
+(applyInPandasWithState) for the one aggregation Spark's built-ins
+cannot maintain incrementally in update mode: running consensus
+(argmax is not an algebraic aggregate).
 """
 
 from __future__ import annotations
 
+import json
+from typing import Iterator
+
+import pandas as pd
+
 from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.sql.streaming import StreamingQuery
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 from ..model import explode_chars
 
@@ -67,4 +79,96 @@ def stream_to_parquet(
         reads_stream.writeStream.foreachBatch(_write)
         .option("checkpointLocation", checkpoint)
         .start()
+    )
+
+
+def windowed_event_counts(
+    events_stream: DataFrame,
+    ts_col: str = "ts",
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+    key_cols: tuple[str, ...] = ("event_type",),
+    nanos: bool = True,
+) -> DataFrame:
+    """Watermarked event-time tumbling-window aggregation - the
+    late-data pattern: rows later than `watermark` behind the max
+    observed event time are dropped, everything else lands in its
+    event-time window regardless of arrival order. State per key is
+    one row per (window x key); the watermark bounds how many windows
+    stay open, so state is O(open windows), not O(stream).
+
+    `nanos=True` treats ts as int64 nanoseconds (the
+    parquet TIMESTAMP(NANOS) + nanosAsLong read path)."""
+    ts = (
+        F.timestamp_seconds(F.col(ts_col) / 1e9)
+        if nanos
+        else F.col(ts_col).cast("timestamp")
+    )
+    with_ts = events_stream.withColumn("_event_time", ts).withWatermark(
+        "_event_time", watermark
+    )
+    return with_ts.groupBy(
+        F.window("_event_time", window).alias("win"), *[F.col(c) for c in key_cols]
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.round(F.col("value") * 100).cast("long")).alias("value_cents"),
+    )
+
+
+CONSENSUS_OUTPUT_SCHEMA = (
+    "ref string, position int, consensus_base string, n_reads long"
+)
+CONSENSUS_STATE_SCHEMA = "counts_json string"
+
+
+def _consensus_update_fn(
+    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """Stateful kernel: state = {'pos:base': count}; each micro-batch
+    folds its cells in and re-emits the per-position argmax (ties to
+    the smallest letter - the reference's first-argmax, consensus
+    semantics of seqtables.py:1534-1536)."""
+    (ref,) = key
+    counts: dict[str, int] = (
+        json.loads(state.get[0]) if state.exists else {}
+    )
+    for pdf in pdfs:
+        for seq in pdf["seq"]:
+            for i, base in enumerate(seq, start=1):
+                k = f"{i}:{base}"
+                counts[k] = counts.get(k, 0) + 1
+    state.update((json.dumps(counts),))
+    per_pos: dict[int, dict[str, int]] = {}
+    for k, c in counts.items():
+        pos_s, base = k.split(":", 1)
+        per_pos.setdefault(int(pos_s), {})[base] = c
+    rows = []
+    for pos in sorted(per_pos):
+        dist = per_pos[pos]
+        # highest count wins; ties break to the smallest letter
+        best = min(dist, key=lambda b: (-dist[b], b))
+        rows.append((ref, pos, best, sum(dist.values())))
+    yield pd.DataFrame(
+        rows, columns=["ref", "position", "consensus_base", "n_reads"]
+    )
+
+
+def streaming_running_consensus(
+    reads_stream: DataFrame,
+    group_col: str = "ref",
+) -> DataFrame:
+    """Running consensus per reference group, maintained across
+    micro-batches with applyInPandasWithState. Consensus (argmax of
+    the letter distribution) is not an algebraic aggregate, so
+    update-mode emission needs custom state: the per-(position,
+    letter) count map - exactly the reference's distribution matrix,
+    kept as operator state instead of an in-memory array
+    (seqtables.py:1512-1553). Each batch emits the refreshed
+    consensus for every group it touched."""
+    return reads_stream.groupBy(group_col).applyInPandasWithState(
+        _consensus_update_fn,
+        outputStructType=CONSENSUS_OUTPUT_SCHEMA,
+        stateStructType=CONSENSUS_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
     )

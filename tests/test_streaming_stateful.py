@@ -1,0 +1,135 @@
+"""Watermarked event-time windows + the applyInPandasWithState
+running-consensus operator (SURVEY 2.8 scale extensions)."""
+
+import datetime
+
+import pytest
+from pyspark.sql import functions as F
+
+from seqtables_spark.streaming.ingest import (
+    streaming_running_consensus,
+    windowed_event_counts,
+)
+
+
+def _drain(q):
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+
+def test_windowed_event_counts_matches_batch(spark, tmp_path):
+    base = datetime.datetime(2026, 1, 1, 0, 0, 0)
+    rows = []
+    for i in range(100):
+        ts_ns = int((base + datetime.timedelta(minutes=7 * i)).timestamp() * 1e9)
+        rows.append((ts_ns, "click" if i % 3 else "view", float(i)))
+    df = spark.createDataFrame(rows, "ts long, event_type string, value double")
+    path = str(tmp_path / "events")
+    df.write.parquet(path)
+
+    stream = spark.readStream.schema("ts long, event_type string, value double").parquet(path)
+    win = windowed_event_counts(stream, window="1 hour", watermark="2 hours")
+    q = (
+        win.writeStream.outputMode("update")
+        .format("memory")
+        .queryName("t_win_events")
+        .start()
+    )
+    _drain(q)
+    got = {
+        (r["win"]["start"], r["event_type"]): (r["n"], r["value_cents"])
+        for r in spark.table("t_win_events").collect()
+    }
+    batch = {
+        (r["win"]["start"], r["event_type"]): (r["n"], r["value_cents"])
+        for r in df.groupBy(
+            F.window(F.timestamp_seconds(F.col("ts") / 1e9), "1 hour").alias("win"),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.round(F.col("value") * 100).cast("long")).alias("value_cents"),
+        )
+        .collect()
+    }
+    assert got == batch
+
+
+def test_windowed_event_counts_drops_late_rows(spark, tmp_path):
+    base = datetime.datetime(2026, 1, 1, 12, 0, 0)
+    ns = lambda dt: int(dt.timestamp() * 1e9)  # noqa: E731
+    on_time = [(ns(base + datetime.timedelta(hours=h)), "click", 1.0) for h in range(6)]
+    # arrives in a later batch, 5 hours behind a 2-hour watermark
+    late = [(ns(base - datetime.timedelta(hours=0)), "late", 1.0)]
+    path = str(tmp_path / "late_events")
+    spark.createDataFrame(on_time, "ts long, event_type string, value double").write.parquet(path)
+
+    stream = spark.readStream.schema("ts long, event_type string, value double").parquet(path)
+    win = windowed_event_counts(stream, window="1 hour", watermark="2 hours")
+    q = (
+        win.writeStream.outputMode("update")
+        .format("memory")
+        .queryName("t_late_events")
+        .start()
+    )
+    try:
+        q.processAllAvailable()  # batch 1: watermark advances to 17:00 - 2h = 15:00
+        spark.createDataFrame(late, "ts long, event_type string, value double").write.mode(
+            "append"
+        ).parquet(path)
+        q.processAllAvailable()  # batch 2: the 12:00 'late' row is beyond the watermark
+    finally:
+        q.stop()
+    types = {r["event_type"] for r in spark.table("t_late_events").collect()}
+    assert "click" in types
+    assert "late" not in types
+
+
+def test_streaming_running_consensus_accumulates_state(spark, tmp_path):
+    path = str(tmp_path / "consensus_reads")
+    schema = "ref string, read_id string, seq string"
+    batch1 = [("amp1", "r1", "ACGT"), ("amp1", "r2", "ACGA"), ("amp2", "r3", "TTTT")]
+    spark.createDataFrame(batch1, schema).coalesce(1).write.parquet(path)
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(path)
+    )
+    out = streaming_running_consensus(stream, group_col="ref")
+    q = (
+        out.writeStream.outputMode("update")
+        .format("memory")
+        .queryName("t_run_consensus")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        # second micro-batch flips amp1's consensus at position 4: two
+        # more 'C' reads beat the earlier T/A split
+        batch2 = [("amp1", "r4", "ACGC"), ("amp1", "r5", "ACGC")]
+        spark.createDataFrame(batch2, schema).coalesce(1).write.mode("append").parquet(path)
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    rows = spark.table("t_run_consensus").collect()
+    # take the freshest emission per (ref, position)
+    latest = {}
+    for r in rows:
+        key = (r["ref"], r["position"])
+        if key not in latest or r["n_reads"] > latest[key][1]:
+            latest[key] = (r["consensus_base"], r["n_reads"])
+    # amp1 over all 4 reads: A C G {T,A,C,C} -> C wins position 4
+    assert latest[("amp1", 1)] == ("A", 4)
+    assert latest[("amp1", 2)] == ("C", 4)
+    assert latest[("amp1", 3)] == ("G", 4)
+    assert latest[("amp1", 4)] == ("C", 4)
+    # amp2 untouched by batch 2 keeps its batch-1 state
+    assert latest[("amp2", 1)] == ("T", 1)
+    # ties break to the smallest letter: amp1 pos4 after batch1 was
+    # {T:1, A:1} -> 'A' (visible in the batch-1 emission)
+    b1 = [r for r in rows if r["ref"] == "amp1" and r["position"] == 4 and r["n_reads"] == 2]
+    assert b1 and b1[0]["consensus_base"] == "A"
