@@ -10,7 +10,11 @@ same via an optional dense_fill flag on the cells view).
 
 axis=1 (horizontal): merge on shared read ids with last-writer-wins
 on overlapping positions (st_merge.py:127-136) - a full outer join
-per-position with coalesce(right, left).
+of the WIDE reads tables on read_id, with the overlay computed
+row-locally as a per-position string zip. The cells view is never
+exploded: the only shuffle is the read_id join of narrow rows, so
+the cost at 100 TB is one co-partitionable join, not two exchanges
+of 300x-multiplied cell rows.
 """
 
 from __future__ import annotations
@@ -66,50 +70,106 @@ def _merge_axis0(
 
 
 def _merge_axis1(tables: list[SeqTable]) -> SeqTable:
-    """Horizontal merge on read_id: later tables overwrite earlier ones
-    on overlapping positions. Implemented on the cells view; the result
-    SeqTable re-assembles seq strings per read (positions union,
-    missing cells filled '-')."""
-    cells = [t.cells() for t in tables]
-    for i, c in enumerate(cells):
-        if "qual" not in c.columns:
-            cells[i] = c.withColumn("qual", F.lit(None).cast("int"))
-    tagged = [
-        c.withColumn("_src", F.lit(i)) for i, c in enumerate(cells)
-    ]
-    union = reduce(lambda a, b: a.unionByName(b), tagged)
-    # last writer wins per (read_id, position)
-    winner = union.groupBy("read_id", "position").agg(
-        F.expr("max_by(base, _src)").alias("base"),
-        F.expr("max_by(qual, _src)").alias("qual"),
+    """Horizontal merge on read_id: later tables overwrite earlier
+    ones on overlapping positions; the overlay is row-local.
+
+    After one full outer join of the wide reads tables, each output
+    character is a nested CASE over the joined row: the LAST table
+    whose [pos_start, pos_start+len) range covers the position (for a
+    read it contains) supplies both the base char and the qual char
+    (qual '!' when the winner carries no quality) - the same winner
+    for both, matching the cell-level last-writer-wins of the
+    reference (st_merge.py:127-136). No explode, no aggregation."""
+    n = len(tables)
+    sides = []
+    for i, t in enumerate(tables):
+        r = t.reads
+        qual = (
+            F.col("qual") if "qual" in r.columns else F.lit(None).cast("string")
+        )
+        ps = (
+            F.col("pos_start").cast("long")
+            if "pos_start" in r.columns
+            else F.lit(1).cast("long")
+        )
+        sides.append(
+            r.select(
+                F.col("read_id"),
+                F.col("seq").alias(f"_seq{i}"),
+                qual.alias(f"_qual{i}"),
+                ps.alias(f"_ps{i}"),
+            )
+        )
+    joined = reduce(lambda a, b: a.join(b, "read_id", "full_outer"), sides)
+
+    # global position bounds: ONE job over the union of per-table
+    # narrow aggs on reads (never the exploded cells)
+    bound_frames = []
+    for t in tables:
+        r = t.reads
+        ps = (
+            F.col("pos_start").cast("long")
+            if "pos_start" in r.columns
+            else F.lit(1).cast("long")
+        )
+        bound_frames.append(
+            r.agg(
+                F.min(ps).alias("_lo"),
+                F.max(ps + F.length("seq") - F.lit(1)).alias("_hi"),
+            )
+        )
+    row = (
+        reduce(lambda a, b: a.unionByName(b), bound_frames)
+        .agg(F.min("_lo"), F.max("_hi"))
+        .first()
     )
-    # rebuild fixed-width reads over the union of positions
-    bounds = winner.agg(F.min("position"), F.max("position")).first()
-    lo, hi = int(bounds[0]), int(bounds[1])
+    lo = int(row[0]) if row[0] is not None else None
+    hi = int(row[1]) if row[1] is not None else None
+
+    first = tables[0]
+    if lo is None:  # all inputs empty
+        reads = joined.select(
+            "read_id",
+            F.lit("").alias("seq"),
+            F.lit("").alias("qual"),
+            F.lit(1).cast("long").alias("pos_start"),
+        )
+        return SeqTable(reads, None, first.seq_type, first.phred_adjust, first.fillna_val)
+
     pos_arr = F.sequence(F.lit(lo).cast("long"), F.lit(hi).cast("long"))
-    # map_from_entries over structs, NOT map_from_arrays over two
-    # collect_lists: collect_list skips NULL quals, which would
-    # desynchronize the key and value arrays
-    grouped = winner.groupBy("read_id").agg(
-        F.map_from_entries(F.collect_list(F.struct("position", "base"))).alias("_b"),
-        F.map_from_entries(F.collect_list(F.struct("position", "qual"))).alias("_q"),
-    )
-    reads = grouped.select(
+
+    def overlay(p, char_of, fill):
+        expr = F.lit(fill)
+        for i in range(n):  # ascending wrap => highest i checked first
+            covers = (
+                F.col(f"_ps{i}").isNotNull()
+                & (p >= F.col(f"_ps{i}"))
+                & (p < F.col(f"_ps{i}") + F.length(F.col(f"_seq{i}")))
+            )
+            expr = F.when(covers, char_of(i, p)).otherwise(expr)
+        return expr
+
+    def base_char(i, p):
+        return F.col(f"_seq{i}").substr(
+            (p - F.col(f"_ps{i}") + F.lit(1)).cast("int"), F.lit(1)
+        )
+
+    def qual_char(i, p):
+        return F.coalesce(
+            F.col(f"_qual{i}").substr(
+                (p - F.col(f"_ps{i}") + F.lit(1)).cast("int"), F.lit(1)
+            ),
+            F.lit("!"),
+        )
+
+    reads = joined.select(
         "read_id",
         F.concat_ws(
-            "",
-            F.transform(pos_arr, lambda p: F.coalesce(F.element_at(F.col("_b"), p), F.lit("-"))),
+            "", F.transform(pos_arr, lambda p: overlay(p, base_char, "-"))
         ).alias("seq"),
         F.concat_ws(
-            "",
-            F.transform(
-                pos_arr,
-                lambda p: F.coalesce(
-                    F.char(F.element_at(F.col("_q"), p) + F.lit(33)), F.lit("!")
-                ),
-            ),
+            "", F.transform(pos_arr, lambda p: overlay(p, qual_char, "!"))
         ).alias("qual"),
         F.lit(lo).cast("long").alias("pos_start"),
     )
-    first = tables[0]
     return SeqTable(reads, None, first.seq_type, first.phred_adjust, first.fillna_val)
