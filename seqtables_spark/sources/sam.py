@@ -94,16 +94,15 @@ def read_bam(
     fetch each range inside mapInPandas so decode parallelizes across
     executors - the same shape a 100 TB htsget/BAM ingest uses.
 
-    Requires pysam (not bundled in this environment): raises
-    ImportError with guidance when absent; the Spark-side plumbing is
-    exercised by tests through the SAM text path, which shares every
-    downstream operator."""
+    Requires pysam; when absent use the pure-Python codec
+    `sources.bam.read_bam` (no native dependency, distributes over
+    files) - it shares this reader's output schema."""
     try:
         import pysam  # noqa: F401
     except ImportError as e:  # pragma: no cover - pysam absent here
         raise ImportError(
-            "read_bam requires pysam; install it or convert the BAM to "
-            "SAM text / parquet and use read_sam"
+            "read_bam requires pysam; use seqtables_spark.sources.bam."
+            "read_bam (pure-Python BGZF/BAM codec) instead"
         ) from e
 
     import pandas as pd
