@@ -99,3 +99,68 @@ def test_exact_dedup_is_single_hash_aggregate(spark):
     plan = _plan(exact_dedup(docs))
     assert plan.count("HashAggregate") == 2  # partial + final, nothing else
     assert plan.count("Exchange") == 1
+
+
+def test_generate_sequences_is_shuffle_free(spark):
+    from seqtables_spark.sources.generate import generate_library, generate_sequences
+
+    plan = _plan(generate_sequences(spark, 1000, 50, seed=1))
+    assert "Exchange" not in plan  # range -> project, nothing else
+    plan2 = _plan(generate_library(spark, "ACGT" * 10, 1000, error_prone_rate=0.1, seed=1))
+    assert "Exchange" not in plan2
+
+
+def test_merge_axis1_never_explodes_cells(spark):
+    from seqtables_spark.operators.merge import merge_seqtables
+
+    a = from_list(spark, ["ACGT", "TTTT"], quals=["IIII", "JJJJ"])
+    b = from_list(spark, ["GG"], pos=2)
+    plan = _plan(merge_seqtables([a, b], axis=1).reads)
+    # row-local overlay: no posexplode of the char matrix, no
+    # per-position aggregation - the only wide op is the read_id join
+    assert "Generate" not in plan  # no explode
+    assert "max_by" not in plan
+    assert "collect_list" not in plan
+
+
+def test_bucketed_join_has_no_exchange(spark, tmp_path):
+    from seqtables_spark.sources.storage import bucketed_join, save_bucketed
+
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    reads = spark.createDataFrame(
+        [(f"r{i}", "ACGT") for i in range(100)], "read_id string, seq string"
+    )
+    ins = spark.createDataFrame(
+        [(f"r{i}", 2, "T") for i in range(0, 100, 3)],
+        "read_id string, position int, base string",
+    )
+    try:
+        save_bucketed(reads, "t_reads_b", "read_id", 8)
+        save_bucketed(ins, "t_ins_b", "read_id", 8)
+        plan = _plan(bucketed_join(spark, "t_reads_b", "t_ins_b", "read_id"))
+        # co-bucketed scan satisfies the join's distribution: the
+        # exchange-free sort-merge join is the whole point of the layout
+        assert "Exchange" not in plan
+        assert "SortMergeJoin" in plan
+        assert plan.count("Bucketed: true") == 2
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        spark.sql("DROP TABLE IF EXISTS t_reads_b")
+        spark.sql("DROP TABLE IF EXISTS t_ins_b")
+
+
+def test_partitioned_write_prunes_partitions(spark, tmp_path):
+    from seqtables_spark.sources.storage import write_cells_banded
+
+    cells = spark.createDataFrame(
+        [(f"r{i}", p, "A") for i in range(20) for p in range(1, 500, 37)],
+        "read_id string, position long, base string",
+    )
+    path = str(tmp_path / "banded")
+    write_cells_banded(cells, path, band_width=100)
+    got = spark.read.parquet(path).filter("position BETWEEN 120 AND 180")
+    plan = _plan(got)
+    # the band column is a partition column: the position filter plus
+    # pos_band pruning keeps the scan to matching directories only
+    assert "PartitionFilters" in plan or "pos_band" in plan
+    assert got.count() == 20 * len([p for p in range(1, 500, 37) if 120 <= p <= 180])
