@@ -856,8 +856,9 @@ def q_plogo(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Similarity scale path: random-hyperplane LSH bucketing +
-    multiprobe + exact re-rank (no SQL oracle; the exact-top-k twin
-    `cosine_topk` is the oracle-checked baseline)."""
+    multiprobe + exact re-rank. Deterministic planes + exact sign
+    tests mean even this approximate path is value-checked against
+    the DuckDB oracle (same plane literals, same fold order)."""
     from seqtables_spark.pipeline.similarity import lsh_bucketed_cosine
 
     base, qvec = _emb_and_query(spark, sf_dir)
@@ -1219,6 +1220,66 @@ scored AS (
 )
 SELECT vec_id, round(sim, 6) AS sim
 FROM scored ORDER BY sim DESC, vec_id ASC LIMIT 10
+"""
+
+
+def _sql_ann_lsh(n_planes: int = 8, dim: int = 64, multiprobe: int = 2, k: int = 10) -> str:
+    """DuckDB twin of lsh_bucketed_cosine: the hyperplanes are the
+    same random.Random(42) gaussians as the Spark side (literals
+    here), bucket bits are exact >= 0 sign tests on identical
+    sequential-fold dot products, and the multiprobe neighborhood is
+    the XOR-mask list. Fully deterministic, so the approximate path
+    gets a value-exact oracle."""
+    import random as _random
+
+    rng = _random.Random(42)
+    planes = [[rng.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(n_planes)]
+
+    def dot(vec_expr: str, plane: list[float]) -> str:
+        lit = "[" + ",".join(repr(v) for v in plane) + "]"
+        return (
+            f"list_reduce(list_transform(list_zip({vec_expr}, {lit}),"
+            " x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)), (a,b) -> a+b)"
+        )
+
+    def bucket(vec_expr: str) -> str:
+        return " + ".join(
+            f"(CASE WHEN {dot(vec_expr, p)} >= 0 THEN {1 << i} ELSE 0 END)"
+            for i, p in enumerate(planes)
+        )
+
+    masks = {0}
+    masks |= {1 << i for i in range(n_planes)}
+    if multiprobe >= 2:
+        masks |= {
+            (1 << i) ^ (1 << j)
+            for i in range(n_planes)
+            for j in range(i + 1, n_planes)
+        }
+    mask_list = "[" + ",".join(str(m) for m in sorted(masks)) + "]"
+
+    return f"""
+WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+qb AS (SELECT {bucket('qv')} AS qbucket FROM q),
+probes AS (
+  SELECT DISTINCT xor(qbucket, m) AS b
+  FROM qb, (SELECT unnest({mask_list}) AS m)
+),
+eb AS (
+  SELECT vec_id, embedding, {bucket('embedding')} AS bucket
+  FROM embeddings WHERE vec_id <> 0
+),
+scored AS (
+  SELECT eb.vec_id,
+         list_reduce(list_transform(list_zip(eb.embedding, q.qv),
+                     x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)), (a,b) -> a+b)
+         / (sqrt(list_reduce(list_transform(eb.embedding, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE)), (a,b) -> a+b))
+            * sqrt(list_reduce(list_transform(q.qv, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE)), (a,b) -> a+b)))
+         AS sim
+  FROM eb, q WHERE eb.bucket IN (SELECT b FROM probes)
+)
+SELECT vec_id, round(sim, 6) AS sim
+FROM scored ORDER BY sim DESC, vec_id ASC LIMIT {k}
 """
 
 
@@ -1859,6 +1920,7 @@ FROM cells GROUP BY read_id
 """
 
     sqls["cosine_topk"] = _sql_cosine_topk()
+    sqls["ann_lsh"] = _sql_ann_lsh()
 
     # A7 bits: N=4 alphabet; correction = (1/ln 2)*(4-1)/(2*n_reads)
     sqls["seq_bits"] = f"""
