@@ -181,35 +181,34 @@ def simhash(
     sign of sum over tokens of (+1 if bit i of h(token) else -1).
     Returns DF(id, simhash bigint).
 
-    Fully ROW-LOCAL: one fold over the token-hash array carries a
-    `bits`-wide sum accumulator, so the fingerprint is a pure
-    projection - no explode, no groupBy, no shuffle (the previous
-    explode+groupBy plan was already partial-aggregated but still
-    paid an exchange and ran ~2x slower). Docs with no tokens are
-    excluded, matching the explode formulation."""
-    tokens = F.expr(f"regexp_extract_all(lower({text_col}), '\\\\S+', 0)")
-    hashes = F.transform(tokens, lambda t: portable_string_hash(t))
-    acc0 = F.array_repeat(F.lit(0).cast("long"), bits)
-    contrib = lambda h: F.array(  # noqa: E731
+    One explode + one groupBy with `bits` conditional sums - partial
+    aggregation keeps the shuffle at one row per doc, and the 32
+    conditional sums run inside whole-stage codegen. (A row-local
+    single-fold variant - like the minhash one above - was measured
+    ~1.7x SLOWER here: higher-order functions evaluate interpreted,
+    and a 32-wide zip_with per token costs more than the codegen'd
+    aggregate it saves; the fold only wins at minhash's 8-wide
+    accumulator. The exchange it would save carries one row per doc
+    and is not the bottleneck at any scale.)"""
+    tok = F.explode(F.expr(f"regexp_extract_all(lower({text_col}), '\\\\S+', 0)")).alias(
+        "token"
+    )
+    base = df.select(F.col(id_col), tok).withColumn(
+        "h", portable_string_hash("token")
+    )
+    bit_sums = base.groupBy(id_col).agg(
         *[
-            F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, F.lit(1).cast("long"))
-            .otherwise(F.lit(-1).cast("long"))
+            F.sum(
+                F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+            ).alias(f"s_{i}")
             for i in range(bits)
         ]
     )
-    sums = F.aggregate(
-        hashes, acc0, lambda acc, h: F.zip_with(acc, contrib(h), lambda a, x: a + x)
-    )
     fingerprint = None
     for i in range(bits):
-        bit = (
-            F.when(F.element_at(sums, i + 1) > 0, F.lit(2 ** i).cast("long"))
-            .otherwise(F.lit(0).cast("long"))
-        )
+        bit = F.when(F.col(f"s_{i}") > 0, F.lit(2 ** i).cast("long")).otherwise(F.lit(0).cast("long"))
         fingerprint = bit if fingerprint is None else fingerprint + bit
-    return df.filter(F.size(tokens) > 0).select(
-        F.col(id_col), fingerprint.alias("simhash")
-    )
+    return bit_sums.select(F.col(id_col), fingerprint.alias("simhash"))
 
 
 def simhash_near_dups(

@@ -166,16 +166,21 @@ def test_partitioned_write_prunes_partitions(spark, tmp_path):
     assert got.count() == 20 * len([p for p in range(1, 500, 37) if 120 <= p <= 180])
 
 
-def test_minhash_and_simhash_are_pure_projections(spark):
+def test_minhash_is_pure_projection_and_simhash_partial_aggregates(spark):
     from seqtables_spark.pipeline.dedup import minhash_signatures, simhash
 
     docs = spark.createDataFrame(
         [(i, f"some text body number {i}") for i in range(50)],
         "doc_id long, text string",
     )
-    for df in (minhash_signatures(docs, n_hashes=8, k=5), simhash(docs)):
-        plan = _plan(df)
-        # single row-local fold: no explode, no aggregation, no shuffle
-        assert "Exchange" not in plan
-        assert "Generate" not in plan
-        assert "HashAggregate" not in plan
+    # minhash: single row-local fold - no explode, no agg, no shuffle
+    plan = _plan(minhash_signatures(docs, n_hashes=8, k=5))
+    assert "Exchange" not in plan
+    assert "Generate" not in plan
+    assert "HashAggregate" not in plan
+    # simhash: explode + codegen'd partial aggregation; the shuffle
+    # carries one row per doc (see simhash docstring for why the
+    # row-local fold loses at 32-wide)
+    plan2 = _plan(simhash(docs))
+    pre, _, post = plan2.partition("Exchange hashpartitioning")
+    assert "HashAggregate" in pre and "HashAggregate" in post
