@@ -696,6 +696,17 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
 
 
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy-dedup endgame: connected components over the verified
+    near-duplicate pairs - cluster_id = smallest member id. Min-label
+    propagation on the pair list (the corpus is never touched); the
+    oracle is a recursive transitive closure."""
+    from seqtables_spark.pipeline.dedup import connected_components
+
+    pairs = q_ngram_jaccard(spark, sf_dir).select("id_a", "id_b")
+    return connected_components(pairs)
+
+
 def q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dedup (embedding cosine): all pairs with cosine >= 0.2 among
     the vec_id%10==0 slice (fixed-fold dot products, exact doubles)."""
@@ -1121,6 +1132,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash": q_simhash,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "ngram_jaccard": q_ngram_jaccard,
+        "dedup_clusters": q_dedup_clusters,
         "embedding_near_dups": q_embedding_near_dups,
         "multimodal_features": q_multimodal_features,
         "subsample": q_subsample,
@@ -1336,9 +1348,11 @@ def _sql_lsh_pairs() -> str:
     return f"WITH {_sql_lsh_cte()} SELECT id_a, id_b FROM cand"
 
 
-def _sql_ngram_jaccard(k: int = 12, min_j: float = 0.4) -> str:
-    return f"""
-WITH {_sql_lsh_cte()},
+def _sql_ngram_verified_cte(k: int = 12, min_j: float = 0.4) -> str:
+    """CTE chain ending in `verified(id_a, id_b, jaccard)` - the
+    LSH-then-verify pair list, shared by the jaccard query and the
+    cluster/survivor oracles."""
+    return f"""{_sql_lsh_cte()},
 grams AS (
   SELECT DISTINCT doc_id, substring(t, CAST(i AS INTEGER), {k}) AS shingle
   FROM (
@@ -1355,13 +1369,41 @@ inter AS (
   JOIN grams l ON l.doc_id = c.id_a
   JOIN grams r ON r.doc_id = c.id_b AND r.shingle = l.shingle
   GROUP BY c.id_a, c.id_b
+),
+verified AS (
+  SELECT id_a, id_b,
+         round(CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common), 6) AS jaccard
+  FROM inter
+  JOIN sizes sa ON sa.doc_id = id_a
+  JOIN sizes sb ON sb.doc_id = id_b
+  WHERE CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common) >= {min_j}
+)"""
+
+
+def _sql_ngram_jaccard(k: int = 12, min_j: float = 0.4) -> str:
+    return f"""
+WITH {_sql_ngram_verified_cte(k, min_j)}
+SELECT id_a, id_b, jaccard FROM verified
+"""
+
+
+def _sql_dedup_clusters(k: int = 12, min_j: float = 0.4) -> str:
+    """Connected components as a recursive transitive closure over
+    the verified near-dup pairs: cluster_id = min reachable id."""
+    return f"""
+WITH RECURSIVE {_sql_ngram_verified_cte(k, min_j)},
+edges AS (
+  SELECT id_a AS s, id_b AS d FROM verified
+  UNION
+  SELECT id_b AS s, id_a AS d FROM verified
+),
+reach(s, d) AS (
+  SELECT s, d FROM edges
+  UNION
+  SELECT r.s, e.d FROM reach r JOIN edges e ON r.d = e.s
 )
-SELECT id_a, id_b,
-       round(CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common), 6) AS jaccard
-FROM inter
-JOIN sizes sa ON sa.doc_id = id_a
-JOIN sizes sb ON sb.doc_id = id_b
-WHERE CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common) >= {min_j}
+SELECT s AS doc_id, least(s, min(d)) AS cluster_id
+FROM reach GROUP BY s
 """
 
 
@@ -1879,6 +1921,7 @@ FROM scored GROUP BY 1, 2
 
     sqls["minhash_lsh_pairs"] = _sql_lsh_pairs()
     sqls["ngram_jaccard"] = _sql_ngram_jaccard()
+    sqls["dedup_clusters"] = _sql_dedup_clusters()
     sqls["embedding_near_dups"] = _sql_embedding_pairs()
     sqls["multimodal_features"] = _sql_multimodal()
 

@@ -7,6 +7,8 @@ from .dedup import (
     simhash,
     simhash_near_dups,
     ngram_jaccard_pairs,
+    connected_components,
+    dedup_survivors,
 )
 from .text import (
     token_count,
@@ -21,7 +23,8 @@ __all__ = [
     "portable_string_hash", "HASH_PRIME",
     "exact_dedup", "shingles", "minhash_signatures",
     "minhash_candidate_pairs", "simhash", "simhash_near_dups",
-    "ngram_jaccard_pairs", "token_count", "text_quality_features",
+    "ngram_jaccard_pairs", "connected_components", "dedup_survivors",
+    "token_count", "text_quality_features",
     "quality_score", "language_id", "document_fingerprint",
     "cosine_topk", "lsh_bucketed_cosine",
 ]

@@ -263,6 +263,79 @@ def simhash_near_dups(
     return cand
 
 
+def connected_components(
+    pairs: DataFrame,
+    max_iter: int = 20,
+) -> DataFrame:
+    """Connected components over an undirected pair list
+    DF(id_a, id_b) -> DF(doc_id, cluster_id) for every endpoint, with
+    cluster_id = the smallest member id (deterministic canonical
+    label). This is the step that turns near-duplicate PAIRS into
+    dedup GROUPS.
+
+    Min-label propagation: each iteration every node adopts the min
+    of its own and its neighbors' labels; converges in
+    graph-diameter iterations. Near-dup graphs are forests of tiny
+    cliques (diameter 2-3), so the loop is 2-4 cheap jobs; each
+    iteration is one join + one groupBy on the (small) edge list -
+    the corpus itself is never touched. For adversarial long-chain
+    graphs swap in large-star/small-star (same API, O(log n)
+    rounds)."""
+    edges = (
+        pairs.select(F.col("id_a").alias("s"), F.col("id_b").alias("d"))
+        .union(pairs.select(F.col("id_b").alias("s"), F.col("id_a").alias("d")))
+        .distinct()
+        .persist()
+    )
+    labels = edges.select(F.col("s").alias("id")).distinct().select(
+        "id", F.col("id").alias("lab")
+    ).persist()
+    try:
+        for _ in range(max_iter):
+            # each node hears its neighbors' current labels
+            nbr = (
+                edges.join(labels, edges["d"] == labels["id"])
+                .select(F.col("s").alias("id"), F.col("lab"))
+            )
+            new_labels = (
+                labels.select("id", "lab")
+                .union(nbr)
+                .groupBy("id")
+                .agg(F.min("lab").alias("lab"))
+                .persist()
+            )
+            changed = (
+                new_labels.alias("n")
+                .join(labels.alias("o"), "id")
+                .filter(F.col("n.lab") != F.col("o.lab"))
+                .limit(1)
+                .count()
+            )
+            labels.unpersist()
+            labels = new_labels
+            if changed == 0:
+                break
+        return labels.select(F.col("id").alias("doc_id"), F.col("lab").alias("cluster_id"))
+    finally:
+        edges.unpersist()
+
+
+def dedup_survivors(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """The end of the fuzzy-dedup pipeline: cluster the near-dup
+    pairs, keep the smallest id per cluster, and return the corpus
+    with all other cluster members removed (docs in no pair always
+    survive)."""
+    comp = connected_components(pairs)
+    losers = comp.filter(F.col("doc_id") != F.col("cluster_id")).select(
+        F.col("doc_id").alias(id_col)
+    )
+    return df.join(losers, id_col, "left_anti")
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     k: int = 3,

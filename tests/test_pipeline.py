@@ -210,3 +210,37 @@ def test_frame_sample_plan(spark):
     df = spark.createDataFrame([(1, 100)], "media_id long, n_frames int")
     idx = [r["frame_idx"] for r in frame_sample_plan(df, every_n=30).collect()]
     assert idx == [0, 30, 60, 90]
+
+
+def test_connected_components_labels_min_id(spark):
+    from seqtables_spark.pipeline.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (20, 21), (21, 22), (22, 23)],
+        "id_a long, id_b long",
+    )
+    comp = {r["doc_id"]: r["cluster_id"] for r in connected_components(pairs).collect()}
+    assert comp == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 20: 20, 21: 20, 22: 20, 23: 20}
+
+
+def test_connected_components_chain_needs_iterations(spark):
+    from seqtables_spark.pipeline.dedup import connected_components
+
+    # a 7-node path: min label must walk the full diameter
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(7, 0, -1)], "id_a long, id_b long"
+    )
+    comp = {r["doc_id"]: r["cluster_id"] for r in connected_components(pairs).collect()}
+    assert set(comp.values()) == {1}
+    assert len(comp) == 8
+
+
+def test_dedup_survivors_keeps_min_per_cluster_and_singletons(spark):
+    from seqtables_spark.pipeline.dedup import dedup_survivors
+
+    docs = spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(8)], "doc_id long, text string"
+    )
+    pairs = spark.createDataFrame([(1, 2), (2, 5), (6, 7)], "id_a long, id_b long")
+    kept = sorted(r["doc_id"] for r in dedup_survivors(docs, pairs).collect())
+    assert kept == [0, 1, 3, 4, 6]
