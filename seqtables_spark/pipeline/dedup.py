@@ -266,6 +266,7 @@ def simhash_near_dups(
 def connected_components(
     pairs: DataFrame,
     max_iter: int = 20,
+    driver_edge_limit: int = 5_000_000,
 ) -> DataFrame:
     """Connected components over an undirected pair list
     DF(id_a, id_b) -> DF(doc_id, cluster_id) for every endpoint, with
@@ -273,14 +274,54 @@ def connected_components(
     label). This is the step that turns near-duplicate PAIRS into
     dedup GROUPS.
 
-    Min-label propagation: each iteration every node adopts the min
-    of its own and its neighbors' labels; converges in
-    graph-diameter iterations. Near-dup graphs are forests of tiny
-    cliques (diameter 2-3), so the loop is 2-4 cheap jobs; each
-    iteration is one join + one groupBy on the (small) edge list -
-    the corpus itself is never touched. For adversarial long-chain
-    graphs swap in large-star/small-star (same API, O(log n)
-    rounds)."""
+    Two physical paths behind one API:
+
+    * **Driver union-find** (edge list <= ``driver_edge_limit``): the
+      verified near-dup pair list is the output of LSH banding + a
+      Jaccard verify, i.e. orders of magnitude smaller than the
+      corpus — at 100 TB of documents it is typically millions of
+      rows, not billions. Collecting ONLY the pair list (never the
+      corpus) and running path-compressed union-find is O(E alpha(E))
+      in one Spark job, versus diameter-many join+agg jobs. 5M edges
+      is ~80 MB on the driver.
+    * **Distributed min-label propagation** (bigger edge lists):
+      each iteration every node adopts the min of its own and its
+      neighbors' labels; converges in graph-diameter iterations.
+      Near-dup graphs are forests of tiny cliques (diameter 2-3), so
+      the loop is 2-4 cheap jobs on the edge list only. For
+      adversarial long-chain graphs swap in large-star/small-star
+      (same API, O(log n) rounds).
+    """
+    if driver_edge_limit > 0:
+        head = pairs.select("id_a", "id_b").limit(driver_edge_limit + 1).collect()
+        if len(head) <= driver_edge_limit:
+            parent: dict = {}
+
+            def find(x):
+                root = x
+                while parent[root] != root:
+                    root = parent[root]
+                while parent[x] != root:  # path compression
+                    parent[x], x = root, parent[x]
+                return root
+
+            for row in head:
+                a, b = row[0], row[1]
+                if a not in parent:
+                    parent[a] = a
+                if b not in parent:
+                    parent[b] = b
+                ra, rb = find(a), find(b)
+                if ra != rb:  # union by min label keeps canonical roots
+                    if rb < ra:
+                        ra, rb = rb, ra
+                    parent[rb] = ra
+            rows = [(x, find(x)) for x in parent]
+            schema = pairs.select(
+                F.col("id_a").alias("doc_id"), F.col("id_a").alias("cluster_id")
+            ).schema
+            return pairs.sparkSession.createDataFrame(rows, schema)
+
     edges = (
         pairs.select(F.col("id_a").alias("s"), F.col("id_b").alias("d"))
         .union(pairs.select(F.col("id_b").alias("s"), F.col("id_a").alias("d")))

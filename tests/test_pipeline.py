@@ -212,25 +212,37 @@ def test_frame_sample_plan(spark):
     assert idx == [0, 30, 60, 90]
 
 
-def test_connected_components_labels_min_id(spark):
+@pytest.mark.parametrize("driver_edge_limit", [5_000_000, 0])
+def test_connected_components_labels_min_id(spark, driver_edge_limit):
     from seqtables_spark.pipeline.dedup import connected_components
 
     pairs = spark.createDataFrame(
         [(1, 2), (2, 3), (10, 11), (20, 21), (21, 22), (22, 23)],
         "id_a long, id_b long",
     )
-    comp = {r["doc_id"]: r["cluster_id"] for r in connected_components(pairs).collect()}
+    comp = {
+        r["doc_id"]: r["cluster_id"]
+        for r in connected_components(
+            pairs, driver_edge_limit=driver_edge_limit
+        ).collect()
+    }
     assert comp == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 20: 20, 21: 20, 22: 20, 23: 20}
 
 
-def test_connected_components_chain_needs_iterations(spark):
+@pytest.mark.parametrize("driver_edge_limit", [5_000_000, 0])
+def test_connected_components_chain_needs_iterations(spark, driver_edge_limit):
     from seqtables_spark.pipeline.dedup import connected_components
 
     # a 7-node path: min label must walk the full diameter
     pairs = spark.createDataFrame(
         [(i, i + 1) for i in range(7, 0, -1)], "id_a long, id_b long"
     )
-    comp = {r["doc_id"]: r["cluster_id"] for r in connected_components(pairs).collect()}
+    comp = {
+        r["doc_id"]: r["cluster_id"]
+        for r in connected_components(
+            pairs, driver_edge_limit=driver_edge_limit
+        ).collect()
+    }
     assert set(comp.values()) == {1}
     assert len(comp) == 8
 
