@@ -707,6 +707,19 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return connected_components(pairs)
 
 
+def q_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy-dedup final output: the planted corpus with every
+    non-canonical near-duplicate removed (anti-join against the
+    cluster losers; docs in no pair always survive). Returns ids
+    only - the driver hashes values, and text equality is already
+    covered by the upstream queries."""
+    from seqtables_spark.pipeline.dedup import dedup_survivors
+
+    corpus = _planted_corpus(spark, sf_dir).select("doc_id")
+    pairs = q_ngram_jaccard(spark, sf_dir).select("id_a", "id_b")
+    return dedup_survivors(corpus, pairs).select("doc_id")
+
+
 def q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dedup (embedding cosine): all pairs with cosine >= 0.2 among
     the vec_id%10==0 slice (fixed-fold dot products, exact doubles)."""
@@ -1168,6 +1181,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "ngram_jaccard": q_ngram_jaccard,
         "dedup_clusters": q_dedup_clusters,
+        "dedup_survivors": q_dedup_survivors,
         "embedding_near_dups": q_embedding_near_dups,
         "multimodal_features": q_multimodal_features,
         "subsample": q_subsample,
@@ -1439,6 +1453,28 @@ reach(s, d) AS (
 )
 SELECT s AS doc_id, least(s, min(d)) AS cluster_id
 FROM reach GROUP BY s
+"""
+
+
+def _sql_dedup_survivors(k: int = 12, min_j: float = 0.4) -> str:
+    """Planted corpus minus the non-canonical cluster members: a doc
+    loses iff some reachable neighbor has a smaller id."""
+    return f"""
+WITH RECURSIVE {_sql_ngram_verified_cte(k, min_j)},
+edges AS (
+  SELECT id_a AS s, id_b AS d FROM verified
+  UNION
+  SELECT id_b AS s, id_a AS d FROM verified
+),
+reach(s, d) AS (
+  SELECT s, d FROM edges
+  UNION
+  SELECT r.s, e.d FROM reach r JOIN edges e ON r.d = e.s
+),
+losers AS (
+  SELECT s FROM reach GROUP BY s HAVING min(d) < s
+)
+SELECT doc_id FROM corpus WHERE doc_id NOT IN (SELECT s FROM losers)
 """
 
 
@@ -1957,6 +1993,7 @@ FROM scored GROUP BY 1, 2
     sqls["minhash_lsh_pairs"] = _sql_lsh_pairs()
     sqls["ngram_jaccard"] = _sql_ngram_jaccard()
     sqls["dedup_clusters"] = _sql_dedup_clusters()
+    sqls["dedup_survivors"] = _sql_dedup_survivors()
     sqls["embedding_near_dups"] = _sql_embedding_pairs()
     sqls["multimodal_features"] = _sql_multimodal()
 
