@@ -965,6 +965,7 @@ def q_streaming_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
     from seqtables_spark.streaming.ingest import windowed_event_counts
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
     for q in spark.streams.active:
         if q.name == "events_windowed_stream":
@@ -999,15 +1000,20 @@ def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Relational core: event-time bucketing + exact-cents aggregation
     (streaming-agg shape of SURVEY 2.8 run as a batch).
 
-    events.parquet stores TIMESTAMP(NANOS), which Spark rejects by
-    default; nanosAsLong reads it as int64 nanos and we truncate to
-    the hour with integer arithmetic (exact, no tz ambiguity)."""
+    Handles both testdata vintages: TIMESTAMP(NANOS) read as int64
+    via nanosAsLong (truncate with integer arithmetic - exact, no tz
+    ambiguity), or a native timestamp column (date_trunc; session tz
+    is UTC so it matches DuckDB's naive truncation)."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     ev = _t(spark, sf_dir, "events")
-    hour = F.date_format(
-        F.timestamp_seconds(F.floor(F.col("ts") / 3_600_000_000_000) * 3600),
-        "yyyy-MM-dd HH:mm:ss",
-    )
+    if dict(ev.dtypes).get("ts") in ("bigint", "int", "long"):
+        hour_ts = F.timestamp_seconds(
+            F.floor(F.col("ts") / 3_600_000_000_000) * 3600
+        )
+    else:
+        hour_ts = F.date_trunc("hour", F.col("ts"))
+    hour = F.date_format(hour_ts, "yyyy-MM-dd HH:mm:ss")
     return ev.groupBy(F.col("event_type"), hour.alias("hour")).agg(
         F.count(F.lit(1)).alias("n"),
         F.sum(F.round(F.col("value") * 100).cast("long")).alias("value_cents"),

@@ -88,7 +88,7 @@ def windowed_event_counts(
     window: str = "1 hour",
     watermark: str = "2 hours",
     key_cols: tuple[str, ...] = ("event_type",),
-    nanos: bool = True,
+    nanos: bool | None = None,
 ) -> DataFrame:
     """Watermarked event-time tumbling-window aggregation - the
     late-data pattern: rows later than `watermark` behind the max
@@ -98,7 +98,11 @@ def windowed_event_counts(
     stay open, so state is O(open windows), not O(stream).
 
     `nanos=True` treats ts as int64 nanoseconds (the
-    parquet TIMESTAMP(NANOS) + nanosAsLong read path)."""
+    parquet TIMESTAMP(NANOS) + nanosAsLong read path); `None`
+    auto-detects from the column's type (integral -> nanos)."""
+    if nanos is None:
+        dtype = dict(events_stream.dtypes).get(ts_col, "")
+        nanos = dtype in ("bigint", "int", "long")
     ts = (
         F.timestamp_seconds(F.col(ts_col) / 1e9)
         if nanos

@@ -57,6 +57,46 @@ def test_windowed_event_counts_matches_batch(spark, tmp_path):
     assert got == batch
 
 
+def test_windowed_event_counts_timestamp_column(spark, tmp_path):
+    """Auto-detect: a native timestamp ts column (the current
+    testdata vintage) must window identically to the int64-nanos
+    encoding of the same instants."""
+    base = datetime.datetime(2026, 1, 1, 0, 0, 0)
+    rows = [
+        (base + datetime.timedelta(minutes=13 * i), "click" if i % 2 else "view", float(i))
+        for i in range(60)
+    ]
+    df = spark.createDataFrame(rows, "ts timestamp, event_type string, value double")
+    path = str(tmp_path / "events_ts")
+    df.write.parquet(path)
+
+    stream = spark.readStream.schema("ts timestamp, event_type string, value double").parquet(path)
+    win = windowed_event_counts(stream, window="1 hour", watermark="2 hours")
+    q = (
+        win.writeStream.outputMode("update")
+        .format("memory")
+        .queryName("t_win_events_ts")
+        .start()
+    )
+    _drain(q)
+    got = {
+        (r["win"]["start"], r["event_type"]): (r["n"], r["value_cents"])
+        for r in spark.table("t_win_events_ts").collect()
+    }
+    batch = {
+        (r["win"]["start"], r["event_type"]): (r["n"], r["value_cents"])
+        for r in df.groupBy(
+            F.window(F.col("ts"), "1 hour").alias("win"), "event_type"
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.round(F.col("value") * 100).cast("long")).alias("value_cents"),
+        )
+        .collect()
+    }
+    assert got == batch
+
+
 def test_windowed_event_counts_drops_late_rows(spark, tmp_path):
     base = datetime.datetime(2026, 1, 1, 12, 0, 0)
     ns = lambda dt: int(dt.timestamp() * 1e9)  # noqa: E731
