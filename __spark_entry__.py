@@ -1112,6 +1112,116 @@ def q_top_orders_per_cust(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _nt_projection() -> F.Column:
+    """The deterministic char->ACGT projection of the 24-char prefix
+    as one translate() call (shared by translate/codon/motif queries)."""
+    printable = "".join(chr(i) for i in range(32, 127))
+    mapped = "".join("ACGT"[ord(c) % 4] for c in printable)
+    return F.translate("seq", printable, mapped)
+
+
+def q_pairwise_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J4 all-pairs hamming WITHIN a read set (the reference's four
+    pairwise_* kernels, numpy_ops.py:408-459) over the doc_id%20==0
+    slice — row-local fold per pair, no explode; the quadratic product
+    is the exact-verify kernel behind the LSH candidate pipeline."""
+    from seqtables_spark.operators.compare import pairwise_hamming
+
+    reads = (
+        _doc_reads(spark, sf_dir)
+        .filter(F.col("read_id").cast("long") % 20 == 0)
+        .select(F.col("read_id").cast("long").alias("read_id"), "seq")
+    )
+    return pairwise_hamming(reads, id_col="read_id", seq_col="seq")
+
+
+def q_seq_dist_ins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1 get_seq_dist(include_insertion_counts=True): letter counts
+    plus the '^' insertion-event pseudo-letter rows
+    (reference seqtables.py:905-918)."""
+    from seqtables_spark.operators.distribution import seq_dist_with_insertions
+
+    _, ins = _aligned(spark, sf_dir)
+    return seq_dist_with_insertions(
+        _doc_cells(spark, sf_dir),
+        ins.select(F.col("read_id"), "position", "base", "qual"),
+    )
+
+
+def q_insertion_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A11a get_insertion_events: #reads with >=1 insertion per
+    position (reference seqtables.py:1396-1420)."""
+    from seqtables_spark.operators.insertions import get_insertion_events
+
+    _, ins = _aligned(spark, sf_dir)
+    return get_insertion_events(ins)
+
+
+def q_codon_usage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar fns get_codons + nt_pos coordinate arithmetic: codon
+    usage counts by residue number over the ACGT projection
+    (library_utils.py:189-236)."""
+    from seqtables_spark.functions.dna import get_codons_expr, nt_pos_to_res_num
+
+    reads = _doc_reads(spark, sf_dir)
+    codons = reads.select(
+        F.posexplode(get_codons_expr(_nt_projection())).alias("idx", "codon")
+    )
+    # posexplode idx is 0-based -> codon start nt position 1,4,7,...
+    return codons.groupBy(
+        nt_pos_to_res_num(F.col("idx") * 3 + 1).alias("res_num"), "codon"
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+
+
+MOTIF = "ANTR"  # degenerate: A, any, T, A/G
+
+
+def q_motif_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar fn seq_to_regex (library_utils.py:154-161): degenerate-
+    base motif -> character-class regex, matched against the ACGT
+    projection; returns match/total counts."""
+    from seqtables_spark.functions.dna import seq_to_regex
+
+    reads = _doc_reads(spark, sf_dir)
+    pat = seq_to_regex(MOTIF)
+    return reads.select(
+        _nt_projection().rlike(pat).cast("int").alias("matched")
+    ).groupBy("matched").agg(F.count(F.lit(1)).alias("n"))
+
+
+def q_filter_reads_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S8 filter_reads QC split (custom_sam_utils.py:138-225): first-
+    failing-check reason per read over synthesized rname/flag columns,
+    plus a 'pass' row counting the good side."""
+    from seqtables_spark.sources.sam import filter_reads
+
+    sam = _sam_shaped(spark, sf_dir).withColumn(
+        "rname",
+        F.when(F.col("read_id").cast("long") % 13 == 0, F.lit("*"))
+        .when(F.col("read_id").cast("long") % 11 == 0, F.lit("phiX174"))
+        .when(F.col("read_id").cast("long") % 7 == 0, F.lit("chrM"))
+        .otherwise(F.lit("ref1")),
+    ).withColumn("flag", (F.col("read_id").cast("long") * 7) % 4096)
+    good, _bad, stats = filter_reads(sam, ignore_hits=["chrM"])
+    pass_row = good.groupBy().agg(F.count(F.lit(1)).alias("n")).select(
+        F.lit("pass").alias("error"), "n"
+    )
+    return stats.unionByName(pass_row)
+
+
+def q_tfidf_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text pipeline: corpus tf-idf — top 50 terms by summed
+    tf * ln((N+1)/(df+1)), deterministic tie-break on term."""
+    from seqtables_spark.pipeline.text import tfidf_terms
+
+    t = tfidf_terms(_wide(spark, _t(spark, sf_dir, "documents")))
+    return (
+        t.orderBy(F.desc("tfidf"), F.asc("term"))
+        .limit(50)
+        .select("term", "df", "tf", F.round("tfidf", 6).alias("tfidf"))
+    )
+
+
 # Prepared-plan cache: query functions are pure builders (SparkSession,
 # sf_dir) -> DataFrame, so the analyzed DataFrame is reusable across
 # calls within one session — the same prepared-statement reuse a SQL
@@ -1202,6 +1312,13 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh": q_ann_lsh,
         "ann_ivf": q_ann_ivf,
         "insilico_library": q_insilico_library,
+        "pairwise_hamming": q_pairwise_hamming,
+        "seq_dist_ins": q_seq_dist_ins,
+        "insertion_events": q_insertion_events,
+        "codon_usage": q_codon_usage,
+        "motif_search": q_motif_search,
+        "filter_reads_stats": q_filter_reads_stats,
+        "tfidf_terms": q_tfidf_terms,
         "streaming_events": q_streaming_events,
         "streaming_windowed": q_streaming_windowed,
         "events_hourly": q_events_hourly,
@@ -2127,6 +2244,97 @@ SELECT o_custkey, o_orderkey, rk FROM (
                             ORDER BY o_totalprice DESC, o_orderkey ASC) AS rk
   FROM orders
 ) WHERE rk <= 3
+"""
+
+    sqls["pairwise_hamming"] = f"""
+WITH {_SQL_DOC_SEQ},
+sub AS (SELECT doc_id, seq FROM doc_seq WHERE doc_id % 20 = 0)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(len(list_filter(generate_series(1, {W}),
+            i -> substring(a.seq, CAST(i AS INTEGER), 1)
+                 <> substring(b.seq, CAST(i AS INTEGER), 1))) AS BIGINT) AS dist
+FROM sub a JOIN sub b ON a.doc_id < b.doc_id
+"""
+
+    sqls["seq_dist_ins"] = f"""
+WITH {_sql_ins_cte},
+doc_cells AS (
+  SELECT doc_id, CAST(i AS BIGINT) AS position,
+         substring(seq, CAST(i AS INTEGER), 1) AS base
+  FROM (SELECT doc_id, seq, unnest(generate_series(1, {W})) AS i FROM doc_seq)
+)
+SELECT position, base, count(*) AS cnt FROM doc_cells GROUP BY position, base
+UNION ALL
+SELECT CAST(position AS BIGINT) AS position, '^' AS base,
+       count(DISTINCT doc_id) AS cnt
+FROM ins GROUP BY position
+"""
+
+    sqls["insertion_events"] = f"""
+WITH {_sql_ins_cte}
+SELECT CAST(position AS BIGINT) AS position, count(DISTINCT doc_id) AS n_reads
+FROM ins GROUP BY position
+"""
+
+    sqls["codon_usage"] = f"""
+WITH {_SQL_DOC_SEQ},
+nt_seq AS (SELECT doc_id, {nt_concat} AS nt FROM doc_seq),
+codons AS (
+  SELECT CAST(j + 1 AS BIGINT) AS res_num,
+         substring(nt, CAST(j * 3 + 1 AS INTEGER), 3) AS codon
+  FROM nt_seq, (SELECT unnest(generate_series(0, {W // 3 - 1})) AS j)
+)
+SELECT res_num, codon, count(*) AS cnt FROM codons GROUP BY res_num, codon
+"""
+
+    # seq_to_regex("ANTR") = A[ACGT]T[AG]
+    sqls["motif_search"] = f"""
+WITH {_SQL_DOC_SEQ},
+nt_seq AS (SELECT doc_id, {nt_concat} AS nt FROM doc_seq)
+SELECT CAST(regexp_matches(nt, 'A[ACGT]T[AG]') AS INTEGER) AS matched,
+       count(*) AS n
+FROM nt_seq GROUP BY 1
+"""
+
+    sqls["filter_reads_stats"] = """
+WITH synth AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 13 = 0 THEN '*'
+              WHEN doc_id % 11 = 0 THEN 'phiX174'
+              WHEN doc_id % 7 = 0 THEN 'chrM'
+              ELSE 'ref1' END AS rname,
+         (doc_id * 7) % 4096 AS flag,
+         doc_id % 4 AS m
+  FROM documents
+),
+tagged AS (
+  SELECT CASE WHEN rname = '*' THEN 'unmapped'
+              WHEN rname = 'chrM' THEN 'ignored_reference'
+              WHEN lower(rname) LIKE '%phix%' THEN 'phix'
+              WHEN (flag & 516) <> 0 THEN 'flag'
+              WHEN m IN (2, 3) THEN 'indels'
+              ELSE 'pass' END AS error
+  FROM synth
+)
+SELECT error, count(*) AS n FROM tagged GROUP BY error
+"""
+
+    sqls["tfidf_terms"] = """
+WITH tok AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]{2,}')) AS term
+  FROM documents
+),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term),
+per_term AS (
+  SELECT term, count(*) AS df, CAST(sum(tf) AS BIGINT) AS tf_total
+  FROM tf GROUP BY term
+),
+n AS (SELECT count(*) AS n_docs FROM documents)
+SELECT term, df, tf_total AS tf,
+       round(tf_total * ln((n_docs + 1.0) / (df + 1.0)), 6) AS tfidf
+FROM per_term, n
+ORDER BY tf_total * ln((n_docs + 1.0) / (df + 1.0)) DESC, term ASC
+LIMIT 50
 """
 
     return sqls

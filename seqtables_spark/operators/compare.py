@@ -165,6 +165,44 @@ def hamming_distance(
     return agg.select("read_id", "ref_id", F.col("mismatches").alias("dist"))
 
 
+def pairwise_hamming(
+    reads: DataFrame,
+    id_col: str = "read_id",
+    seq_col: str = "seq",
+    normalized: bool = False,
+) -> DataFrame:
+    """All-pairs hamming distance WITHIN one read set (reference J4:
+    pairwise_tensor_dot / pairwise_einsum_dot / pairwise_base_comparison
+    / pairwise_scipy_cdist, numpy_ops.py:408-459 — four physical
+    kernels for one logical op; Spark picks the plan here).
+
+    Row-local formulation: the self-join carries whole fixed-width
+    strings and each pair's distance is a per-row fold over character
+    positions — no explode to cells, so the join output is N*(N-1)/2
+    rows instead of N^2*P cells. At scale the all-pairs product is
+    inherently quadratic; the engine's LSH/banding pipeline
+    (pipeline/dedup.py) is the documented candidate-pruning path, and
+    this exact kernel is what verifies its candidates.
+
+    Returns DF(id_a, id_b, dist) with id_a < id_b; dist = count of
+    differing positions over the common prefix width (double fraction
+    of width when normalized).
+    """
+    a = reads.select(F.col(id_col).alias("id_a"), F.col(seq_col).alias("_sa"))
+    b = reads.select(F.col(id_col).alias("id_b"), F.col(seq_col).alias("_sb"))
+    pairs = a.join(b, F.col("id_a") < F.col("id_b"))
+    width = F.least(F.length("_sa"), F.length("_sb"))
+    sa, sb = F.col("_sa"), F.col("_sb")
+    mismatches = F.size(
+        F.filter(
+            F.sequence(F.lit(1), width),
+            lambda i: sa.substr(i, F.lit(1)) != sb.substr(i, F.lit(1)),
+        )
+    ).cast("long")
+    dist = (mismatches / width).alias("dist") if normalized else mismatches.alias("dist")
+    return pairs.select("id_a", "id_b", dist)
+
+
 def mutation_profile(
     cells: DataFrame,
     refs: DataFrame | Sequence[str] | dict[str, str],

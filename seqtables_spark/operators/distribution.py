@@ -118,6 +118,32 @@ def consensus(
     )
 
 
+def seq_dist_with_insertions(
+    cells: DataFrame,
+    insertions: DataFrame,
+    positions: Sequence[int] | None = None,
+    ignore_characters: Sequence[str] = (),
+    ins_letter: str = "^",
+) -> DataFrame:
+    """A1 get_seq_dist(include_insertion_counts=True): the per-position
+    letter counts with insertion-event counts appended as the
+    pseudo-letter '^' (reference seqtables.py:905-918 — one extra row
+    per position counting reads that carry >= 1 insertion there).
+
+    Both branches are partial-aggregated before their union, so the
+    combined shuffle stays |positions| x (|alphabet|+1) rows."""
+    counts = seq_dist(
+        cells, "counts", positions=positions, ignore_characters=ignore_characters
+    )
+    ins = insertions
+    if positions is not None:
+        ins = ins.filter(F.col("position").isin(list(positions)))
+    ins_counts = ins.groupBy("position").agg(
+        F.countDistinct("read_id").alias("cnt")
+    ).select("position", F.lit(ins_letter).alias("base"), "cnt")
+    return counts.unionByName(ins_counts)
+
+
 def consensus_string(cells: DataFrame, modecutoff: float = 0.5, fill: str = "N") -> str:
     """Driver-side convenience: assemble the consensus into one string
     (ordered by position). Fine because the result is |positions| long."""

@@ -115,6 +115,42 @@ def language_id(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     return out.drop(*[f"_s_{l}" for l in langs])
 
 
+def tfidf_terms(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_len: int = 2,
+) -> DataFrame:
+    """Corpus-level tf-idf term table: per term, document frequency,
+    total term frequency and summed tf-idf (tf * ln((N+1)/(df+1))).
+
+    Shape for scale: tokenization + per-doc tf is one map-side
+    explode+partial-agg; the only full shuffle carries (term) keys
+    already combined per partition. N arrives via a broadcast
+    one-row aggregate, never a driver collect. Returns
+    DF(term, df bigint, tf bigint, tfidf double)."""
+    tok = df.select(
+        F.col(id_col).alias("_id"),
+        F.explode(
+            F.regexp_extract_all(
+                F.lower(F.col(text_col)), F.lit(rf"[a-z]{{{min_len},}}"), 0
+            )
+        ).alias("term"),
+    )
+    tf = tok.groupBy("_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    per_term = tf.groupBy("term").agg(
+        F.count(F.lit(1)).alias("df"),
+        F.sum("tf").alias("tf_total"),
+    )
+    n_docs = df.groupBy().agg(F.count(F.lit(1)).alias("_n"))
+    return per_term.crossJoin(F.broadcast(n_docs)).select(
+        "term",
+        "df",
+        F.col("tf_total").alias("tf"),
+        (F.col("tf_total") * F.log((F.col("_n") + 1) / (F.col("df") + 1))).alias("tfidf"),
+    )
+
+
 def document_fingerprint(
     df: DataFrame, k: int = 5, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:

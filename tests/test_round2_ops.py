@@ -1,0 +1,83 @@
+"""Round-2 operators: pairwise hamming (J4), A1 insertion-count
+pseudo-letter, tf-idf, and the filter_reads stats path — all on
+hand-computed fixtures."""
+
+from pyspark.sql import functions as F
+
+from seqtables_spark import from_list
+from seqtables_spark.operators.compare import pairwise_hamming
+from seqtables_spark.operators.distribution import seq_dist_with_insertions
+from seqtables_spark.pipeline.text import tfidf_terms
+from seqtables_spark.sources.sam import filter_reads
+
+
+def test_pairwise_hamming(spark):
+    reads = spark.createDataFrame(
+        [(1, "ACGT"), (2, "ACGA"), (3, "TCGA")], "read_id long, seq string"
+    )
+    got = {
+        (r["id_a"], r["id_b"]): r["dist"]
+        for r in pairwise_hamming(reads).collect()
+    }
+    # ACGT vs ACGA: 1; ACGT vs TCGA: 2; ACGA vs TCGA: 1
+    assert got == {(1, 2): 1, (1, 3): 2, (2, 3): 1}
+
+
+def test_pairwise_hamming_normalized(spark):
+    reads = spark.createDataFrame(
+        [(1, "AAAA"), (2, "AATT")], "read_id long, seq string"
+    )
+    [row] = pairwise_hamming(reads, normalized=True).collect()
+    assert row["dist"] == 0.5
+
+
+def test_seq_dist_with_insertions(spark):
+    st = from_list(spark, ["AC", "AG"])
+    ins = spark.createDataFrame(
+        [("1", 2, -1, "T", 30), ("1", 2, -2, "T", 30), ("2", 1, -1, "G", 20)],
+        "read_id string, position long, loc_ins int, base string, qual int",
+    )
+    rows = {
+        (r["position"], r["base"]): r["cnt"]
+        for r in seq_dist_with_insertions(st.cells(), ins).collect()
+    }
+    # read 1 has TWO insertions at position 2 but counts ONCE (events
+    # count reads, not bases — reference seqtables.py:1396-1420)
+    assert rows[(2, "^")] == 1
+    assert rows[(1, "^")] == 1
+    assert rows[(1, "A")] == 2
+    assert rows[(2, "C")] == 1
+    assert rows[(2, "G")] == 1
+
+
+def test_tfidf_terms(spark):
+    docs = spark.createDataFrame(
+        [(1, "alpha beta beta"), (2, "alpha gamma")],
+        "doc_id long, text string",
+    )
+    t = {r["term"]: r for r in tfidf_terms(docs).collect()}
+    # alpha appears in both docs -> idf = ln(3/3) = 0 -> tfidf 0
+    assert t["alpha"]["df"] == 2 and t["alpha"]["tfidf"] == 0.0
+    assert t["beta"]["df"] == 1 and t["beta"]["tf"] == 2
+    assert t["beta"]["tfidf"] > t["gamma"]["tfidf"] > 0
+
+
+def test_filter_reads_first_reason_wins(spark):
+    # a read that is unmapped AND has indels reports 'unmapped'
+    sam = spark.createDataFrame(
+        [
+            ("r1", 0, "*", 1, "10M2I3M", "ACGT", "IIII"),
+            ("r2", 0, "phiX174", 1, "4M", "ACGT", "IIII"),
+            ("r3", 512, "ref1", 1, "4M", "ACGT", "IIII"),
+            ("r4", 0, "ref1", 1, "2M1D2M", "ACGT", "IIII"),
+            ("r5", 0, "ref1", 1, "4M", "ACGT", "IIII"),
+        ],
+        "read_id string, flag int, rname string, pos long, cigar string, seq string, qual string",
+    )
+    good, bad, stats = filter_reads(sam)
+    reasons = {r["read_id"]: r["error"] for r in bad.collect()}
+    assert reasons == {"r1": "unmapped", "r2": "phix", "r3": "flag", "r4": "indels"}
+    assert [r["read_id"] for r in good.collect()] == ["r5"]
+    assert {r["error"]: r["n"] for r in stats.collect()} == {
+        "unmapped": 1, "phix": 1, "flag": 1, "indels": 1,
+    }
