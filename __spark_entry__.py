@@ -946,14 +946,22 @@ def q_streaming_events(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.round(F.col("value") * 100).cast("long")).alias("value_cents"),
         )
     )
-    query = (
-        stream.writeStream.outputMode("complete")
-        .format("memory")
-        .queryName("events_agg_stream")
-        .trigger(availableNow=True)
-        .start()
-    )
-    query.awaitTermination()
+    # state-store instances = shuffle partitions AT QUERY START; the
+    # final agg holds |event_type| rows, so 32 stores is pure per-batch
+    # task overhead — pin the stream to 4 and restore the batch conf
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        query = (
+            stream.writeStream.outputMode("complete")
+            .format("memory")
+            .queryName("events_agg_stream")
+            .trigger(availableNow=True)
+            .start()
+        )
+        query.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
     return spark.table("events_agg_stream")
 
 
@@ -976,14 +984,21 @@ def q_streaming_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
         .parquet(sf_dir)
     )
     win = windowed_event_counts(stream, window="1 hour", watermark="2 hours")
-    query = (
-        win.writeStream.outputMode("update")
-        .format("memory")
-        .queryName("events_windowed_stream")
-        .trigger(availableNow=True)
-        .start()
-    )
-    query.awaitTermination()
+    # see q_streaming_events: few thousand window-key state rows don't
+    # need 32 state stores; 4 cuts per-micro-batch task overhead
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        query = (
+            win.writeStream.outputMode("update")
+            .format("memory")
+            .queryName("events_windowed_stream")
+            .trigger(availableNow=True)
+            .start()
+        )
+        query.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
     tbl = spark.table("events_windowed_stream")
     # update mode re-emits a window each batch it changes: keep the
     # freshest emission (max n) per (window, key)
