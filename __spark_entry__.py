@@ -926,6 +926,42 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming stateful exact-dedup (dropDuplicates state machine):
+    first-seen row per (lang, 8-char text prefix) over the document
+    stream, then survivors per lang. The dedup KEY includes lang so
+    which-row-arrived-first never affects the counted result."""
+    from seqtables_spark.streaming.ingest import streaming_dedup
+
+    schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
+    for q in spark.streams.active:
+        if q.name == "doc_dedup_stream":
+            q.stop()
+    stream = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+        .select("lang", F.substring("text", 1, 8).alias("pfx"))
+    )
+    deduped = streaming_dedup(stream, ["lang", "pfx"])
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        query = (
+            deduped.writeStream.outputMode("append")
+            .format("memory")
+            .queryName("doc_dedup_stream")
+            .trigger(availableNow=True)
+            .start()
+        )
+        query.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    return spark.table("doc_dedup_stream").groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_unique")
+    )
+
+
 def q_streaming_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SURVEY 2.8: the chunked-iterator pattern as Structured
     Streaming - file-source stream over the events parquet, complete-
@@ -1246,7 +1282,7 @@ def q_tfidf_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
 # NOT cached: their work happens inside the builder (running the
 # micro-batch drain), so reuse would skip real execution.
 _plan_cache: dict = {}
-_PLAN_CACHE_EXCLUDE = {"streaming_events", "streaming_windowed"}
+_PLAN_CACHE_EXCLUDE = {"streaming_events", "streaming_windowed", "streaming_dedup"}
 
 
 def _prepared(name: str, fn: Callable) -> Callable:
@@ -1336,6 +1372,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_terms": q_tfidf_terms,
         "streaming_events": q_streaming_events,
         "streaming_windowed": q_streaming_windowed,
+        "streaming_dedup": q_streaming_dedup,
         "events_hourly": q_events_hourly,
         "pricing_summary": q_pricing_summary,
         "revenue_by_nation": q_revenue_by_nation,
@@ -2332,6 +2369,11 @@ tagged AS (
   FROM synth
 )
 SELECT error, count(*) AS n FROM tagged GROUP BY error
+"""
+
+    sqls["streaming_dedup"] = """
+SELECT lang, count(DISTINCT substring(text, 1, 8)) AS n_unique
+FROM documents GROUP BY lang
 """
 
     sqls["tfidf_terms"] = """

@@ -1,0 +1,48 @@
+"""Skew mitigation: salted equi-join.
+
+AQE's skew-join splitting (spark.sql.adaptive.skewJoin) handles most
+hot keys at runtime; this explicit variant is for the cases AQE can't
+touch — a build side too big to broadcast joined on a key where one
+value dominates (classic at 100 TB: the empty-string / null-ish
+sentinel key, the one mega-document cluster). Salting splits each hot
+key's rows across `n_salts` reducers at the cost of replicating the
+small side n_salts times.
+
+Deterministic by construction: the big side's salt comes from a hash
+of its OWN columns (not rand()), so retried tasks produce identical
+output — a requirement for Spark's task-retry model on a real
+cluster (a rand() salt can duplicate/lose rows when a stage retries
+under shuffle-fetch failure).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def salted_join(
+    big: DataFrame,
+    small: DataFrame,
+    on: Sequence[str],
+    n_salts: int = 8,
+    how: str = "inner",
+) -> DataFrame:
+    """Equi-join `big ⋈ small` on `on`, with the shuffle key widened
+    to (on..., salt) so a skewed key spreads over n_salts partitions.
+
+    The small side is replicated n_salts times via a literal
+    explode (rows x n_salts — keep it to true dimension tables);
+    the big side computes salt = pmod(xxhash64(all columns), n_salts)
+    row-locally. Result columns = big's then small's non-key columns,
+    exactly like a plain df.join(small, on)."""
+    on = list(on)
+    salts = F.explode(
+        F.sequence(F.lit(0), F.lit(int(n_salts) - 1))
+    ).alias("_salt")
+    small_rep = small.select("*", salts)
+    big_salted = big.withColumn(
+        "_salt", F.pmod(F.xxhash64(*[F.col(c) for c in big.columns]), F.lit(int(n_salts))).cast("int")
+    )
+    return big_salted.join(small_rep, on + ["_salt"], how).drop("_salt")

@@ -17,6 +17,7 @@ cannot maintain incrementally in update mode: running consensus
 from __future__ import annotations
 
 import json
+from collections.abc import Sequence
 from typing import Iterator
 
 import pandas as pd
@@ -117,6 +118,27 @@ def windowed_event_counts(
         F.count(F.lit(1)).alias("n"),
         F.sum(F.round(F.col("value") * 100).cast("long")).alias("value_cents"),
     )
+
+
+def streaming_dedup(
+    stream: DataFrame,
+    keys: Sequence[str],
+    watermark: tuple[str, str] | None = None,
+) -> DataFrame:
+    """Stateful streaming exact-dedup: emit only the FIRST row seen
+    per key (Spark's dropDuplicates state machine - state is one entry
+    per distinct key). The batch twin is `pipeline/dedup.exact_dedup`.
+
+    Without a watermark the key state grows with distinct keys
+    forever; pass watermark=(ts_col, delay) to switch to
+    dropDuplicatesWithinWatermark so keys older than the delay are
+    evicted - the form a continuous 100 TB ingest must use."""
+    if watermark is not None:
+        ts_col, delay = watermark
+        return stream.withWatermark(ts_col, delay).dropDuplicatesWithinWatermark(
+            list(keys)
+        )
+    return stream.dropDuplicates(list(keys))
 
 
 CONSENSUS_OUTPUT_SCHEMA = (

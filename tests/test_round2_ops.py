@@ -81,3 +81,57 @@ def test_filter_reads_first_reason_wins(spark):
     assert {r["error"]: r["n"] for r in stats.collect()} == {
         "unmapped": 1, "phix": 1, "flag": 1, "indels": 1,
     }
+
+
+def test_salted_join_matches_plain_join(spark):
+    from seqtables_spark.operators.skew import salted_join
+
+    big = spark.createDataFrame(
+        [(i, i % 3) for i in range(100)], "row_id long, k int"
+    )
+    dim = spark.createDataFrame(
+        [(0, "a"), (1, "b"), (2, "c")], "k int, label string"
+    )
+    got = sorted(
+        (r["row_id"], r["label"])
+        for r in salted_join(big, dim, ["k"], n_salts=4).collect()
+    )
+    want = sorted(
+        (r["row_id"], r["label"]) for r in big.join(dim, "k").collect()
+    )
+    assert got == want
+
+
+def test_salted_join_widens_the_shuffle_key(spark):
+    from seqtables_spark.operators.skew import salted_join
+
+    big = spark.createDataFrame([(i, 0) for i in range(10)], "row_id long, k int")
+    dim = spark.createDataFrame([(0, "a")], "k int, label string")
+    plan = salted_join(big, dim, ["k"], n_salts=4)._jdf.queryExecution().executedPlan().toString()
+    assert "_salt" in plan  # the join key carries the salt
+
+
+def test_streaming_dedup_keeps_first_per_key(spark, tmp_path):
+    from seqtables_spark.streaming.ingest import streaming_dedup
+
+    df = spark.createDataFrame(
+        [(1, "x"), (2, "x"), (3, "y"), (4, "y"), (5, "z")],
+        "row_id long, key string",
+    )
+    path = str(tmp_path / "dedup_in")
+    df.write.parquet(path)
+    stream = spark.readStream.schema("row_id long, key string").parquet(path)
+    q = (
+        streaming_dedup(stream, ["key"])
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("t_dedup_stream")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    rows = spark.table("t_dedup_stream").collect()
+    assert len(rows) == 3  # one survivor per distinct key
+    assert sorted(r["key"] for r in rows) == ["x", "y", "z"]
