@@ -1260,6 +1260,23 @@ def q_filter_reads_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stats.unionByName(pass_row)
 
 
+def q_consensus_ins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2 get_consensus(include_insertions=True): modal letter per
+    (position, loc_ins) slot over the insertion-interleaved view,
+    gap-consensus insertion slots dropped
+    (exclude_insertions_with_gap_cons). Restricted to the doc_id%12==3
+    cohort where every read carries the position-9 insertion, so the
+    insertion slots actually survive the gap gate."""
+    from seqtables_spark.operators.insertions import consensus_with_insertions
+
+    cohort = F.col("read_id").cast("long") % 12 == 3
+    cells = _doc_cells(spark, sf_dir).filter(cohort)
+    _, ins = _aligned(spark, sf_dir)
+    return consensus_with_insertions(
+        cells, ins.filter(cohort), positions=[9, 10, 11]
+    )
+
+
 def q_tfidf_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Text pipeline: corpus tf-idf — top 50 terms by summed
     tf * ln((N+1)/(df+1)), deterministic tie-break on term."""
@@ -1369,6 +1386,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "codon_usage": q_codon_usage,
         "motif_search": q_motif_search,
         "filter_reads_stats": q_filter_reads_stats,
+        "consensus_ins": q_consensus_ins,
         "tfidf_terms": q_tfidf_terms,
         "streaming_events": q_streaming_events,
         "streaming_windowed": q_streaming_windowed,
@@ -2369,6 +2387,43 @@ tagged AS (
   FROM synth
 )
 SELECT error, count(*) AS n FROM tagged GROUP BY error
+"""
+
+    sqls["consensus_ins"] = f"""
+WITH {_sql_ins_cte},
+sub_ins AS (
+  SELECT doc_id, position, loc_ins, base FROM ins
+  WHERE doc_id % 12 = 3 AND position BETWEEN 9 AND 11
+),
+mat AS (
+  SELECT CAST(i AS BIGINT) AS position, CAST(0 AS INTEGER) AS loc_ins,
+         substring(seq, CAST(i AS INTEGER), 1) AS base
+  FROM (SELECT doc_id, seq, unnest(generate_series(9, 11)) AS i
+        FROM doc_seq WHERE doc_id % 12 = 3)
+),
+v AS (
+  SELECT position, loc_ins, base FROM mat
+  UNION ALL
+  SELECT CAST(position AS BIGINT), CAST(loc_ins AS INTEGER), base FROM sub_ins
+),
+counts AS (
+  SELECT position, loc_ins, base, count(*) AS cnt
+  FROM v GROUP BY position, loc_ins, base
+),
+ranked AS (
+  SELECT position, loc_ins, base, cnt,
+         row_number() OVER (PARTITION BY position, loc_ins
+                            ORDER BY cnt DESC, base ASC) AS rk,
+         sum(cnt) OVER (PARTITION BY position, loc_ins) AS total
+  FROM counts
+),
+cons AS (
+  SELECT position, loc_ins,
+         CASE WHEN cnt <= total * 0.5 THEN 'N' ELSE base END AS consensus_base
+  FROM ranked WHERE rk = 1
+)
+SELECT position, loc_ins, consensus_base FROM cons
+WHERE loc_ins = 0 OR consensus_base <> '-'
 """
 
     sqls["streaming_dedup"] = """

@@ -165,3 +165,58 @@ def view_with_insertions(
         .withColumn("base", F.coalesce(F.col("base"), F.lit(ins_gap)))
     )
     return base_rows.unionByName(filled)
+
+
+def consensus_with_insertions(
+    cells: DataFrame,
+    insertions: DataFrame,
+    modecutoff: float = 0.5,
+    positions: Sequence[int] | None = None,
+    min_ins_count: int = 0,
+    fill: str = "N",
+    exclude_insertions_with_gap_cons: bool = True,
+) -> DataFrame:
+    """A2 get_consensus(include_insertions=True), reference
+    seqtables.py:1512-1553: consensus over the insertion-interleaved
+    view — one modal letter per (position, loc_ins) slot, the
+    modecutoff fallback applying to matrix slots exactly as in the
+    plain consensus, and (by default) insertion slots whose consensus
+    IS the gap dropped from the output
+    (exclude_insertions_with_gap_cons).
+
+    Sorting (position, loc_ins) reproduces the reference's
+    column-interleaved consensus string. The aggregation input is the
+    widened long view, so the shuffle carries the collapsed
+    (slot, letter) distribution only.
+
+    Returns DF(position, loc_ins, consensus_base).
+    """
+    v = view_with_insertions(
+        cells,
+        insertions,
+        positions=positions,
+        min_ins_count=min_ins_count,
+        lowercase_insertions=False,
+    )
+    counts = v.groupBy("position", "loc_ins", "base").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    per_slot = counts.groupBy("position", "loc_ins").agg(
+        F.expr("max_by(base, struct(cnt, -ascii(base)))").alias("mode_base"),
+        F.max("cnt").alias("mode_cnt"),
+        F.sum("cnt").alias("total"),
+    )
+    cons = per_slot.select(
+        "position",
+        "loc_ins",
+        F.when(
+            F.col("mode_cnt") <= F.col("total") * F.lit(modecutoff), F.lit(fill)
+        )
+        .otherwise(F.col("mode_base"))
+        .alias("consensus_base"),
+    )
+    if exclude_insertions_with_gap_cons:
+        cons = cons.filter(
+            (F.col("loc_ins") == 0) | (F.col("consensus_base") != "-")
+        )
+    return cons

@@ -135,3 +135,22 @@ def test_streaming_dedup_keeps_first_per_key(spark, tmp_path):
     rows = spark.table("t_dedup_stream").collect()
     assert len(rows) == 3  # one survivor per distinct key
     assert sorted(r["key"] for r in rows) == ["x", "y", "z"]
+
+
+def test_consensus_with_insertions(spark):
+    from seqtables_spark import from_list
+    from seqtables_spark.operators.insertions import consensus_with_insertions
+
+    # 3 reads; all share base consensus 'AC'; 2 of 3 carry a 'T'
+    # insertion left of position 2 -> insertion slot consensus 'T';
+    # a second slot (-2) exists on only 1 read -> gap consensus, dropped
+    st = from_list(spark, ["AC", "AC", "AC"])
+    ins = spark.createDataFrame(
+        [("1", 2, -1, "T", 30), ("2", 2, -1, "T", 30), ("1", 2, -2, "G", 30)],
+        "read_id string, position long, loc_ins int, base string, qual int",
+    )
+    got = {
+        (r["position"], r["loc_ins"]): r["consensus_base"]
+        for r in consensus_with_insertions(st.cells(), ins).collect()
+    }
+    assert got == {(1, 0): "A", (2, 0): "C", (2, -1): "T"}
