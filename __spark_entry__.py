@@ -683,16 +683,34 @@ def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _lsh_candidates(spark, sf_dir)
 
 
+_verified_pairs_cache: dict = {}
+
+
+def _verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-then-verify output, persisted per (session x sf_dir): the
+    verified pair list feeds THREE queries (ngram_jaccard,
+    dedup_clusters, dedup_survivors), and the verify re-shingles the
+    candidate docs each time - one materialization serves all."""
+    from seqtables_spark.pipeline.dedup import ngram_jaccard_pairs
+
+    entry_ = _verified_pairs_cache.get(sf_dir)
+    if entry_ is None or entry_[0] is not spark:
+        corpus = _planted_corpus(spark, sf_dir)
+        cand = _lsh_candidates(spark, sf_dir)
+        pairs = ngram_jaccard_pairs(
+            corpus, k=12, min_jaccard=0.4, candidates=cand
+        ).persist()
+        entry_ = (spark, pairs)
+        _verified_pairs_cache[sf_dir] = entry_
+    return entry_[1]
+
+
 def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dedup (n-gram Jaccard): LSH-then-verify - exact 12-gram Jaccard
     >= 0.4 computed only for the MinHash band candidates (the
     inverted-index all-pairs join is quadratic in posting lists; the
     candidate-restricted verify is the shape that scales)."""
-    from seqtables_spark.pipeline.dedup import ngram_jaccard_pairs
-
-    corpus = _planted_corpus(spark, sf_dir)
-    cand = _lsh_candidates(spark, sf_dir)
-    pairs = ngram_jaccard_pairs(corpus, k=12, min_jaccard=0.4, candidates=cand)
+    pairs = _verified_pairs(spark, sf_dir)
     return pairs.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
 
 
@@ -703,7 +721,7 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle is a recursive transitive closure."""
     from seqtables_spark.pipeline.dedup import connected_components
 
-    pairs = q_ngram_jaccard(spark, sf_dir).select("id_a", "id_b")
+    pairs = _verified_pairs(spark, sf_dir).select("id_a", "id_b")
     return connected_components(pairs)
 
 
@@ -716,7 +734,7 @@ def q_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     from seqtables_spark.pipeline.dedup import dedup_survivors
 
     corpus = _planted_corpus(spark, sf_dir).select("doc_id")
-    pairs = q_ngram_jaccard(spark, sf_dir).select("id_a", "id_b")
+    pairs = _verified_pairs(spark, sf_dir).select("id_a", "id_b")
     return dedup_survivors(corpus, pairs).select("doc_id")
 
 
@@ -1260,6 +1278,23 @@ def q_filter_reads_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stats.unionByName(pass_row)
 
 
+def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: 13-gram overlap of every corpus doc
+    (doc_id%100!=0) against the held-out eval slice (doc_id%100==0) —
+    the standard pre-training contamination test; eval grams broadcast,
+    corpus streamed once."""
+    from seqtables_spark.pipeline.dedup import contamination_check
+
+    docs = _wide(spark, _t(spark, sf_dir, "documents"))
+    corpus = docs.filter(F.col("doc_id") % 100 != 0)
+    eval_set = docs.filter(F.col("doc_id") % 100 == 0)
+    c = contamination_check(corpus, eval_set, k=13)
+    return c.filter(F.col("n_contaminated") > 0).select(
+        "doc_id", "n_grams", "n_contaminated",
+        F.round("contamination", 6).alias("contamination"),
+    )
+
+
 def q_consensus_ins(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A2 get_consensus(include_insertions=True): modal letter per
     (position, loc_ins) slot over the insertion-interleaved view,
@@ -1387,6 +1422,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "motif_search": q_motif_search,
         "filter_reads_stats": q_filter_reads_stats,
         "consensus_ins": q_consensus_ins,
+        "contamination": q_contamination,
         "tfidf_terms": q_tfidf_terms,
         "streaming_events": q_streaming_events,
         "streaming_windowed": q_streaming_windowed,
@@ -2424,6 +2460,35 @@ cons AS (
 )
 SELECT position, loc_ins, consensus_base FROM cons
 WHERE loc_ins = 0 OR consensus_base <> '-'
+"""
+
+    sqls["contamination"] = """
+WITH eval_grams AS (
+  SELECT DISTINCT substring(t, CAST(i AS INTEGER), 13) AS gram
+  FROM (
+    SELECT lower(text) AS t,
+           unnest(generate_series(1, length(text) - 12)) AS i
+    FROM documents WHERE doc_id % 100 = 0 AND length(text) >= 13
+  )
+),
+doc_grams AS (
+  SELECT DISTINCT doc_id, substring(t, CAST(i AS INTEGER), 13) AS gram
+  FROM (
+    SELECT doc_id, lower(text) AS t,
+           unnest(generate_series(1, length(text) - 12)) AS i
+    FROM documents WHERE doc_id % 100 <> 0 AND length(text) >= 13
+  )
+),
+scored AS (
+  SELECT d.doc_id, count(*) AS n_grams,
+         sum(CASE WHEN e.gram IS NOT NULL THEN 1 ELSE 0 END) AS n_contaminated
+  FROM doc_grams d LEFT JOIN eval_grams e ON d.gram = e.gram
+  GROUP BY d.doc_id
+)
+SELECT doc_id, n_grams,
+       CAST(n_contaminated AS BIGINT) AS n_contaminated,
+       round(n_contaminated / CAST(n_grams AS DOUBLE), 6) AS contamination
+FROM scored WHERE n_contaminated > 0
 """
 
     sqls["streaming_dedup"] = """

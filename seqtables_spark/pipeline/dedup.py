@@ -469,3 +469,47 @@ def ngram_jaccard_pairs(
         )
         .filter(F.col("jaccard") >= min_jaccard)
     )
+
+
+def contamination_check(
+    corpus: DataFrame,
+    eval_set: DataFrame,
+    k: int = 13,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Benchmark decontamination: per corpus document, how many of its
+    character k-grams appear ANYWHERE in the eval set (the standard
+    13-gram-overlap contamination test run before training on a
+    scraped corpus).
+
+    Scale shape: the eval set's distinct grams form the small side -
+    exploded, deduped, and BROADCAST; the corpus side stays row-local
+    until a semi-style left join per exploded gram, then partial-aggs
+    back to one row per doc. The corpus is the big side and is
+    streamed once; nothing quadratic, no corpus-side shuffle beyond
+    the per-doc re-aggregation.
+
+    Returns DF(id, n_grams bigint, n_contaminated bigint,
+    contamination double in [0,1]).
+    """
+    eval_grams = (
+        eval_set.filter(F.length(F.col(text_col)) >= k)
+        .select(F.explode(shingle_array(text_col, k)).alias("gram"))
+        .distinct()
+        .withColumn("_hit", F.lit(1))
+    )
+    doc_grams = corpus.filter(F.length(F.col(text_col)) >= k).select(
+        F.col(id_col),
+        F.explode(shingle_array(text_col, k)).alias("gram"),
+    )
+    marked = doc_grams.join(F.broadcast(eval_grams), "gram", "left")
+    return marked.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_grams"),
+        F.sum(F.coalesce(F.col("_hit"), F.lit(0))).alias("n_contaminated"),
+    ).select(
+        id_col,
+        "n_grams",
+        F.col("n_contaminated").cast("long").alias("n_contaminated"),
+        (F.col("n_contaminated") / F.col("n_grams")).alias("contamination"),
+    )
