@@ -1278,6 +1278,19 @@ def q_filter_reads_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stats.unionByName(pass_row)
 
 
+def q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing: video frame-sampling plan — one row per
+    sampled frame index (every 30th of n_frames := length(text) mod
+    301), the index list a real ffmpeg extractor would consume."""
+    from seqtables_spark.pipeline.multimodal import frame_sample_plan
+
+    media = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("media_id"),
+        (F.length("text") % 301).cast("int").alias("n_frames"),
+    )
+    return frame_sample_plan(media, every_n=30)
+
+
 def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination: 13-gram overlap of every corpus doc
     (doc_id%100!=0) against the held-out eval slice (doc_id%100==0) —
@@ -1423,6 +1436,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "filter_reads_stats": q_filter_reads_stats,
         "consensus_ins": q_consensus_ins,
         "contamination": q_contamination,
+        "frame_sample": q_frame_sample,
         "tfidf_terms": q_tfidf_terms,
         "streaming_events": q_streaming_events,
         "streaming_windowed": q_streaming_windowed,
@@ -2460,6 +2474,12 @@ cons AS (
 )
 SELECT position, loc_ins, consensus_base FROM cons
 WHERE loc_ins = 0 OR consensus_base <> '-'
+"""
+
+    sqls["frame_sample"] = """
+SELECT doc_id AS media_id,
+       CAST(unnest(generate_series(0, greatest((length(text) % 301) - 1, 0), 30)) AS INTEGER) AS frame_idx
+FROM documents
 """
 
     sqls["contamination"] = """

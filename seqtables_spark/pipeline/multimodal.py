@@ -92,6 +92,62 @@ def decode_image_features(
     )
 
 
+AUDIO_FEATURES_SCHEMA = (
+    "media_id long, n_bytes long, duration_s double, n_windows int, "
+    "window_energy array<float>"
+)
+
+
+def decode_audio_features(
+    df: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "media_id",
+    sample_rate: int = 16_000,
+    window_s: float = 1.0,
+    real_decode: bool = False,
+) -> DataFrame:
+    """mapInPandas audio decode operator: binary -> per-window energy
+    features + duration (the audio twin of decode_image_features).
+
+    The decode is STUBBED deterministically — payload bytes stand in
+    for PCM samples (1 byte = 1 sample), window energy = mean |byte|
+    per window normalized to [0,1]; swap in soundfile/ffmpeg for
+    production, the operator shape (Arrow batch in, fixed schema out)
+    is unchanged."""
+    if real_decode:
+        raise NotImplementedError(
+            "audio codecs not available in this environment; "
+            "plug soundfile/ffmpeg into the window fold"
+        )
+    win = max(1, int(sample_rate * window_s))
+
+    def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            n_bytes, durs, n_wins, energies = [], [], [], []
+            for p in pdf[payload_col]:
+                b = bytes(p)
+                n_bytes.append(len(b))
+                durs.append(len(b) / float(sample_rate))
+                wins = [b[i : i + win] for i in range(0, len(b), win)] or [b""]
+                n_wins.append(len(wins))
+                energies.append(
+                    [(sum(w) / (255.0 * len(w)) if w else 0.0) for w in wins]
+                )
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf[id_col].astype("int64"),
+                    "n_bytes": pd.Series(n_bytes, dtype="int64"),
+                    "duration_s": pd.Series(durs, dtype="float64"),
+                    "n_windows": pd.Series(n_wins, dtype="int32"),
+                    "window_energy": energies,
+                }
+            )
+
+    return df.select(F.col(id_col), F.col(payload_col)).mapInPandas(
+        _decode, AUDIO_FEATURES_SCHEMA
+    )
+
+
 def frame_sample_plan(
     df: DataFrame,
     every_n: int = 30,

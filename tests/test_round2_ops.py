@@ -154,3 +154,17 @@ def test_consensus_with_insertions(spark):
         for r in consensus_with_insertions(st.cells(), ins).collect()
     }
     assert got == {(1, 0): "A", (2, 0): "C", (2, -1): "T"}
+
+
+def test_decode_audio_features(spark):
+    from seqtables_spark.pipeline.multimodal import decode_audio_features
+
+    media = spark.createDataFrame(
+        [(1, bytearray(b"\xff" * 32000)), (2, bytearray(b"\x00" * 8000))],
+        "media_id long, payload binary",
+    )
+    got = {r["media_id"]: r for r in decode_audio_features(media).collect()}
+    assert got[1]["duration_s"] == 2.0 and got[1]["n_windows"] == 2
+    assert got[1]["window_energy"] == [1.0, 1.0]
+    assert got[2]["duration_s"] == 0.5 and got[2]["n_windows"] == 1
+    assert got[2]["window_energy"] == [0.0]
