@@ -1278,6 +1278,26 @@ def q_filter_reads_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stats.unionByName(pass_row)
 
 
+def q_hamming_setdiff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.6 position set algebra (_get_positions set_diff=True,
+    seqtables.py:711-727): hamming distance computed over the
+    COMPLEMENT of the slice positions — analyze everything except the
+    probed sites."""
+    cells = _doc_cells(spark, sf_dir)
+    from seqtables_spark.operators.compare import (
+        compare_to_references,
+        ref_cells_from_strings,
+    )
+
+    refs = ref_cells_from_strings(spark, {"ref": DOC_REF})
+    cmp = compare_to_references(
+        cells, refs, flip=True, positions=SLICE_POSITIONS, set_diff=True
+    )
+    return cmp.groupBy("read_id").agg(
+        F.sum(F.col("match").cast("long")).alias("dist")
+    ).select(F.col("read_id").cast("long").alias("doc_id"), "dist")
+
+
 def q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing: video frame-sampling plan — one row per
     sampled frame index (every 30th of n_frames := length(text) mod
@@ -1437,6 +1457,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "consensus_ins": q_consensus_ins,
         "contamination": q_contamination,
         "frame_sample": q_frame_sample,
+        "hamming_setdiff": q_hamming_setdiff,
         "tfidf_terms": q_tfidf_terms,
         "streaming_events": q_streaming_events,
         "streaming_windowed": q_streaming_windowed,
@@ -2474,6 +2495,15 @@ cons AS (
 )
 SELECT position, loc_ins, consensus_base FROM cons
 WHERE loc_ins = 0 OR consensus_base <> '-'
+"""
+
+    sqls["hamming_setdiff"] = f"""
+WITH {_SQL_DOC_CELLS}
+SELECT doc_id,
+       CAST(sum(CASE WHEN base <> substring('{doc_ref_sql}', CAST(position AS INTEGER), 1) THEN 1 ELSE 0 END) AS BIGINT) AS dist
+FROM doc_cells
+WHERE position NOT IN ({", ".join(str(p) for p in SLICE_POSITIONS)})
+GROUP BY doc_id
 """
 
     sqls["frame_sample"] = """
