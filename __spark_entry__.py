@@ -1345,6 +1345,49 @@ def q_consensus_ins(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text cleaning (Gopher-rule family): per-doc duplicate-line /
+    duplicate-token counts, reported for docs with any repeated
+    token — row-local array_distinct, no shuffle before the filter."""
+    from seqtables_spark.pipeline.text import repetition_features
+
+    r = repetition_features(_t(spark, sf_dir, "documents"))
+    return r.filter(F.col("n_dup_tokens") > 0).select(
+        "doc_id", "n_lines", "n_dup_lines", "n_tokens", "n_dup_tokens",
+        F.round("dup_token_ratio", 6).alias("dup_token_ratio"),
+    )
+
+
+def q_pii_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text cleaning: PII-pattern scan over the corpus with planted
+    emails/URLs/digit-runs (every 10th/7th/13th doc), aggregated per
+    lang — the scan half of a scrubbing pass."""
+    from seqtables_spark.pipeline.text import pii_counts
+
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 10 == 0,
+            F.concat(F.col("text"), F.lit(" contact: user"), F.col("doc_id"), F.lit("@example.com")),
+        )
+        .when(
+            F.col("doc_id") % 7 == 0,
+            F.concat(F.col("text"), F.lit(" see https://example.org/p/"), F.col("doc_id")),
+        )
+        .when(
+            F.col("doc_id") % 13 == 0,
+            F.concat(F.col("text"), F.lit(" ref 00"), (F.col("doc_id") + 10_000_000)),
+        )
+        .otherwise(F.col("text")),
+    )
+    c = pii_counts(docs)
+    return c.groupBy("lang").agg(
+        F.sum("n_email").alias("emails"),
+        F.sum("n_url").alias("urls"),
+        F.sum("n_long_digits").alias("digit_runs"),
+    )
+
+
 def q_tfidf_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Text pipeline: corpus tf-idf — top 50 terms by summed
     tf * ln((N+1)/(df+1)), deterministic tie-break on term."""
@@ -1458,6 +1501,8 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "contamination": q_contamination,
         "frame_sample": q_frame_sample,
         "hamming_setdiff": q_hamming_setdiff,
+        "repetition": q_repetition,
+        "pii_scan": q_pii_scan,
         "tfidf_terms": q_tfidf_terms,
         "streaming_events": q_streaming_events,
         "streaming_windowed": q_streaming_windowed,
@@ -2495,6 +2540,45 @@ cons AS (
 )
 SELECT position, loc_ins, consensus_base FROM cons
 WHERE loc_ins = 0 OR consensus_base <> '-'
+"""
+
+    sqls["repetition"] = """
+WITH r AS (
+  SELECT doc_id,
+         len(string_split(text, chr(10))) AS n_lines,
+         len(string_split(text, chr(10)))
+           - len(list_distinct(string_split(text, chr(10)))) AS n_dup_lines,
+         len(regexp_extract_all(lower(text), '\\S+')) AS n_tokens,
+         len(regexp_extract_all(lower(text), '\\S+'))
+           - len(list_distinct(regexp_extract_all(lower(text), '\\S+'))) AS n_dup_tokens
+  FROM documents
+)
+SELECT doc_id,
+       CAST(n_lines AS BIGINT) AS n_lines,
+       CAST(n_dup_lines AS BIGINT) AS n_dup_lines,
+       CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST(n_dup_tokens AS BIGINT) AS n_dup_tokens,
+       round(n_dup_tokens / CAST(n_tokens AS DOUBLE), 6) AS dup_token_ratio
+FROM r WHERE n_dup_tokens > 0
+"""
+
+    sqls["pii_scan"] = """
+WITH planted AS (
+  SELECT lang,
+         CASE WHEN doc_id % 10 = 0
+                THEN text || ' contact: user' || CAST(doc_id AS VARCHAR) || '@example.com'
+              WHEN doc_id % 7 = 0
+                THEN text || ' see https://example.org/p/' || CAST(doc_id AS VARCHAR)
+              WHEN doc_id % 13 = 0
+                THEN text || ' ref 00' || CAST(doc_id + 10000000 AS VARCHAR)
+              ELSE text END AS text
+  FROM documents
+)
+SELECT lang,
+  CAST(sum(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}'))) AS BIGINT) AS emails,
+  CAST(sum(len(regexp_extract_all(text, 'https?://[^\\s]+'))) AS BIGINT) AS urls,
+  CAST(sum(len(regexp_extract_all(text, '[0-9]{7,}'))) AS BIGINT) AS digit_runs
+FROM planted GROUP BY lang
 """
 
     sqls["hamming_setdiff"] = f"""

@@ -180,3 +180,67 @@ def document_fingerprint(
         ).alias("fp_min"),
         F.size(grams).cast("long").alias("n_grams"),
     )
+
+
+def repetition_features(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Within-document repetition signals (the Gopher-rule family):
+    duplicate-line count and duplicate-token count per document.
+    Fully ROW-LOCAL - a doc's lines/tokens live in its row, so
+    distinctness is array_distinct inside the projection; zero
+    shuffle at any scale. Adds (n_lines, n_dup_lines, n_tokens,
+    n_dup_tokens, dup_line_ratio, dup_token_ratio)."""
+    t = F.col(text_col)
+    lines = F.split(t, "\n")
+    toks = F.regexp_extract_all(F.lower(t), F.lit(r"\S+"), 0)
+    n_lines = F.size(lines)
+    n_dup_lines = n_lines - F.size(F.array_distinct(lines))
+    n_tokens = F.size(toks)
+    n_dup_tokens = n_tokens - F.size(F.array_distinct(toks))
+    return (
+        df.withColumn("n_lines", n_lines.cast("long"))
+        .withColumn("n_dup_lines", n_dup_lines.cast("long"))
+        .withColumn("n_tokens", n_tokens.cast("long"))
+        .withColumn("n_dup_tokens", n_dup_tokens.cast("long"))
+        .withColumn(
+            "dup_line_ratio",
+            F.when(n_lines > 0, n_dup_lines / n_lines).otherwise(F.lit(0.0)),
+        )
+        .withColumn(
+            "dup_token_ratio",
+            F.when(n_tokens > 0, n_dup_tokens / n_tokens).otherwise(F.lit(0.0)),
+        )
+    )
+
+
+# RE2-and-Java compatible patterns (no lookarounds), so the Spark scan
+# and a DuckDB oracle tokenize identically
+PII_PATTERNS: dict[str, str] = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "url": r"https?://[^\s]+",
+    "long_digits": r"[0-9]{7,}",
+}
+
+
+def pii_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document PII-pattern hit counts (emails, URLs, long digit
+    runs) - the scan half of a scrubbing pass; pure regexp projections
+    in whole-stage codegen."""
+    t = F.col(text_col)
+    out = df
+    for name, pat in PII_PATTERNS.items():
+        out = out.withColumn(
+            f"n_{name}",
+            F.size(F.regexp_extract_all(t, F.lit(pat), 0)).cast("long"),
+        )
+    return out
+
+
+def redact_pii(
+    df: DataFrame, text_col: str = "text", out_col: str | None = None
+) -> DataFrame:
+    """The scrub half: replace each PII pattern with a typed
+    placeholder token (<EMAIL>, <URL>, <LONG_DIGITS>)."""
+    t = F.col(text_col)
+    for name, pat in PII_PATTERNS.items():
+        t = F.regexp_replace(t, pat, f"<{name.upper()}>")
+    return df.withColumn(out_col or text_col, t)

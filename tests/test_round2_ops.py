@@ -168,3 +168,29 @@ def test_decode_audio_features(spark):
     assert got[1]["window_energy"] == [1.0, 1.0]
     assert got[2]["duration_s"] == 0.5 and got[2]["n_windows"] == 1
     assert got[2]["window_energy"] == [0.0]
+
+
+def test_repetition_features(spark):
+    from seqtables_spark.pipeline.text import repetition_features
+
+    docs = spark.createDataFrame(
+        [(1, "a b a\na b a"), (2, "x y z")], "doc_id long, text string"
+    )
+    got = {r["doc_id"]: r for r in repetition_features(docs).collect()}
+    assert got[1]["n_lines"] == 2 and got[1]["n_dup_lines"] == 1
+    assert got[1]["n_tokens"] == 6 and got[1]["n_dup_tokens"] == 4
+    assert got[2]["n_dup_lines"] == 0 and got[2]["n_dup_tokens"] == 0
+
+
+def test_pii_scan_and_redact(spark):
+    from seqtables_spark.pipeline.text import pii_counts, redact_pii
+
+    docs = spark.createDataFrame(
+        [(1, "mail me at a.b@x.org or visit https://x.org?q=1 tel 12345678")],
+        "doc_id long, text string",
+    )
+    [c] = pii_counts(docs).collect()
+    assert (c["n_email"], c["n_url"], c["n_long_digits"]) == (1, 1, 1)
+    [r] = redact_pii(docs).collect()
+    assert "<EMAIL>" in r["text"] and "<URL>" in r["text"] and "<LONG_DIGITS>" in r["text"]
+    assert "a.b@x.org" not in r["text"] and "12345678" not in r["text"]
