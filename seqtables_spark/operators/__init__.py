@@ -1,5 +1,6 @@
 from .distribution import (
     seq_dist,
+    seq_dist_with_insertions,
     consensus,
     consensus_string,
     pos_entropy,
@@ -8,6 +9,7 @@ from .distribution import (
 )
 from .compare import (
     compare_cells,
+    pairwise_hamming,
     compare_to_references,
     hamming_distance,
     mutation_profile,
@@ -26,17 +28,20 @@ from .insertions import (
     get_insertion_expectations,
     get_insertion_seq_dist,
     view_with_insertions,
+    consensus_with_insertions,
 )
 from .plogo import get_plogo
+from .skew import salted_join
 
 __all__ = [
-    "seq_dist", "consensus", "consensus_string", "pos_entropy", "seq_bits",
+    "seq_dist", "seq_dist_with_insertions", "consensus", "consensus_string", "pos_entropy", "seq_bits",
     "relative_entropy", "compare_cells", "compare_to_references",
-    "hamming_distance", "mutation_profile", "mutation_ts_tv_profile",
+    "hamming_distance", "pairwise_hamming", "mutation_profile", "mutation_ts_tv_profile",
     "ref_cells_from_strings", "quality_dist", "quality_filter",
     "convert_low_bases_to_null", "slice_sequences", "filter_by_count",
     "calculate_pwm", "get_substrings", "contiguous_kmers", "merge_seqtables",
     "get_insertion_events", "get_insertion_distribution",
     "get_average_insertion_quality", "get_insertion_expectations",
-    "get_insertion_seq_dist", "view_with_insertions", "get_plogo",
+    "get_insertion_seq_dist", "view_with_insertions",
+    "consensus_with_insertions", "get_plogo", "salted_join",
 ]

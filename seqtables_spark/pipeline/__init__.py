@@ -9,9 +9,14 @@ from .dedup import (
     ngram_jaccard_pairs,
     connected_components,
     dedup_survivors,
+    contamination_check,
 )
 from .text import (
     token_count,
+    tfidf_terms,
+    repetition_features,
+    pii_counts,
+    redact_pii,
     text_quality_features,
     quality_score,
     language_id,
@@ -24,6 +29,8 @@ __all__ = [
     "exact_dedup", "shingles", "minhash_signatures",
     "minhash_candidate_pairs", "simhash", "simhash_near_dups",
     "ngram_jaccard_pairs", "connected_components", "dedup_survivors",
+    "contamination_check", "tfidf_terms", "repetition_features",
+    "pii_counts", "redact_pii",
     "token_count", "text_quality_features",
     "quality_score", "language_id", "document_fingerprint",
     "cosine_topk", "lsh_bucketed_cosine",
