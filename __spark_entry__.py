@@ -930,11 +930,12 @@ def _ivf_index(spark: SparkSession, sf_dir: str):
 
 
 def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Similarity scale path 2: IVF - k-means coarse quantizer (3
-    deterministic Lloyd iterations, pure DataFrame ops) + nprobe
-    search + exact re-rank over the cached cell assignment. Iterative
-    training is not SQL-expressible, so this records the rows-only
-    check; `cosine_topk` is the oracle-checked exact twin."""
+    """Similarity scale path 2: IVF - k-means coarse quantizer
+    (deterministic seeding + fixed-point Lloyd mean, pure DataFrame
+    ops) + nprobe search + exact re-rank over the cached cell
+    assignment. The fixed-point mean makes the trained centroids
+    bit-identical across engines, so even this iterative path carries
+    a value-exact DuckDB oracle (see _sql_ann_ivf)."""
     from seqtables_spark.pipeline.similarity import ivf_topk
 
     _, qvec = _emb_and_query(spark, sf_dir)
@@ -1590,6 +1591,100 @@ scored AS (
 )
 SELECT vec_id, round(sim, 6) AS sim
 FROM scored ORDER BY sim DESC, vec_id ASC LIMIT 10
+"""
+
+
+def _sql_ann_ivf(k: int = 8, nprobe: int = 3, topk: int = 10, dim: int = 64) -> str:
+    """DuckDB twin of the IVF path (ivf_centroids n_iters=1 +
+    ivf_topk): the Lloyd mean is fixed-point (1e-6-quantized int64
+    sums), so the trained centroids are bit-identical across engines;
+    seeding, argmin assignment (first-min tie-break), nprobe centroid
+    selection and the exact re-rank all use the same fold order as
+    the Spark expressions. An iterative algorithm with a value-exact
+    SQL oracle."""
+
+    def sqdist(vec: str, cent: str) -> str:
+        return (
+            f"list_reduce(list_transform(list_zip({vec}, {cent}),"
+            " x -> (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE))"
+            " * (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE))), (a,b) -> a + b)"
+        )
+
+    def dot(a: str, b: str) -> str:
+        return (
+            f"list_reduce(list_transform(list_zip({a}, {b}),"
+            " x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)), (a,b) -> a + b)"
+        )
+
+    def norm(a: str) -> str:
+        return (
+            f"sqrt(list_reduce(list_transform({a},"
+            " v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE)), (a,b) -> a + b))"
+        )
+
+    return f"""
+WITH base AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id <> 0),
+q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+seeds AS (
+  SELECT row_number() OVER (ORDER BY h ASC, vec_id ASC) - 1 AS c_idx, cv
+  FROM (SELECT md5(CAST(vec_id AS VARCHAR)) AS h, vec_id, embedding AS cv
+        FROM base ORDER BY h, vec_id LIMIT {k})
+),
+a0 AS (
+  SELECT b.vec_id, b.embedding, s.c_idx, {sqdist('b.embedding', 's.cv')} AS d
+  FROM base b, seeds s
+),
+asg0 AS (
+  SELECT vec_id, embedding, c_idx FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id
+                                 ORDER BY d ASC, c_idx ASC) AS rk
+    FROM a0
+  ) WHERE rk = 1
+),
+cluster_n AS (SELECT c_idx, count(*) AS n FROM asg0 GROUP BY c_idx),
+comp AS (
+  SELECT c_idx, j,
+         CAST(round(CAST(embedding[CAST(j AS INTEGER)] AS DOUBLE) * 1000000) AS BIGINT) AS f
+  FROM asg0, (SELECT unnest(generate_series(1, {dim})) AS j)
+),
+msum AS (
+  SELECT c_idx, j, CAST(sum(f) AS DOUBLE) / 1000000.0 AS s6
+  FROM comp GROUP BY c_idx, j
+),
+mean1 AS (
+  SELECT m.c_idx, list(m.s6 / n.n ORDER BY m.j) AS cv
+  FROM msum m JOIN cluster_n n ON m.c_idx = n.c_idx
+  GROUP BY m.c_idx
+),
+cents AS (
+  SELECT s.c_idx, COALESCE(m.cv, s.cv) AS cv
+  FROM seeds s LEFT JOIN mean1 m ON s.c_idx = m.c_idx
+),
+cq AS (
+  SELECT c.c_idx,
+         {dot('q.qv', 'c.cv')} / ({norm('q.qv')} * {norm('c.cv')}) AS cs
+  FROM cents c, q
+),
+probes AS (SELECT c_idx FROM cq ORDER BY cs DESC, c_idx ASC LIMIT {nprobe}),
+a1 AS (
+  SELECT b.vec_id, b.embedding, c.c_idx, {sqdist('b.embedding', 'c.cv')} AS d
+  FROM base b, cents c
+),
+asg1 AS (
+  SELECT vec_id, embedding, c_idx FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id
+                                 ORDER BY d ASC, c_idx ASC) AS rk
+    FROM a1
+  ) WHERE rk = 1
+),
+scored AS (
+  SELECT a.vec_id,
+         {dot('a.embedding', 'q.qv')} / ({norm('a.embedding')} * {norm('q.qv')}) AS sim
+  FROM asg1 a, q
+  WHERE a.c_idx IN (SELECT c_idx FROM probes)
+)
+SELECT vec_id, round(sim, 6) AS sim
+FROM scored ORDER BY sim DESC, vec_id ASC LIMIT {topk}
 """
 
 
@@ -2345,6 +2440,7 @@ FROM cells GROUP BY read_id
 
     sqls["cosine_topk"] = _sql_cosine_topk()
     sqls["ann_lsh"] = _sql_ann_lsh()
+    sqls["ann_ivf"] = _sql_ann_ivf()
 
     # A7 bits: N=4 alphabet; correction = (1/ln 2)*(4-1)/(2*n_reads)
     sqls["seq_bits"] = f"""

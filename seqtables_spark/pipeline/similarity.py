@@ -12,11 +12,11 @@
 
   - ivf_centroids / ivf_topk: the IVF path - a k-means coarse
     quantizer trained with a few Lloyd iterations (pure DataFrame
-    ops: argmin assignment + groupBy mean), then search probes the
-    nprobe nearest cells and re-ranks exactly. The iterative training
-    is the one genuinely non-SQL-expressible op in this module
-    (driver-side loop over small aggregates), which is why it carries
-    no DuckDB oracle.
+    ops: argmin assignment + groupBy fixed-point mean), then search
+    probes the nprobe nearest cells and re-ranks exactly. The
+    fixed-point mean (1e-6-quantized int64 sums) makes training
+    bit-reproducible across partitionings AND engines, so even this
+    iterative path is value-checked against a DuckDB oracle.
 """
 
 from __future__ import annotations
@@ -115,16 +115,30 @@ def ivf_centroids(
             _assign_expr(F.col(vec_col), centroids).alias("_c"),
             F.col(vec_col),
         )
-        # one partial+final hash agg with dim average buffers per
-        # cluster - the shuffle carries k x dim doubles and the big
-        # side is never exploded (a posexplode formulation shuffles
-        # N x dim rows before collapsing to the same k x dim).
+        # one partial+final hash agg with dim sum buffers per cluster -
+        # the shuffle carries k x dim values and the big side is never
+        # exploded (a posexplode formulation shuffles N x dim rows
+        # before collapsing to the same k x dim). The mean is computed
+        # in FIXED POINT (1e-6-quantized components summed as int64):
+        # integer sums are order-free, so the trained centroids are
+        # bit-identical on any partitioning/engine - that is what lets
+        # the IVF path carry a value-exact SQL oracle despite being an
+        # iterative algorithm. (A double avg() drifts with partial-agg
+        # order; 1e-6 quantization is far below any clustering effect.)
         means = assigned.groupBy("_c").agg(
+            F.count(F.lit(1)).alias("n"),
             F.array(
-                *[F.avg(F.col(vec_col)[i].cast("double")) for i in range(dim)]
-            ).alias("m")
+                *[
+                    F.sum(
+                        F.round(F.col(vec_col)[i].cast("double") * 1_000_000).cast("long")
+                    )
+                    for i in range(dim)
+                ]
+            ).alias("s"),
         ).collect()
-        new = {r["_c"]: [float(x) for x in r["m"]] for r in means}
+        new = {
+            r["_c"]: [(int(s) / 1e6) / r["n"] for s in r["s"]] for r in means
+        }
         centroids = [new.get(i, centroids[i]) for i in range(k)]
     return centroids
 
