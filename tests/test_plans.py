@@ -184,3 +184,46 @@ def test_minhash_is_pure_projection_and_simhash_partial_aggregates(spark):
     plan2 = _plan(simhash(docs))
     pre, _, post = plan2.partition("Exchange hashpartitioning")
     assert "HashAggregate" in pre and "HashAggregate" in post
+
+
+def test_contamination_broadcasts_eval_grams_and_partial_aggs(spark):
+    from seqtables_spark.pipeline.dedup import contamination_check
+
+    docs = spark.createDataFrame(
+        [(i, "the quick brown fox jumps over it " * 3) for i in range(20)],
+        "doc_id long, text string",
+    )
+    c = contamination_check(docs.filter("doc_id % 5 != 0"), docs.filter("doc_id % 5 = 0"))
+    plan = _plan(c)
+    # the eval-gram side broadcasts; the corpus side is never exchanged
+    # for the join
+    assert "BroadcastExchange" in plan
+    # the per-doc re-aggregation is partial+final (explode preserves
+    # row locality, so the partial collapses to one row per doc)
+    pre, _, post = plan.partition("Exchange hashpartitioning(doc_id")
+    assert "HashAggregate" in pre and "HashAggregate" in post
+
+
+def test_tfidf_topk_is_take_ordered(spark):
+    from pyspark.sql import functions as F
+
+    from seqtables_spark.pipeline.text import tfidf_terms
+
+    docs = spark.createDataFrame(
+        [(i, "alpha beta gamma delta") for i in range(10)],
+        "doc_id long, text string",
+    )
+    top = tfidf_terms(docs).orderBy(F.desc("tfidf"), F.asc("term")).limit(5)
+    plan = _plan(top)
+    assert "TakeOrderedAndProject" in plan  # never a global sort
+    assert "Sort " not in plan
+
+
+def test_pairwise_hamming_has_no_explode(spark):
+    from seqtables_spark.operators.compare import pairwise_hamming
+
+    reads = spark.createDataFrame(
+        [(i, "ACGTACGT") for i in range(6)], "read_id long, seq string"
+    )
+    plan = _plan(pairwise_hamming(reads))
+    assert "Generate" not in plan  # row-local fold, no cells explode
