@@ -128,6 +128,7 @@ def view_with_insertions(
     min_ins_count: int = 0,
     ins_gap: str = "-",
     lowercase_insertions: bool = True,
+    include_quality: bool = False,
 ) -> DataFrame:
     """Widened long view where insertion slots appear as extra
     (position, loc_ins) rows interleaved with the base matrix
@@ -137,10 +138,16 @@ def view_with_insertions(
     letters are optionally lowercased (the reference's +32 ASCII trick,
     seqtables.py:465,479).
 
-    Returns DF(read_id, position, loc_ins, base).
+    include_quality=True (reference include_quality, seqtables.py:419)
+    carries the phred channel too: matrix qual from `cells.qual`,
+    insertion qual from the side table, gap slots get 0 (the '!' null
+    quality, constructor_ops.py:209).
+
+    Returns DF(read_id, position, loc_ins, base[, qual]).
     """
+    qual_cols = ["qual"] if include_quality else []
     base_rows = _pos_filter(cells, positions).select(
-        "read_id", "position", F.lit(0).alias("loc_ins"), "base"
+        "read_id", "position", F.lit(0).alias("loc_ins"), "base", *qual_cols
     )
     ins = _pos_filter(insertions, positions)
     if min_ins_count > 0:
@@ -152,7 +159,9 @@ def view_with_insertions(
         )
         ins = ins.join(F.broadcast(keep), ["position", "loc_ins"], "left_semi")
     ins_col = F.lower(F.col("base")) if lowercase_insertions else F.col("base")
-    ins_rows = ins.select("read_id", "position", "loc_ins", ins_col.alias("base"))
+    ins_rows = ins.select(
+        "read_id", "position", "loc_ins", ins_col.alias("base"), *qual_cols
+    )
 
     # every read must show a value at every kept insertion slot: cross
     # the distinct slot list (tiny) with the distinct read list, then
@@ -164,6 +173,8 @@ def view_with_insertions(
         slot_grid.join(ins_rows, ["read_id", "position", "loc_ins"], "left")
         .withColumn("base", F.coalesce(F.col("base"), F.lit(ins_gap)))
     )
+    if include_quality:
+        filled = filled.withColumn("qual", F.coalesce(F.col("qual"), F.lit(0)))
     return base_rows.unionByName(filled)
 
 

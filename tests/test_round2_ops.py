@@ -194,3 +194,22 @@ def test_pii_scan_and_redact(spark):
     [r] = redact_pii(docs).collect()
     assert "<EMAIL>" in r["text"] and "<URL>" in r["text"] and "<LONG_DIGITS>" in r["text"]
     assert "a.b@x.org" not in r["text"] and "12345678" not in r["text"]
+
+
+def test_view_with_insertions_quality_channel(spark):
+    from seqtables_spark import from_list
+    from seqtables_spark.operators.insertions import view_with_insertions
+
+    st = from_list(spark, ["AC", "AG"], quals=["IG", "I!"])
+    ins = spark.createDataFrame(
+        [("1", 2, -1, "T", 30)],
+        "read_id string, position long, loc_ins int, base string, qual int",
+    )
+    v = view_with_insertions(st.cells(with_qual=True), ins, include_quality=True)
+    got = {
+        (r["read_id"], r["position"], r["loc_ins"]): (r["base"], r["qual"])
+        for r in v.collect()
+    }
+    assert got[("1", 2, -1)] == ("t", 30)  # real insertion, lowercased
+    assert got[("2", 2, -1)] == ("-", 0)   # gap slot -> null quality 0
+    assert got[("1", 1, 0)][1] == 40       # matrix qual ('I' = phred 40)
