@@ -1546,7 +1546,7 @@ SELECT doc_id, {mh_cols} FROM hashed GROUP BY doc_id
 """
 
 
-def _sql_simhash(bits: int = 32) -> str:
+def _sql_simhash(bits: int = 32, source: str = "documents", prelude: str = "") -> str:
     ph = _SQL_PORTABLE_HASH.format(x="token")
     sums = ",\n    ".join(
         f"sum(CASE WHEN (h >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS s_{i}"
@@ -1557,14 +1557,23 @@ def _sql_simhash(bits: int = 32) -> str:
         for i in range(bits)
     )
     return f"""
-WITH tok AS (
+WITH {prelude + ("," if prelude else "")}
+tok AS (
   SELECT doc_id, unnest(regexp_extract_all(lower(text), '\\S+')) AS token
-  FROM documents
+  FROM {source}
 ),
 hashed AS (SELECT doc_id, {ph} AS h FROM tok),
 bit_sums AS (SELECT doc_id, {sums} FROM hashed GROUP BY doc_id)
 SELECT doc_id, {fp} AS simhash FROM bit_sums
 """
+
+
+# NOTE: simhash_near_dups (pipeline/dedup.py) deliberately has no
+# queries() entry: the synthetic corpus is token-homogeneous, so a
+# 32-bit simhash puts thousands of unrelated docs within hamming 3 -
+# a badly-conditioned input that would measure the data, not the
+# operator. Banding correctness is pinned by unit test instead
+# (tests/test_round2_ops.py::test_simhash_near_dups_banding_is_exact).
 
 
 def _sql_pwm() -> str:

@@ -213,3 +213,27 @@ def test_view_with_insertions_quality_channel(spark):
     assert got[("1", 2, -1)] == ("t", 30)  # real insertion, lowercased
     assert got[("2", 2, -1)] == ("-", 0)   # gap slot -> null quality 0
     assert got[("1", 1, 0)][1] == 40       # matrix qual ('I' = phred 40)
+
+
+def test_simhash_near_dups_banding_is_exact(spark):
+    """With bands=4 chunks and max_hamming=3, any qualifying pair must
+    share a chunk (pigeonhole) - the banded join finds exactly the
+    pairs a brute-force hamming scan finds."""
+    from seqtables_spark.pipeline.dedup import simhash, simhash_near_dups
+
+    docs = spark.createDataFrame(
+        [(i, f"alpha beta gamma tok{i} tok{i % 4} delta") for i in range(30)],
+        "doc_id long, text string",
+    )
+    banded = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in simhash_near_dups(docs, max_hamming=3).collect()
+    }
+    sh = {r["doc_id"]: r["simhash"] for r in simhash(docs).collect()}
+    brute = {
+        (a, b): bin(sh[a] ^ sh[b]).count("1")
+        for a in sh
+        for b in sh
+        if a < b and bin(sh[a] ^ sh[b]).count("1") <= 3
+    }
+    assert banded == brute
