@@ -370,6 +370,48 @@ class SeqTable:
 
         return get_insertion_distribution(self.insertions, positions)
 
+    def get_average_insertion_quality(self, positions=None) -> DataFrame:
+        """Reference get_average_insertion_quality (seqtables.py:1437-1450)."""
+        from .operators.insertions import get_average_insertion_quality
+
+        return get_average_insertion_quality(self.insertions, positions)
+
+    def get_insertion_expectations(self, positions=None) -> DataFrame:
+        """Reference get_insertion_expectations (seqtables.py:1452-1485)."""
+        from .operators.insertions import get_insertion_expectations
+
+        return get_insertion_expectations(self.insertions, positions)
+
+    def get_insertion_seq_dist(self, positions=None, min_ins_count=0) -> DataFrame:
+        """Reference get_insertion_seq_dist (seqtables.py:1036-1053)."""
+        from .operators.insertions import get_insertion_seq_dist
+
+        n_reads = self.reads.count()
+        return get_insertion_seq_dist(
+            self.insertions, n_reads, positions=positions, min_ins_count=min_ins_count
+        )
+
+    def seq_logo(self, positions=None, method: str = "freq",
+                 include_insertions: bool = True) -> DataFrame:
+        """Reference seq_logo compute side (seqtables.py:1379-1394):
+        the letter distribution the stacked-bar renderer consumes —
+        rendering itself is out of engine scope."""
+        from .operators.distribution import seq_dist, seq_dist_with_insertions
+
+        if include_insertions:
+            counts = seq_dist_with_insertions(
+                self.cells(with_qual=False), self.insertions, positions=positions
+            )
+            if method == "counts":
+                return counts
+            from pyspark.sql import Window
+
+            w = Window.partitionBy("position")
+            return counts.withColumn(
+                "freq", F.col("cnt") / F.sum("cnt").over(w)
+            ).drop("cnt")
+        return seq_dist(self.cells(with_qual=False), method, positions=positions)
+
     def merge_seqs(self, others: list["SeqTable"], axis: int = 0) -> "SeqTable":
         """Reference merge_seqs / st_merge_arrays (st_merge.py:63-138)."""
         from .operators.merge import merge_seqtables

@@ -78,3 +78,27 @@ def test_view_with_ins_empty(st):
     v = st.view_with_ins(positions=[1])
     assert v.filter("loc_ins < 0").count() == 0
     assert v.filter("loc_ins = 0").count() == 6
+
+
+def test_facade_insertion_aggs_and_seq_logo(spark):
+    from seqtables_spark import from_list
+    from seqtables_spark.model import SeqTable
+
+    st = from_list(spark, ["AC", "AC", "AG"])
+    ins = spark.createDataFrame(
+        [("1", 2, -1, "T", 30), ("2", 2, -1, "T", 20)],
+        "read_id string, position long, loc_ins int, base string, qual int",
+    )
+    st2 = SeqTable(st.reads, insertions=ins)
+    avgq = {(r["position"], r["loc_ins"]): r["avg_qual"]
+            for r in st2.get_average_insertion_quality().collect()}
+    assert avgq[(2, -1)] == 25.0
+    exp = {r["position"]: r["mean_len"] for r in st2.get_insertion_expectations().collect()}
+    assert exp[2] == 1.0
+    dist = {(r["position"], r["loc_ins"], r["base"]): r["cnt"]
+            for r in st2.get_insertion_seq_dist().collect()}
+    assert dist[(2, -1, "T")] == 2
+    assert dist[(2, -1, "-")] == 1  # implicit gap row: 3 reads - 2 with ins
+    logo = {(r["position"], r["base"]): r["freq"] for r in st2.seq_logo().collect()}
+    assert logo[(1, "A")] == 1.0
+    assert abs(logo[(2, "^")] - 2 / 5) < 1e-12  # 2 ins events / (3 bases + 2 events)
