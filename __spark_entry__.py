@@ -1091,6 +1091,42 @@ def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+SESSION_GAP_NS = 30 * 60 * 1_000_000_000  # 30-minute inactivity gap
+
+
+def q_event_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization (gaps-and-islands): per event_type, rows within
+    30 min of the previous row merge into one session — lag + running
+    sum + groupBy, the integer-domain formulation that is portable
+    and exact (float-timestamp session_window drifts across engines).
+    One shuffle on event_type (the window partition); the session
+    aggregate reuses the same partitioning."""
+    from pyspark.sql import Window
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    ev = _t(spark, sf_dir, "events")
+    ts = F.col("ts")
+    if dict(ev.dtypes).get("ts") not in ("bigint", "int", "long"):
+        # native timestamp vintage -> ns (ntz cast is exact under UTC)
+        ts = F.unix_micros(F.col("ts").cast("timestamp")) * 1000
+    ev = ev.select(F.col("event_type"), ts.alias("ts_ns"), F.col("value"))
+    w = Window.partitionBy("event_type").orderBy("ts_ns")
+    new_sess = F.when(
+        F.col("ts_ns") - F.lag("ts_ns").over(w) >= SESSION_GAP_NS, 1
+    ).otherwise(0)
+    first = F.when(F.lag("ts_ns").over(w).isNull(), 1).otherwise(new_sess)
+    sess = ev.withColumn(
+        "sid",
+        F.sum(first).over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return sess.groupBy("event_type", "sid").agg(
+        F.min("ts_ns").alias("session_start_ns"),
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.round(F.col("value") * 100).cast("long")).alias("value_cents"),
+    ).select("event_type", "session_start_ns", "n", "value_cents")
+
+
 def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Relational core (TPC-H Q1 shape): groupBy + multi-agg with the
     exact-cents pattern for every monetary sum."""
@@ -1510,6 +1546,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_windowed": q_streaming_windowed,
         "streaming_dedup": q_streaming_dedup,
         "events_hourly": q_events_hourly,
+        "event_sessions": q_event_sessions,
         "pricing_summary": q_pricing_summary,
         "revenue_by_nation": q_revenue_by_nation,
         "top_orders_per_cust": q_top_orders_per_cust,
@@ -2557,6 +2594,31 @@ SELECT event_type,
        count(*) AS n,
        CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
 FROM events GROUP BY 1, 2
+"""
+
+    sqls["event_sessions"] = f"""
+WITH t AS (
+  SELECT event_type, epoch_ns(ts) AS ts_ns, value FROM events
+),
+flagged AS (
+  SELECT event_type, ts_ns, value,
+         CASE WHEN lag(ts_ns) OVER w IS NULL THEN 1
+              WHEN ts_ns - lag(ts_ns) OVER w >= {SESSION_GAP_NS} THEN 1
+              ELSE 0 END AS is_new
+  FROM t
+  WINDOW w AS (PARTITION BY event_type ORDER BY ts_ns)
+),
+sess AS (
+  SELECT event_type, ts_ns, value,
+         sum(is_new) OVER (PARTITION BY event_type ORDER BY ts_ns
+                           ROWS UNBOUNDED PRECEDING) AS sid
+  FROM flagged
+)
+SELECT event_type,
+       CAST(min(ts_ns) AS BIGINT) AS session_start_ns,
+       count(*) AS n,
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
+FROM sess GROUP BY event_type, sid
 """
 
     sqls["pricing_summary"] = """
