@@ -1203,6 +1203,32 @@ def q_insilico_library(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_profit_by_nation_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relational core (TPC-H Q9 shape): lineitem x part x supplier x
+    nation — revenue-minus-retail-cost rollup by (supplier nation,
+    part brand); both dimension joins broadcast, facts stream once."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    supp = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    cents = lambda c: F.round(c * 100).cast("long")  # noqa: E731
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .groupBy("n_name", "p_brand")
+        .agg(
+            F.sum(cents(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias(
+                "revenue_cents"
+            ),
+            F.sum(
+                cents(F.col("p_retailprice")) * F.col("l_quantity").cast("long")
+            ).alias("retail_cost_cents"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
 def q_top_orders_per_cust(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Relational core: top-3 orders per customer (window row_number,
     deterministic tie-break on orderkey)."""
@@ -1549,6 +1575,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_sessions": q_event_sessions,
         "pricing_summary": q_pricing_summary,
         "revenue_by_nation": q_revenue_by_nation,
+        "profit_by_nation_brand": q_profit_by_nation_brand,
         "top_orders_per_cust": q_top_orders_per_cust,
     }
 
@@ -2642,6 +2669,18 @@ JOIN customer ON o_custkey = c_custkey
 JOIN nation   ON c_nationkey = n_nationkey
 JOIN region   ON n_regionkey = r_regionkey
 GROUP BY r_name, n_name
+"""
+
+    sqls["profit_by_nation_brand"] = """
+SELECT n_name, p_brand,
+       CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS revenue_cents,
+       CAST(sum(CAST(round(p_retailprice * 100) AS BIGINT) * CAST(l_quantity AS BIGINT)) AS BIGINT) AS retail_cost_cents,
+       count(*) AS n_items
+FROM lineitem
+JOIN part     ON l_partkey = p_partkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation   ON s_nationkey = n_nationkey
+GROUP BY n_name, p_brand
 """
 
     sqls["top_orders_per_cust"] = """
