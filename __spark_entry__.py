@@ -383,15 +383,9 @@ def q_translate(spark: SparkSession, sf_dir: str) -> DataFrame:
     from seqtables_spark.functions.dna import translate_expr
 
     reads = _doc_reads(spark, sf_dir)
-    # char->ACGT projection as ONE translate() call (95-char mapping),
-    # not a 24-element transform - keeps the downstream codon substrs
-    # from inlining a wide expression tree 8x
-    printable = "".join(chr(i) for i in range(32, 127))
-    mapped = "".join("ACGT"[ord(c) % 4] for c in printable)
-    nt = F.translate("seq", printable, mapped)
     return reads.select(
         F.col("read_id").cast("long").alias("doc_id"),
-        translate_expr(nt).alias("aa"),
+        translate_expr(_nt_projection()).alias("aa"),
     )
 
 
@@ -1610,7 +1604,7 @@ SELECT doc_id, {mh_cols} FROM hashed GROUP BY doc_id
 """
 
 
-def _sql_simhash(bits: int = 32, source: str = "documents", prelude: str = "") -> str:
+def _sql_simhash(bits: int = 32) -> str:
     ph = _SQL_PORTABLE_HASH.format(x="token")
     sums = ",\n    ".join(
         f"sum(CASE WHEN (h >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS s_{i}"
@@ -1621,10 +1615,9 @@ def _sql_simhash(bits: int = 32, source: str = "documents", prelude: str = "") -
         for i in range(bits)
     )
     return f"""
-WITH {prelude + ("," if prelude else "")}
-tok AS (
+WITH tok AS (
   SELECT doc_id, unnest(regexp_extract_all(lower(text), '\\S+')) AS token
-  FROM {source}
+  FROM documents
 ),
 hashed AS (SELECT doc_id, {ph} AS h FROM tok),
 bit_sums AS (SELECT doc_id, {sums} FROM hashed GROUP BY doc_id)

@@ -107,6 +107,15 @@ class SeqTable:
         self.seq_type = seq_type
         self.phred_adjust = phred_adjust
         self.fillna_val = fillna_val or FILL_CHAR.get(seq_type, "N")
+        self._n_reads: int | None = None  # lazy, cached after first use
+
+    @property
+    def n_reads(self) -> int:
+        """Row count of `reads`, computed once per SeqTable (a count
+        is a full scan - don't re-pay it per facade call)."""
+        if self._n_reads is None:
+            self._n_reads = self.reads.count()
+        return self._n_reads
 
     # -- metadata ------------------------------------------------------
     @property
@@ -386,9 +395,8 @@ class SeqTable:
         """Reference get_insertion_seq_dist (seqtables.py:1036-1053)."""
         from .operators.insertions import get_insertion_seq_dist
 
-        n_reads = self.reads.count()
         return get_insertion_seq_dist(
-            self.insertions, n_reads, positions=positions, min_ins_count=min_ins_count
+            self.insertions, self.n_reads, positions=positions, min_ins_count=min_ins_count
         )
 
     def seq_logo(self, positions=None, method: str = "freq",
@@ -399,6 +407,10 @@ class SeqTable:
         from .operators.distribution import seq_dist, seq_dist_with_insertions
 
         if include_insertions:
+            if method not in ("counts", "freq"):
+                raise ValueError(
+                    f"seq_logo(include_insertions=True) supports method='counts'|'freq', got {method!r}"
+                )
             counts = seq_dist_with_insertions(
                 self.cells(with_qual=False), self.insertions, positions=positions
             )

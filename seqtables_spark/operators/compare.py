@@ -193,10 +193,14 @@ def pairwise_hamming(
     pairs = a.join(b, F.col("id_a") < F.col("id_b"))
     width = F.least(F.length("_sa"), F.length("_sb"))
     sa, sb = F.col("_sa"), F.col("_sb")
-    mismatches = F.size(
-        F.filter(
-            F.sequence(F.lit(1), width),
-            lambda i: sa.substr(i, F.lit(1)) != sb.substr(i, F.lit(1)),
+    # sequence(1, 0) would auto-step DOWN to [1, 0] - guard zero-width
+    # pairs (empty string vs anything) to distance 0
+    mismatches = F.when(width <= 0, F.lit(0)).otherwise(
+        F.size(
+            F.filter(
+                F.sequence(F.lit(1), width),
+                lambda i: sa.substr(i, F.lit(1)) != sb.substr(i, F.lit(1)),
+            )
         )
     ).cast("long")
     dist = (mismatches / width).alias("dist") if normalized else mismatches.alias("dist")

@@ -132,15 +132,14 @@ def seq_dist_with_insertions(
 
     Both branches are partial-aggregated before their union, so the
     combined shuffle stays |positions| x (|alphabet|+1) rows."""
+    from .insertions import get_insertion_events
+
     counts = seq_dist(
         cells, "counts", positions=positions, ignore_characters=ignore_characters
     )
-    ins = insertions
-    if positions is not None:
-        ins = ins.filter(F.col("position").isin(list(positions)))
-    ins_counts = ins.groupBy("position").agg(
-        F.countDistinct("read_id").alias("cnt")
-    ).select("position", F.lit(ins_letter).alias("base"), "cnt")
+    ins_counts = get_insertion_events(insertions, positions=positions).select(
+        "position", F.lit(ins_letter).alias("base"), F.col("n_reads").alias("cnt")
+    )
     return counts.unionByName(ins_counts)
 
 

@@ -196,22 +196,48 @@ def consensus_with_insertions(
     (exclude_insertions_with_gap_cons).
 
     Sorting (position, loc_ins) reproduces the reference's
-    column-interleaved consensus string. The aggregation input is the
-    widened long view, so the shuffle carries the collapsed
-    (slot, letter) distribution only.
+    column-interleaved consensus string.
+
+    Scale shape: the consensus only needs per-(slot, letter) COUNTS,
+    so the view's read x slot gap grid is never materialized - the
+    gap row is arithmetic, cnt('-') = n_reads - sum(slot counts)
+    (each read carries at most one base per slot), with n_reads a
+    broadcast one-row aggregate. Nothing here scales with read count
+    except the two partial-aggregated counts.
 
     Returns DF(position, loc_ins, consensus_base).
     """
-    v = view_with_insertions(
-        cells,
-        insertions,
-        positions=positions,
-        min_ins_count=min_ins_count,
-        lowercase_insertions=False,
-    )
-    counts = v.groupBy("position", "loc_ins", "base").agg(
+    base_counts = _pos_filter(cells, positions).groupBy(
+        "position", F.lit(0).alias("loc_ins"), "base"
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    ins = _pos_filter(insertions, positions)
+    if min_ins_count > 0:
+        keep = (
+            ins.groupBy("position", "loc_ins")
+            .agg(F.countDistinct("read_id").alias("_n"))
+            .filter(F.col("_n") >= min_ins_count)
+            .select("position", "loc_ins")
+        )
+        ins = ins.join(F.broadcast(keep), ["position", "loc_ins"], "left_semi")
+    ins_counts = ins.groupBy("position", "loc_ins", "base").agg(
         F.count(F.lit(1)).alias("cnt")
     )
+    n_reads = cells.select(
+        F.countDistinct("read_id").alias("_n_reads")
+    )
+    gap_rows = (
+        ins_counts.groupBy("position", "loc_ins")
+        .agg(F.sum("cnt").alias("_with_ins"))
+        .crossJoin(F.broadcast(n_reads))
+        .select(
+            "position",
+            "loc_ins",
+            F.lit("-").alias("base"),
+            (F.col("_n_reads") - F.col("_with_ins")).alias("cnt"),
+        )
+        .filter(F.col("cnt") > 0)
+    )
+    counts = base_counts.unionByName(ins_counts).unionByName(gap_rows)
     per_slot = counts.groupBy("position", "loc_ins").agg(
         F.expr("max_by(base, struct(cnt, -ascii(base)))").alias("mode_base"),
         F.max("cnt").alias("mode_cnt"),

@@ -79,6 +79,7 @@ def get_plogo(
     positions: Sequence[int] | None = None,
     alpha: float = 0.01,
     seq_type: str = "NT",
+    use_scipy: bool = False,
 ) -> DataFrame:
     """Returns DF(position, base, k, n, p_bg, plogo) plus a
     `significance` column holding the Bonferroni line (constant).
@@ -104,8 +105,13 @@ def get_plogo(
         import numpy as np
 
         # log10 odds of over- vs under-representation, capped like the
-        # reference (which searches a finite fill for +/-inf).
-        if HAVE_SCIPY:
+        # reference (which searches a finite fill for +/-inf). Default
+        # path is the lgamma/log-sum-exp recurrence: deterministic,
+        # dependency-free, and what the DuckDB oracle reproduces
+        # (~1e-13 agreement); scipy's betainc tails are opt-in only -
+        # preferring them when importable would silently change the
+        # oracle-matched values by environment.
+        if use_scipy and HAVE_SCIPY:
             from scipy.stats import binom as _b
 
             sf = _b.logsf(k - 1, n, p) / math.log(10)

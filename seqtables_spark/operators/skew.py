@@ -37,12 +37,17 @@ def salted_join(
     the big side computes salt = pmod(xxhash64(all columns), n_salts)
     row-locally. Result columns = big's then small's non-key columns,
     exactly like a plain df.join(small, on)."""
+    if how not in ("inner", "left", "left_outer", "leftouter", "left_semi", "leftsemi", "left_anti", "leftanti"):
+        # right/full outer would emit one null-padded row PER SALT for
+        # every unmatched small-side key (the replicas all survive) -
+        # refuse rather than silently multiply rows
+        raise ValueError(f"salted_join supports inner/left-family joins, not {how!r}")
     on = list(on)
-    salts = F.explode(
-        F.sequence(F.lit(0), F.lit(int(n_salts) - 1))
-    ).alias("_salt")
+    salt = "__salted_join_salt__"  # collision-proof internal name
+    salts = F.explode(F.sequence(F.lit(0), F.lit(int(n_salts) - 1))).alias(salt)
     small_rep = small.select("*", salts)
     big_salted = big.withColumn(
-        "_salt", F.pmod(F.xxhash64(*[F.col(c) for c in big.columns]), F.lit(int(n_salts))).cast("int")
+        salt,
+        F.pmod(F.xxhash64(*[F.col(c) for c in big.columns]), F.lit(int(n_salts))).cast("int"),
     )
-    return big_salted.join(small_rep, on + ["_salt"], how).drop("_salt")
+    return big_salted.join(small_rep, on + [salt], how).drop(salt)

@@ -237,3 +237,22 @@ def test_simhash_near_dups_banding_is_exact(spark):
         if a < b and bin(sh[a] ^ sh[b]).count("1") <= 3
     }
     assert banded == brute
+
+
+def test_pairwise_hamming_zero_width(spark):
+    import pytest as _pytest
+
+    from seqtables_spark.operators.skew import salted_join
+
+    reads = spark.createDataFrame(
+        [(1, ""), (2, "ACGT")], "read_id long, seq string"
+    )
+    from seqtables_spark.operators.compare import pairwise_hamming
+
+    [row] = pairwise_hamming(reads).collect()
+    assert row["dist"] == 0  # no common width -> no mismatches
+
+    dim = spark.createDataFrame([(0, "a")], "k int, label string")
+    big = spark.createDataFrame([(1, 0)], "row_id long, k int")
+    with _pytest.raises(ValueError):
+        salted_join(big, dim, ["k"], how="right")
