@@ -256,3 +256,29 @@ def test_pairwise_hamming_zero_width(spark):
     big = spark.createDataFrame([(1, 0)], "row_id long, k int")
     with _pytest.raises(ValueError):
         salted_join(big, dim, ["k"], how="right")
+
+
+def test_pairwise_hamming_consistent_with_reference_hamming(spark):
+    """J4 (all-pairs, row-local fold) must agree with J3 (cells vs
+    broadcast reference) when the 'reference' is another read - two
+    independent implementations of the same distance."""
+    from seqtables_spark import from_list
+    from seqtables_spark.operators.compare import hamming_distance, pairwise_hamming
+
+    seqs = ["ACGTAC", "ACCTAC", "TTGTAA", "ACGTAC"]
+    reads = spark.createDataFrame(
+        [(i + 1, s) for i, s in enumerate(seqs)], "read_id long, seq string"
+    )
+    pw = {
+        (r["id_a"], r["id_b"]): r["dist"]
+        for r in pairwise_hamming(reads).collect()
+    }
+    st = from_list(spark, seqs)
+    for j, ref in enumerate(seqs, start=1):
+        j3 = {
+            int(r["read_id"]): r["dist"]
+            for r in hamming_distance(st.cells(with_qual=False), {"r": ref}).collect()
+        }
+        for i in range(1, len(seqs) + 1):
+            if i < j:
+                assert pw[(i, j)] == j3[i], (i, j)
