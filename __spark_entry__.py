@@ -1446,6 +1446,30 @@ def q_pii_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training prep: offset-pack documents into ~2048-token bins per
+    lang shard (deterministic doc_id order); straddle counts size the
+    budget."""
+    from seqtables_spark.pipeline.text import pack_sequences
+
+    p = pack_sequences(_t(spark, sf_dir, "documents"), budget=2048)
+    return p.select("lang", "seq_id", "n_docs", "total_tokens", "straddles")
+
+
+def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training prep: 64-token window chunking; per-doc chunk counts
+    and total chunk tokens (chunk text itself is exercised by the
+    token checksum so the oracle pins content, not just counts)."""
+    from seqtables_spark.pipeline.text import chunk_documents
+
+    c = chunk_documents(_t(spark, sf_dir, "documents"), max_tokens=64)
+    return c.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_chunks"),
+        F.sum("n_chunk_tokens").alias("n_tokens"),
+        F.sum(F.length("chunk_text")).alias("chunk_chars"),
+    )
+
+
 def q_tfidf_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Text pipeline: corpus tf-idf — top 50 terms by summed
     tf * ln((N+1)/(df+1)), deterministic tie-break on term."""
@@ -1561,6 +1585,8 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hamming_setdiff": q_hamming_setdiff,
         "repetition": q_repetition,
         "pii_scan": q_pii_scan,
+        "pack_sequences": q_pack_sequences,
+        "chunk_documents": q_chunk_documents,
         "tfidf_terms": q_tfidf_terms,
         "streaming_events": q_streaming_events,
         "streaming_windowed": q_streaming_windowed,
@@ -2881,6 +2907,52 @@ FROM scored WHERE n_contaminated > 0
     sqls["streaming_dedup"] = """
 SELECT lang, count(DISTINCT substring(text, 1, 8)) AS n_unique
 FROM documents GROUP BY lang
+"""
+
+    sqls["pack_sequences"] = """
+WITH toks AS (
+  SELECT lang, doc_id,
+         len(regexp_extract_all(text, '\\S+')) AS n_tok
+  FROM documents
+),
+offs AS (
+  SELECT lang, doc_id, n_tok,
+         sum(n_tok) OVER (PARTITION BY lang ORDER BY doc_id
+                          ROWS UNBOUNDED PRECEDING) AS cum
+  FROM toks
+),
+binned AS (
+  SELECT lang, n_tok,
+         CAST(floor((cum - n_tok) / 2048.0) AS BIGINT) AS seq_id,
+         CASE WHEN n_tok > 0
+              AND floor((cum - n_tok) / 2048.0) <> floor((cum - 1) / 2048.0)
+              THEN 1 ELSE 0 END AS straddle
+  FROM offs
+)
+SELECT lang, seq_id, count(*) AS n_docs,
+       CAST(sum(n_tok) AS BIGINT) AS total_tokens,
+       CAST(sum(straddle) AS BIGINT) AS straddles
+FROM binned GROUP BY lang, seq_id
+"""
+
+    sqls["chunk_documents"] = """
+WITH toks AS (
+  SELECT doc_id, regexp_extract_all(text, '\\S+') AS tk FROM documents
+  WHERE len(regexp_extract_all(text, '\\S+')) > 0
+),
+chunks AS (
+  SELECT doc_id,
+         CAST(j AS INTEGER) AS chunk_idx,
+         array_to_string(list_slice(tk, CAST(j * 64 + 1 AS BIGINT), CAST(j * 64 + 64 AS BIGINT)), ' ') AS chunk_text,
+         CAST(len(list_slice(tk, CAST(j * 64 + 1 AS BIGINT), CAST(j * 64 + 64 AS BIGINT))) AS BIGINT) AS n_chunk_tokens
+  FROM toks,
+       (SELECT unnest(generate_series(0, 1000)) AS j)
+  WHERE j <= ceil(len(tk) / 64.0) - 1
+)
+SELECT doc_id, count(*) AS n_chunks,
+       CAST(sum(n_chunk_tokens) AS BIGINT) AS n_tokens,
+       CAST(sum(length(chunk_text)) AS BIGINT) AS chunk_chars
+FROM chunks GROUP BY doc_id
 """
 
     sqls["tfidf_terms"] = """

@@ -244,3 +244,76 @@ def redact_pii(
     for name, pat in PII_PATTERNS.items():
         t = F.regexp_replace(t, pat, f"<{name.upper()}>")
     return df.withColumn(out_col or text_col, t)
+
+
+def pack_sequences(
+    df: DataFrame,
+    budget: int = 2048,
+    by: tuple[str, ...] = ("lang",),
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Training-sequence packing: assign documents to ~budget-token
+    bins by cumulative offset, in deterministic id order within each
+    `by` shard (the standard offset-packing used to build pretraining
+    batches; docs may straddle a bin boundary - `straddles` counts
+    them so the caller can size the budget).
+
+    Scale shape: the running sum is a window per shard - partitioned
+    by `by`, so no global ordering bottleneck; each shard packs
+    independently, exactly how a sharded corpus is packed in
+    production. Returns one row per (shard, bin):
+    DF(*by, seq_id, n_docs, total_tokens, straddles)."""
+    from pyspark.sql import Window
+
+    t = F.col(text_col)
+    n_tok = F.size(F.regexp_extract_all(t, F.lit(r"\S+"), 0))
+    w = Window.partitionBy(*[F.col(c) for c in by]).orderBy(id_col)
+    cum = F.sum("n_tok").over(w)
+    docs = df.select(*by, F.col(id_col), n_tok.alias("n_tok")).select(
+        *by,
+        id_col,
+        "n_tok",
+        F.floor((cum - F.col("n_tok")) / budget).alias("seq_id"),
+        F.when(
+            (F.col("n_tok") > 0)
+            & (
+                F.floor((cum - F.col("n_tok")) / budget)
+                != F.floor((cum - 1) / budget)
+            ),
+            1,
+        ).otherwise(0).alias("straddle"),
+    )
+    return docs.groupBy(*by, "seq_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tok").alias("total_tokens"),
+        F.sum("straddle").alias("straddles"),
+    )
+
+
+def chunk_documents(
+    df: DataFrame,
+    max_tokens: int = 64,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Token-window chunking: split each document into consecutive
+    windows of <= max_tokens whitespace tokens, re-joined with single
+    spaces (the context-window prep step of a training pipeline).
+    Row-local: tokenize, slice, explode - one Generate, no shuffle.
+    Returns DF(id, chunk_idx int, chunk_text, n_chunk_tokens)."""
+    toks = F.regexp_extract_all(F.col(text_col), F.lit(r"\S+"), 0)
+    n_chunks = F.ceil(F.size(toks) / F.lit(max_tokens)).cast("int")
+    chunks = F.transform(
+        F.sequence(F.lit(0), F.greatest(n_chunks - 1, F.lit(0))),
+        lambda i: F.slice(toks, i * max_tokens + 1, max_tokens),
+    )
+    return df.filter(F.size(toks) > 0).select(
+        F.col(id_col),
+        F.posexplode(chunks).alias("chunk_idx", "_ctoks"),
+    ).select(
+        id_col,
+        "chunk_idx",
+        F.array_join("_ctoks", " ").alias("chunk_text"),
+        F.size("_ctoks").cast("long").alias("n_chunk_tokens"),
+    )

@@ -282,3 +282,33 @@ def test_pairwise_hamming_consistent_with_reference_hamming(spark):
         for i in range(1, len(seqs) + 1):
             if i < j:
                 assert pw[(i, j)] == j3[i], (i, j)
+
+
+def test_pack_sequences(spark):
+    from seqtables_spark.pipeline.text import pack_sequences
+
+    docs = spark.createDataFrame(
+        [(1, "en", "a " * 5), (2, "en", "b " * 4), (3, "en", "c " * 3), (4, "de", "x " * 2)],
+        "doc_id long, lang string, text string",
+    )
+    # budget 8: doc1 starts at 0 (bin 0), doc2 at 5 (bin 0, straddles
+    # into 9..), doc3 at 9 (bin 1); de packs independently
+    got = {
+        (r["lang"], r["seq_id"]): (r["n_docs"], r["total_tokens"], r["straddles"])
+        for r in pack_sequences(docs, budget=8).collect()
+    }
+    assert got[("en", 0)] == (2, 9, 1)
+    assert got[("en", 1)] == (1, 3, 0)
+    assert got[("de", 0)] == (1, 2, 0)
+
+
+def test_chunk_documents(spark):
+    from seqtables_spark.pipeline.text import chunk_documents
+
+    docs = spark.createDataFrame(
+        [(1, " ".join(f"t{i}" for i in range(10)))], "doc_id long, text string"
+    )
+    rows = {r["chunk_idx"]: r for r in chunk_documents(docs, max_tokens=4).collect()}
+    assert len(rows) == 3
+    assert rows[0]["chunk_text"] == "t0 t1 t2 t3"
+    assert rows[2]["chunk_text"] == "t8 t9" and rows[2]["n_chunk_tokens"] == 2
