@@ -1446,6 +1446,29 @@ def q_pii_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+MIX_WEIGHTS = {"src0": 1.0, "src1": 0.5, "src2": 0.25, "src3": 0.75}
+
+
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data mixing: exactly-50-per-lang stratified sample, hash-ranked
+    (deterministic under retries/partitioning, unlike rand())."""
+    from seqtables_spark.pipeline.sampling import stratified_sample
+
+    s = stratified_sample(_t(spark, sf_dir, "documents"), n_per_group=50)
+    return s.select("doc_id", "lang")
+
+
+def q_source_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data mixing: hash-Bernoulli resample of sources to target keep
+    rates; kept counts per source verify the realized mixture."""
+    from seqtables_spark.pipeline.sampling import mix_sources
+
+    kept = mix_sources(
+        _t(spark, sf_dir, "documents"), MIX_WEIGHTS, default_weight=0.1
+    )
+    return kept.groupBy("source").agg(F.count(F.lit(1)).alias("n_kept"))
+
+
 def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Training prep: offset-pack documents into ~2048-token bins per
     lang shard (deterministic doc_id order); straddle counts size the
@@ -1587,6 +1610,8 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_scan": q_pii_scan,
         "pack_sequences": q_pack_sequences,
         "chunk_documents": q_chunk_documents,
+        "stratified_sample": q_stratified_sample,
+        "source_mix": q_source_mix,
         "tfidf_terms": q_tfidf_terms,
         "streaming_events": q_streaming_events,
         "streaming_windowed": q_streaming_windowed,
@@ -2907,6 +2932,27 @@ FROM scored WHERE n_contaminated > 0
     sqls["streaming_dedup"] = """
 SELECT lang, count(DISTINCT substring(text, 1, 8)) AS n_unique
 FROM documents GROUP BY lang
+"""
+
+    ph_doc = _SQL_PORTABLE_HASH.format(x="CAST(doc_id AS VARCHAR)")
+    mix_cases = " ".join(
+        f"WHEN '{s}' THEN {w!r}" for s, w in sorted(MIX_WEIGHTS.items())
+    )
+    sqls["stratified_sample"] = f"""
+WITH ranked AS (
+  SELECT doc_id, lang,
+         row_number() OVER (PARTITION BY lang
+                            ORDER BY {ph_doc} ASC, doc_id ASC) AS rk
+  FROM documents
+)
+SELECT doc_id, lang FROM ranked WHERE rk <= 50
+"""
+
+    sqls["source_mix"] = f"""
+SELECT source, count(*) AS n_kept
+FROM documents
+WHERE ({ph_doc}) % 1000000 < (CASE source {mix_cases} ELSE 0.1 END) * 1000000
+GROUP BY source
 """
 
     sqls["pack_sequences"] = """

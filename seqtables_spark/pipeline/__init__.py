@@ -22,6 +22,8 @@ from .text import (
     language_id,
     document_fingerprint,
 )
+from .sampling import stratified_sample, mix_sources
+from .text import pack_sequences, chunk_documents
 from .similarity import cosine_topk, lsh_bucketed_cosine
 
 __all__ = [
@@ -34,4 +36,5 @@ __all__ = [
     "token_count", "text_quality_features",
     "quality_score", "language_id", "document_fingerprint",
     "cosine_topk", "lsh_bucketed_cosine",
+    "stratified_sample", "mix_sources", "pack_sequences", "chunk_documents",
 ]

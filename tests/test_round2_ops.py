@@ -312,3 +312,22 @@ def test_chunk_documents(spark):
     assert len(rows) == 3
     assert rows[0]["chunk_text"] == "t0 t1 t2 t3"
     assert rows[2]["chunk_text"] == "t8 t9" and rows[2]["n_chunk_tokens"] == 2
+
+
+def test_stratified_sample_and_mix_deterministic(spark):
+    from seqtables_spark.pipeline.sampling import mix_sources, stratified_sample
+
+    docs = spark.createDataFrame(
+        [(i, "en" if i % 2 else "de", f"src{i % 3}") for i in range(100)],
+        "doc_id long, lang string, source string",
+    )
+    s1 = sorted(r["doc_id"] for r in stratified_sample(docs, 10).collect())
+    s2 = sorted(
+        r["doc_id"] for r in stratified_sample(docs.repartition(7), 10).collect()
+    )
+    assert s1 == s2 and len(s1) == 20  # partitioning-independent, 10 per lang
+
+    kept = mix_sources(docs, {"src0": 1.0, "src1": 0.0}, default_weight=0.5)
+    rows = kept.collect()
+    assert all(r["source"] != "src1" for r in rows)          # weight 0 drops all
+    assert sum(r["source"] == "src0" for r in rows) == 34    # weight 1 keeps all
