@@ -227,3 +227,30 @@ def test_pairwise_hamming_has_no_explode(spark):
     )
     plan = _plan(pairwise_hamming(reads))
     assert "Generate" not in plan  # row-local fold, no cells explode
+
+
+def test_stratified_sample_pushes_group_limit_below_exchange(spark):
+    from seqtables_spark.pipeline.sampling import stratified_sample
+
+    docs = spark.createDataFrame(
+        [(i, "en" if i % 2 else "de") for i in range(40)],
+        "doc_id long, lang string",
+    )
+    plan = _plan(stratified_sample(docs, 5))
+    # WindowGroupLimit appears map-side (below the exchange): only the
+    # per-partition top-n rows are shuffled, not the whole group
+    pre, _, _post = plan.partition("Exchange hashpartitioning")
+    assert "WindowGroupLimit" in pre
+
+
+def test_pack_sequences_agg_reuses_window_partitioning(spark):
+    from seqtables_spark.pipeline.text import pack_sequences
+
+    docs = spark.createDataFrame(
+        [(i, "en", "a b c") for i in range(20)],
+        "doc_id long, lang string, text string",
+    )
+    plan = _plan(pack_sequences(docs, budget=8))
+    # one exchange total: the groupBy(lang, seq_id) is satisfied by the
+    # window's hashpartitioning(lang) - no second shuffle
+    assert plan.count("Exchange") == 1

@@ -331,3 +331,29 @@ def test_stratified_sample_and_mix_deterministic(spark):
     rows = kept.collect()
     assert all(r["source"] != "src1" for r in rows)          # weight 0 drops all
     assert sum(r["source"] == "src0" for r in rows) == 34    # weight 1 keeps all
+
+
+def test_chunk_rejoin_and_pack_conservation(spark):
+    from pyspark.sql import functions as F
+
+    from seqtables_spark.pipeline.text import chunk_documents, pack_sequences, token_count
+
+    docs = spark.createDataFrame(
+        [(i, "en", " ".join(f"w{i}_{j}" for j in range(i % 7 + 1))) for i in range(30)],
+        "doc_id long, lang string, text string",
+    )
+    # invariant 1: concatenating a doc's chunks in order restores the
+    # token stream exactly
+    chunks = chunk_documents(docs, max_tokens=3)
+    rejoined = chunks.orderBy("doc_id", "chunk_idx").groupBy("doc_id").agg(
+        F.concat_ws(" ", F.collect_list("chunk_text")).alias("txt")
+    )
+    orig = {r["doc_id"]: r["text"] for r in docs.collect()}
+    for r in rejoined.collect():
+        assert r["txt"] == orig[r["doc_id"]]
+    # invariant 2: packing conserves tokens - bin totals sum to the
+    # corpus token count
+    packed = pack_sequences(docs, budget=10)
+    total = packed.agg(F.sum("total_tokens")).first()[0]
+    corpus = token_count(docs).agg(F.sum("n_tokens")).first()[0]
+    assert total == corpus
