@@ -265,8 +265,9 @@ def simhash_near_dups(
 
 def connected_components(
     pairs: DataFrame,
-    max_iter: int = 20,
+    max_iter: int = 50,
     driver_edge_limit: int = 5_000_000,
+    algorithm: str = "star",
 ) -> DataFrame:
     """Connected components over an undirected pair list
     DF(id_a, id_b) -> DF(doc_id, cluster_id) for every endpoint, with
@@ -284,13 +285,24 @@ def connected_components(
       corpus) and running path-compressed union-find is O(E alpha(E))
       in one Spark job, versus diameter-many join+agg jobs. 5M edges
       is ~80 MB on the driver.
-    * **Distributed min-label propagation** (bigger edge lists):
-      each iteration every node adopts the min of its own and its
-      neighbors' labels; converges in graph-diameter iterations.
-      Near-dup graphs are forests of tiny cliques (diameter 2-3), so
-      the loop is 2-4 cheap jobs on the edge list only. For
-      adversarial long-chain graphs swap in large-star/small-star
-      (same API, O(log n) rounds).
+    * **Distributed** (bigger edge lists): ``algorithm`` picks the
+      iteration scheme —
+
+      - ``"star"`` (default): alternating large-star / small-star
+        contractions (Kiveris et al., "Connected Components in
+        MapReduce and Beyond"). O(log n) rounds even on adversarial
+        long-chain graphs, each round two shuffles over the edge
+        list only.
+      - ``"label"``: min-label propagation — every node adopts the
+        min of its own and its neighbors' labels; converges in
+        graph-diameter rounds. Cheapest per-round for the typical
+        near-dup graph (forests of tiny cliques, diameter 2-3).
+
+      Both paths truncate lineage every iteration with
+      ``localCheckpoint(eager=True)`` — without it the nested
+      union/groupBy plan grows per round and plan compilation + AQE
+      blow the driver heap long before the data does (the round-2
+      OOM on a 7-node path graph).
     """
     if driver_edge_limit > 0:
         head = pairs.select("id_a", "id_b").limit(driver_edge_limit + 1).collect()
@@ -322,43 +334,135 @@ def connected_components(
             ).schema
             return pairs.sparkSession.createDataFrame(rows, schema)
 
+    if algorithm == "label":
+        return _cc_label_propagation(pairs, max_iter)
+    if algorithm == "star":
+        return _cc_star(pairs, max_iter)
+    raise ValueError(f"unknown connected_components algorithm: {algorithm!r}")
+
+
+def _cc_label_propagation(pairs: DataFrame, max_iter: int) -> DataFrame:
+    """Min-label propagation; one join+agg per round, diameter rounds."""
     edges = (
         pairs.select(F.col("id_a").alias("s"), F.col("id_b").alias("d"))
         .union(pairs.select(F.col("id_b").alias("s"), F.col("id_a").alias("d")))
         .distinct()
-        .persist()
+        .localCheckpoint(eager=True)
     )
-    labels = edges.select(F.col("s").alias("id")).distinct().select(
-        "id", F.col("id").alias("lab")
-    ).persist()
-    try:
-        for _ in range(max_iter):
-            # each node hears its neighbors' current labels
-            nbr = (
-                edges.join(labels, edges["d"] == labels["id"])
-                .select(F.col("s").alias("id"), F.col("lab"))
-            )
-            new_labels = (
-                labels.select("id", "lab")
-                .union(nbr)
-                .groupBy("id")
-                .agg(F.min("lab").alias("lab"))
-                .persist()
-            )
-            changed = (
-                new_labels.alias("n")
-                .join(labels.alias("o"), "id")
-                .filter(F.col("n.lab") != F.col("o.lab"))
-                .limit(1)
-                .count()
-            )
-            labels.unpersist()
-            labels = new_labels
-            if changed == 0:
-                break
-        return labels.select(F.col("id").alias("doc_id"), F.col("lab").alias("cluster_id"))
-    finally:
-        edges.unpersist()
+    labels = (
+        edges.select(F.col("s").alias("id"))
+        .distinct()
+        .select("id", F.col("id").alias("lab"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iter):
+        # each node hears its neighbors' current labels
+        nbr = edges.join(labels, edges["d"] == labels["id"]).select(
+            F.col("s").alias("id"), F.col("lab")
+        )
+        # localCheckpoint: materialize AND cut lineage, else the plan
+        # nests one union+groupBy deeper per round and the driver dies
+        # compiling it, not executing it
+        new_labels = (
+            labels.select("id", "lab")
+            .union(nbr)
+            .groupBy("id")
+            .agg(F.min("lab").alias("lab"))
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.lab") != F.col("o.lab"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(F.col("id").alias("doc_id"), F.col("lab").alias("cluster_id"))
+
+
+def _star_round(edges: DataFrame) -> DataFrame:
+    """One large-star + small-star contraction round.
+
+    large-star: every node u connects its strictly-larger neighbors to
+    m(u) = min(N(u) + {u}); small-star: after orienting edges
+    high -> low, every node connects its smaller neighbors (and
+    itself) to the minimum. Each is a groupBy + equi-join on the edge
+    list — two shuffles per round, O(log n) rounds total.
+    """
+    sym = (
+        edges.union(edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    mins = (
+        sym.groupBy("u")
+        .agg(F.min("v").alias("mv"))
+        .select("u", F.least("u", "mv").alias("m"))
+    )
+    large = (
+        sym.join(mins, "u")
+        .filter(F.col("v") > F.col("u"))
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    oriented = (
+        large.select(
+            F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    small_mins = oriented.groupBy("u").agg(F.min("v").alias("m"))
+    small = (
+        oriented.join(small_mins, "u")
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        .union(small_mins.select("u", F.col("m").alias("v")))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    return small
+
+
+def _cc_star(pairs: DataFrame, max_iter: int) -> DataFrame:
+    """Alternating large-star/small-star: O(log n) rounds on any graph."""
+    nodes = (
+        pairs.select(F.col("id_a").alias("id"))
+        .union(pairs.select(F.col("id_b").alias("id")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    edges = (
+        pairs.select(F.col("id_a").alias("u"), F.col("id_b").alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    prev_cnt = edges.count()
+    for _ in range(max_iter):
+        # localCheckpoint each round: cut lineage so plan size stays O(1)
+        new_edges = _star_round(edges).localCheckpoint(eager=True)
+        new_cnt = new_edges.count()
+        converged = (
+            new_cnt == prev_cnt
+            and new_edges.subtract(edges).limit(1).count() == 0
+        )
+        edges, prev_cnt = new_edges, new_cnt
+        if converged:
+            break
+    # at convergence edges are star edges (member -> root); roots and
+    # isolated nodes label themselves
+    labels = edges.select(F.col("u").alias("id"), F.col("v").alias("lab"))
+    return (
+        nodes.join(labels, "id", "left")
+        .select(
+            F.col("id").alias("doc_id"),
+            F.coalesce(F.col("lab"), F.col("id")).alias("cluster_id"),
+        )
+    )
 
 
 def dedup_survivors(

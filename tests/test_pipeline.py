@@ -212,8 +212,11 @@ def test_frame_sample_plan(spark):
     assert idx == [0, 30, 60, 90]
 
 
-@pytest.mark.parametrize("driver_edge_limit", [5_000_000, 0])
-def test_connected_components_labels_min_id(spark, driver_edge_limit):
+@pytest.mark.parametrize(
+    "driver_edge_limit,algorithm",
+    [(5_000_000, "star"), (0, "star"), (0, "label")],
+)
+def test_connected_components_labels_min_id(spark, driver_edge_limit, algorithm):
     from seqtables_spark.pipeline.dedup import connected_components
 
     pairs = spark.createDataFrame(
@@ -223,28 +226,65 @@ def test_connected_components_labels_min_id(spark, driver_edge_limit):
     comp = {
         r["doc_id"]: r["cluster_id"]
         for r in connected_components(
-            pairs, driver_edge_limit=driver_edge_limit
+            pairs, driver_edge_limit=driver_edge_limit, algorithm=algorithm
         ).collect()
     }
     assert comp == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 20: 20, 21: 20, 22: 20, 23: 20}
 
 
-@pytest.mark.parametrize("driver_edge_limit", [5_000_000, 0])
-def test_connected_components_chain_needs_iterations(spark, driver_edge_limit):
+@pytest.mark.parametrize(
+    "driver_edge_limit,algorithm",
+    [(5_000_000, "star"), (0, "star"), (0, "label")],
+)
+def test_connected_components_chain_needs_iterations(
+    spark, driver_edge_limit, algorithm
+):
     from seqtables_spark.pipeline.dedup import connected_components
 
-    # a 7-node path: min label must walk the full diameter
+    # a 7-node path: propagation must walk the full diameter
     pairs = spark.createDataFrame(
         [(i, i + 1) for i in range(7, 0, -1)], "id_a long, id_b long"
     )
     comp = {
         r["doc_id"]: r["cluster_id"]
         for r in connected_components(
-            pairs, driver_edge_limit=driver_edge_limit
+            pairs, driver_edge_limit=driver_edge_limit, algorithm=algorithm
         ).collect()
     }
     assert set(comp.values()) == {1}
     assert len(comp) == 8
+
+
+def test_connected_components_long_chain_star_converges(spark):
+    """Adversarial 1k-node path at driver_edge_limit=0: large/small-star
+    must converge in O(log n) rounds without blowing the driver plan."""
+    from seqtables_spark.pipeline.dedup import connected_components
+
+    n = 1000
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(n)], "id_a long, id_b long"
+    )
+    comp = connected_components(
+        pairs, driver_edge_limit=0, algorithm="star", max_iter=25
+    )
+    rows = comp.collect()
+    assert len(rows) == n + 1
+    assert {r["cluster_id"] for r in rows} == {0}
+
+
+def test_connected_components_self_pairs_and_isolated(spark):
+    from seqtables_spark.pipeline.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        [(5, 5), (1, 2)], "id_a long, id_b long"
+    )
+    comp = {
+        r["doc_id"]: r["cluster_id"]
+        for r in connected_components(
+            pairs, driver_edge_limit=0, algorithm="star"
+        ).collect()
+    }
+    assert comp == {1: 1, 2: 1, 5: 5}
 
 
 def test_dedup_survivors_keeps_min_per_cluster_and_singletons(spark):
