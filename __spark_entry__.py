@@ -2992,7 +2992,11 @@ chunks AS (
          array_to_string(list_slice(tk, CAST(j * 64 + 1 AS BIGINT), CAST(j * 64 + 64 AS BIGINT)), ' ') AS chunk_text,
          CAST(len(list_slice(tk, CAST(j * 64 + 1 AS BIGINT), CAST(j * 64 + 64 AS BIGINT))) AS BIGINT) AS n_chunk_tokens
   FROM toks,
-       (SELECT unnest(generate_series(0, 1000)) AS j)
+       -- series bound derived from the longest document, so the
+       -- oracle never silently caps chunk_idx (was a fixed 1000)
+       (SELECT unnest(generate_series(0, (
+          SELECT CAST(max(ceil(len(regexp_extract_all(text, '\\S+')) / 64.0)) AS BIGINT)
+          FROM documents))) AS j)
   WHERE j <= ceil(len(tk) / 64.0) - 1
 )
 SELECT doc_id, count(*) AS n_chunks,

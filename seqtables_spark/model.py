@@ -400,29 +400,60 @@ class SeqTable:
         )
 
     def seq_logo(self, positions=None, method: str = "freq",
-                 include_insertions: bool = True) -> DataFrame:
+                 include_insertions: bool = True,
+                 ignore_characters=(), weights=None,
+                 min_ins_count: int = 0) -> DataFrame:
         """Reference seq_logo compute side (seqtables.py:1379-1394):
-        the letter distribution the stacked-bar renderer consumes —
-        rendering itself is out of engine scope."""
-        from .operators.distribution import seq_dist, seq_dist_with_insertions
+        the stacked-bar letter distribution — ``get_seq_dist`` over the
+        matrix positions (emitted as loc_ins=0 slots, freq normalized
+        over the matrix letters at that position) concatenated with
+        ``get_insertion_seq_dist``'s per-(position, loc_ins) slot
+        distributions, including the implicit '-' gap row, each slot
+        normalized over all N reads (the reference's per-column
+        normalize after the gap row tops the column up to N,
+        seqtables.py:1047-1051). Rendering itself is out of engine
+        scope. Returns DF(position, loc_ins, base, cnt|freq); the
+        (position, loc_ins) pair is the reference's sorted multiindex
+        column key (seqtables.py:730-731), in long form.
 
-        if include_insertions:
-            if method not in ("counts", "freq"):
-                raise ValueError(
-                    f"seq_logo(include_insertions=True) supports method='counts'|'freq', got {method!r}"
-                )
-            counts = seq_dist_with_insertions(
-                self.cells(with_qual=False), self.insertions, positions=positions
+        For reads with >=1 insertion counted as a single '^'
+        pseudo-letter inside the per-position distribution instead,
+        use get_seq_dist-with-insertion-counts
+        (operators.distribution.seq_dist_with_insertions)."""
+        from .operators.distribution import seq_dist
+        from .operators.insertions import get_insertion_seq_dist
+
+        if include_insertions and method not in ("counts", "freq"):
+            raise ValueError(
+                f"seq_logo(include_insertions=True) supports method='counts'|'freq', got {method!r}"
             )
-            if method == "counts":
-                return counts
-            from pyspark.sql import Window
-
-            w = Window.partitionBy("position")
-            return counts.withColumn(
-                "freq", F.col("cnt") / F.sum("cnt").over(w)
-            ).drop("cnt")
-        return seq_dist(self.cells(with_qual=False), method, positions=positions)
+        val = {"counts": "cnt", "freq": "freq", "bits": "bits"}[method]
+        base_dist = seq_dist(
+            self.cells(with_qual=False), method, positions=positions,
+            ignore_characters=ignore_characters, weights=weights,
+        )
+        has_ins = include_insertions and self.insertions is not None
+        loc_ins_type = (
+            self.insertions.schema["loc_ins"].dataType if has_ins else "int"
+        )
+        base_dist = base_dist.select(
+            "position", F.lit(0).cast(loc_ins_type).alias("loc_ins"), "base", val
+        )
+        if not has_ins:
+            return base_dist
+        ins = get_insertion_seq_dist(
+            self.insertions, self.n_reads, positions=positions,
+            min_ins_count=min_ins_count,
+        )
+        if method == "freq":
+            ins = ins.withColumn(
+                "freq", F.col("cnt") / F.lit(float(self.n_reads))
+            )
+        ins = ins.select(
+            "position", "loc_ins", "base",
+            F.col(val).cast(base_dist.schema[val].dataType).alias(val),
+        )
+        return base_dist.unionByName(ins)
 
     def merge_seqs(self, others: list["SeqTable"], axis: int = 0) -> "SeqTable":
         """Reference merge_seqs / st_merge_arrays (st_merge.py:63-138)."""

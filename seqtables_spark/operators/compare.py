@@ -203,7 +203,16 @@ def pairwise_hamming(
             )
         )
     ).cast("long")
-    dist = (mismatches / width).alias("dist") if normalized else mismatches.alias("dist")
+    if normalized:
+        # 0/0 is NULL in Spark, so re-apply the zero-width guard to the
+        # ratio: zero-width pairs have distance 0.0, not NULL
+        dist = (
+            F.when(width <= 0, F.lit(0.0))
+            .otherwise(mismatches / width)
+            .alias("dist")
+        )
+    else:
+        dist = mismatches.alias("dist")
     return pairs.select("id_a", "id_b", dist)
 
 

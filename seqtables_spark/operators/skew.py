@@ -28,15 +28,25 @@ def salted_join(
     on: Sequence[str],
     n_salts: int = 8,
     how: str = "inner",
+    salt_cols: Sequence[str] | None = None,
 ) -> DataFrame:
     """Equi-join `big ⋈ small` on `on`, with the shuffle key widened
     to (on..., salt) so a skewed key spreads over n_salts partitions.
 
     The small side is replicated n_salts times via a literal
     explode (rows x n_salts — keep it to true dimension tables);
-    the big side computes salt = pmod(xxhash64(all columns), n_salts)
+    the big side computes salt = pmod(xxhash64(salt_cols), n_salts)
     row-locally. Result columns = big's then small's non-key columns,
-    exactly like a plain df.join(small, on)."""
+    exactly like a plain df.join(small, on).
+
+    salt_cols defaults to ALL big-side columns. Two limitations of
+    that default: (1) byte-identical duplicate big-side rows all hash
+    to the SAME salt, so a hot key made of exact duplicates (the
+    mega-document cluster pre-dedup) does not spread — pass a
+    pre-existing unique row id (e.g. ``salt_cols=["doc_id"]``) when
+    rows may be fully duplicated; (2) xxhash64 cannot hash map-typed
+    columns — pass salt_cols excluding them. rand() would dodge both
+    but breaks task-retry determinism, which matters more."""
     if how not in ("inner", "left", "left_outer", "leftouter", "left_semi", "leftsemi", "left_anti", "leftanti"):
         # right/full outer would emit one null-padded row PER SALT for
         # every unmatched small-side key (the replicas all survive) -
@@ -46,8 +56,9 @@ def salted_join(
     salt = "__salted_join_salt__"  # collision-proof internal name
     salts = F.explode(F.sequence(F.lit(0), F.lit(int(n_salts) - 1))).alias(salt)
     small_rep = small.select("*", salts)
+    hash_cols = list(salt_cols) if salt_cols is not None else list(big.columns)
     big_salted = big.withColumn(
         salt,
-        F.pmod(F.xxhash64(*[F.col(c) for c in big.columns]), F.lit(int(n_salts))).cast("int"),
+        F.pmod(F.xxhash64(*[F.col(c) for c in hash_cols]), F.lit(int(n_salts))).cast("int"),
     )
     return big_salted.join(small_rep, on + [salt], how).drop(salt)

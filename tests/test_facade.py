@@ -99,6 +99,18 @@ def test_facade_insertion_aggs_and_seq_logo(spark):
             for r in st2.get_insertion_seq_dist().collect()}
     assert dist[(2, -1, "T")] == 2
     assert dist[(2, -1, "-")] == 1  # implicit gap row: 3 reads - 2 with ins
-    logo = {(r["position"], r["base"]): r["freq"] for r in st2.seq_logo().collect()}
-    assert logo[(1, "A")] == 1.0
-    assert abs(logo[(2, "^")] - 2 / 5) < 1e-12  # 2 ins events / (3 bases + 2 events)
+    logo = {(r["position"], r["loc_ins"], r["base"]): r["freq"]
+            for r in st2.seq_logo().collect()}
+    # matrix slots (loc_ins=0): freq over matrix letters only
+    assert logo[(1, 0, "A")] == 1.0
+    assert abs(logo[(2, 0, "C")] - 2 / 3) < 1e-12
+    # insertion slot (2,-1): per-slot distribution over all N=3 reads,
+    # incl the implicit '-' gap row (reference seqtables.py:1047-1051)
+    assert abs(logo[(2, -1, "T")] - 2 / 3) < 1e-12
+    assert abs(logo[(2, -1, "-")] - 1 / 3) < 1e-12
+    # counts shape matches: gap row = N - ins reads
+    logo_cnt = {(r["position"], r["loc_ins"], r["base"]): r["cnt"]
+                for r in st2.seq_logo(method="counts").collect()}
+    assert logo_cnt[(2, -1, "T")] == 2
+    assert logo_cnt[(2, -1, "-")] == 1
+    assert logo_cnt[(2, 0, "G")] == 1

@@ -31,6 +31,15 @@ def test_pairwise_hamming_normalized(spark):
     assert row["dist"] == 0.5
 
 
+def test_pairwise_hamming_normalized_zero_width_is_zero(spark):
+    # 0/0 must be guarded to 0.0, not Spark's NULL
+    reads = spark.createDataFrame(
+        [(1, ""), (2, "ACGT")], "read_id long, seq string"
+    )
+    [row] = pairwise_hamming(reads, normalized=True).collect()
+    assert row["dist"] == 0.0
+
+
 def test_seq_dist_with_insertions(spark):
     st = from_list(spark, ["AC", "AG"])
     ins = spark.createDataFrame(
@@ -99,6 +108,27 @@ def test_salted_join_matches_plain_join(spark):
     want = sorted(
         (r["row_id"], r["label"]) for r in big.join(dim, "k").collect()
     )
+    assert got == want
+
+
+def test_salted_join_salt_cols_spreads_identical_rows(spark):
+    from seqtables_spark.operators.skew import salted_join
+
+    # byte-identical payload rows: default salt (hash of all columns)
+    # cannot spread them, an explicit unique id can — and either way
+    # the join result matches the plain join
+    big = spark.createDataFrame(
+        [(i, 0, "same payload") for i in range(50)],
+        "row_id long, k int, payload string",
+    )
+    dim = spark.createDataFrame([(0, "a")], "k int, label string")
+    got = sorted(
+        (r["row_id"], r["label"])
+        for r in salted_join(
+            big, dim, ["k"], n_salts=4, salt_cols=["row_id"]
+        ).collect()
+    )
+    want = sorted((r["row_id"], r["label"]) for r in big.join(dim, "k").collect())
     assert got == want
 
 
