@@ -389,6 +389,41 @@ def q_translate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_library_alignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference get_read_alignment_details (library_utils.py:258-306)
+    as a table op: each document's NT projection is the wildtype; the
+    library amplicon is its 12-nt substring at offset doc_id % 8 with
+    degenerate bases planted at amplicon positions 4 and 9 (N) and 6
+    (the two-fold IUPAC code containing the wildtype base) — a
+    site-saturation design whose alignment offset and expected-
+    mutation masks must be rediscovered."""
+    from seqtables_spark.operators.library import library_alignment_details
+
+    reads = _doc_reads(spark, sf_dir)
+    act = _nt_projection()
+    off = (F.col("read_id").cast("long") % 8).cast("int")
+
+    def lib_char(i):
+        ch = act.substr(off + i, F.lit(1))
+        two_fold = (
+            F.when(ch == "A", "R").when(ch == "C", "Y")
+            .when(ch == "G", "K").otherwise(F.lit("W"))
+        )
+        return (
+            F.when(i.isin(4, 9), F.lit("N")).when(i == 6, two_fold).otherwise(ch)
+        )
+
+    library = F.concat_ws("", F.transform(F.sequence(F.lit(1), F.lit(12)), lib_char))
+    designs = reads.select(
+        F.col("read_id").cast("long").alias("doc_id"),
+        act.alias("actual_seq"),
+        library.alias("library_seq"),
+    )
+    return library_alignment_details(designs, id_col="doc_id").withColumnRenamed(
+        "lib_id", "doc_id"
+    )
+
+
 def q_filter_by_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P8 filter_by_count: keep cells whose (position, base) group has
     count > 10, then tally survivors per base."""
@@ -1564,6 +1599,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmers_gapped": q_kmers_gapped,
         "kmers_contiguous": q_kmers_contiguous,
         "translate": q_translate,
+        "library_alignment": q_library_alignment,
         "filter_by_count": q_filter_by_count,
         "low_qual_mask": q_low_qual_mask,
         "cigar_align": q_cigar_align,
@@ -2337,6 +2373,68 @@ SELECT kmer, count(*) AS cnt FROM km GROUP BY kmer
 WITH {_SQL_DOC_SEQ},
 nt_seq AS (SELECT doc_id, {nt_concat} AS nt FROM doc_seq)
 SELECT doc_id, {aa_concat} AS aa FROM nt_seq
+"""
+
+    # library_alignment: rebuild the degenerate amplicon, rediscover
+    # the min alignment offset with a bool_and over candidate offsets,
+    # then emit the per-position mutation masks
+    _degen_case = (
+        "CASE {c} WHEN 'A' THEN 'A' WHEN 'C' THEN 'C' WHEN 'G' THEN 'G' "
+        "WHEN 'T' THEN 'T' WHEN 'R' THEN 'AG' WHEN 'Y' THEN 'CT' "
+        "WHEN 'S' THEN 'CG' WHEN 'W' THEN 'AT' WHEN 'K' THEN 'GT' "
+        "WHEN 'M' THEN 'AC' WHEN 'B' THEN 'CGT' WHEN 'D' THEN 'AGT' "
+        "WHEN 'H' THEN 'ACT' WHEN 'V' THEN 'ACG' ELSE 'ACGT' END"
+    )
+    _two_fold = (
+        "CASE substring(nt, off0 + 6, 1) WHEN 'A' THEN 'R' WHEN 'C' THEN 'Y' "
+        "WHEN 'G' THEN 'K' ELSE 'W' END"
+    )
+    _lib_concat = " || ".join(
+        "'N'" if i in (4, 9) else _two_fold if i == 6
+        else f"substring(nt, off0 + {i}, 1)"
+        for i in range(1, 13)
+    )
+    sqls["library_alignment"] = f"""
+WITH {_SQL_DOC_SEQ},
+nt_seq AS (SELECT doc_id, {nt_concat} AS nt FROM doc_seq),
+lib AS (
+  SELECT doc_id, nt, {_lib_concat} AS lib
+  FROM (SELECT doc_id, nt, CAST(doc_id % 8 AS INT) AS off0 FROM nt_seq)
+),
+cand AS (
+  SELECT l.doc_id, o.o
+  FROM lib l
+  CROSS JOIN (SELECT unnest(generate_series(0, {W - 12})) AS o) o
+  CROSS JOIN (SELECT unnest(generate_series(1, 12)) AS i) i
+  GROUP BY l.doc_id, o.o
+  HAVING bool_and(
+    strpos({_degen_case.format(c="substring(l.lib, CAST(i.i AS INT), 1)")},
+           substring(l.nt, CAST(o.o + i.i AS INT), 1)) > 0)
+),
+aln AS (SELECT doc_id, CAST(min(o) AS BIGINT) AS start_aln FROM cand GROUP BY doc_id),
+feat AS (
+  SELECT l.doc_id,
+         CAST(p.nt_pos AS BIGINT) AS nt_pos,
+         substring(l.nt, CAST(p.nt_pos AS INT), 1) AS wt_base,
+         a.start_aln,
+         substring(l.nt, CAST(a.start_aln + 1 AS INT), 12) AS wt_sub,
+         CASE WHEN p.nt_pos > a.start_aln AND p.nt_pos <= a.start_aln + 12
+              THEN 1 ELSE 0 END AS in_amplicon,
+         CASE WHEN p.nt_pos > a.start_aln AND p.nt_pos <= a.start_aln + 12
+               AND substring(l.lib, CAST(p.nt_pos - a.start_aln AS INT), 1)
+                   NOT IN ('A','C','G','T')
+              THEN 1 ELSE 0 END AS expected_mut_nt,
+         CAST(floor((p.nt_pos - 1) / 3) + 1 AS BIGINT) AS aa_pos,
+         CAST((p.nt_pos - 1) % 3 AS BIGINT) AS codon_pos
+  FROM lib l JOIN aln a USING (doc_id)
+  CROSS JOIN (SELECT unnest(generate_series(1, {W})) AS nt_pos) p
+)
+SELECT doc_id, nt_pos, wt_base, start_aln, wt_sub, in_amplicon, expected_mut_nt,
+       aa_pos, codon_pos,
+       CASE WHEN aa_pos <= {W // 3}
+            THEN max(expected_mut_nt) OVER (PARTITION BY doc_id, aa_pos)
+            ELSE 0 END AS expected_mut_aa
+FROM feat
 """
 
     sqls["filter_by_count"] = f"""
