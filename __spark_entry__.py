@@ -370,6 +370,21 @@ def q_kmers_gapped(spark: SparkSession, sf_dir: str) -> DataFrame:
     return get_substrings(_doc_reads(spark, sf_dir), 2, positions=[2, 3, 5])
 
 
+def q_kmers_gapped_ins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A10 get_substrings(include_insertions=True), reference
+    seqtables.py:999-1003: gapped 2-mers where the combination slots
+    are matrix positions {9,10,11} interleaved with the CIGAR
+    insertion slots observed there (lowercased letters, '-' gap for
+    reads without the insertion)."""
+    from seqtables_spark.operators.kmers import get_substrings
+
+    reads, ins = _aligned(spark, sf_dir)
+    return get_substrings(
+        reads, 2, positions=[9, 10, 11],
+        include_insertions=True, insertions=ins,
+    )
+
+
 def q_kmers_contiguous(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A10 scale path: sliding-window 4-mer counts over the corpus."""
     from seqtables_spark.operators.kmers import contiguous_kmers
@@ -1597,6 +1612,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pwm_score": q_pwm_score,
         "ts_tv": q_ts_tv,
         "kmers_gapped": q_kmers_gapped,
+        "kmers_gapped_ins": q_kmers_gapped_ins,
         "kmers_contiguous": q_kmers_contiguous,
         "translate": q_translate,
         "library_alignment": q_library_alignment,
@@ -2477,16 +2493,50 @@ ins AS (
   WHERE m = 3
 )"""
 
-    sqls["cigar_align"] = f"""
-WITH {_sql_algn_doc}
-SELECT doc_id,
-  CASE m
+    _sql_aligned_expr = """CASE m
     WHEN 0 THEN repeat('-', p - 1) || seq || repeat('-', 31 - p - 24)
     WHEN 1 THEN repeat('-', p - 1) || substring(seq, 5, 20) || repeat('-', 31 - p - 20)
     WHEN 2 THEN repeat('-', p - 1) || substring(seq, 1, 10) || '--' || substring(seq, 11, 14) || repeat('-', 31 - p - 26)
     ELSE repeat('-', p - 1) || substring(seq, 1, 8) || substring(seq, 12, 13) || repeat('-', 31 - p - 21)
-  END AS aligned_seq
+  END"""
+
+    sqls["cigar_align"] = f"""
+WITH {_sql_algn_doc}
+SELECT doc_id, {_sql_aligned_expr} AS aligned_seq
 FROM algn_in
+"""
+
+    # kmers_gapped_ins: slots = matrix positions 9-11 + the distinct
+    # CIGAR insertion slots observed in the data, sorted by
+    # (position, loc_ins) exactly like the engine's slot index
+    sqls["kmers_gapped_ins"] = f"""
+WITH {_sql_ins_cte},
+aligned AS (SELECT doc_id, {_sql_aligned_expr} AS aligned_seq FROM algn_in),
+slots AS (
+  SELECT position, loc_ins,
+         ROW_NUMBER() OVER (ORDER BY position, loc_ins) AS idx,
+         CASE WHEN loc_ins = 0 THEN 'p' || position
+              ELSE 'p' || position || '_ins_' || abs(loc_ins) END AS name
+  FROM (
+    SELECT DISTINCT position, loc_ins FROM ins
+    UNION
+    SELECT CAST(unnest([9, 10, 11]) AS BIGINT) AS position, 0 AS loc_ins
+  )
+),
+chars AS (
+  SELECT a.doc_id, s.idx, s.name,
+         CASE WHEN s.loc_ins = 0
+              THEN substring(a.aligned_seq, CAST(s.position AS INT), 1)
+              ELSE coalesce(lower(i.base), '-') END AS ch
+  FROM aligned a CROSS JOIN slots s
+  LEFT JOIN ins i
+    ON i.doc_id = a.doc_id AND i.position = s.position AND i.loc_ins = s.loc_ins
+),
+pairs AS (
+  SELECT c1.name || ',' || c2.name AS combo, c1.ch || c2.ch AS kmer
+  FROM chars c1 JOIN chars c2 ON c1.doc_id = c2.doc_id AND c1.idx < c2.idx
+)
+SELECT combo, kmer, count(*) AS cnt FROM pairs GROUP BY combo, kmer
 """
 
     sqls["cigar_insertions"] = f"""

@@ -54,6 +54,74 @@ def test_gapped_kmers_weighted(spark):
     assert d[("p1,p2", "AC")] == 2.0 and d[("p1,p2", "AA")] == 3.0
 
 
+def test_gapped_kmers_include_insertions(spark):
+    # reference seqtables.py:999-1003: insertion slots interleave with
+    # matrix positions, sorted by (position, loc_ins); reads without
+    # the insertion contribute the gap char; letters lowercased
+    st = from_list(spark, ["AC", "AG"])
+    ins = spark.createDataFrame(
+        [("1", 2, -1, "T", 30)],
+        "read_id string, position long, loc_ins int, base string, qual int",
+    )
+    d = {
+        (r["combo"], r["kmer"]): r["cnt"]
+        for r in get_substrings(
+            st.reads, 2, positions=[1, 2],
+            include_insertions=True, insertions=ins,
+        ).collect()
+    }
+    # slots sorted: p1 (1,0), p2_ins_1 (2,-1), p2 (2,0)
+    assert d[("p1,p2_ins_1", "At")] == 1  # read 1 has the insertion
+    assert d[("p1,p2_ins_1", "A-")] == 1  # read 2 gets the gap
+    assert d[("p1,p2", "AC")] == 1 and d[("p1,p2", "AG")] == 1
+    assert d[("p2_ins_1,p2", "tC")] == 1 and d[("p2_ins_1,p2", "-G")] == 1
+
+
+def test_gapped_kmers_include_insertions_min_count_and_case(spark):
+    st = from_list(spark, ["AC", "AG"])
+    ins = spark.createDataFrame(
+        [("1", 2, -1, "T", 30)],
+        "read_id string, position long, loc_ins int, base string, qual int",
+    )
+    # min_ins_count=2 drops the singleton slot -> plain matrix combos
+    d = {
+        r["combo"]
+        for r in get_substrings(
+            st.reads, 2, positions=[1, 2],
+            include_insertions=True, insertions=ins, min_ins_count=2,
+        ).collect()
+    }
+    assert d == {"p1,p2"}
+    # lowercase_insertions=False keeps the original letter
+    d2 = {
+        (r["combo"], r["kmer"]): r["cnt"]
+        for r in get_substrings(
+            st.reads, 2, positions=[1, 2],
+            include_insertions=True, insertions=ins,
+            lowercase_insertions=False,
+        ).collect()
+    }
+    assert d2[("p1,p2_ins_1", "AT")] == 1
+
+
+def test_gapped_kmers_subsample_seqs_deterministic(spark):
+    st = from_list(spark, ["AC", "AG", "TT", "GG"])
+    a = {
+        (r["combo"], r["kmer"]): r["cnt"]
+        for r in get_substrings(
+            st.reads, 2, positions=[1, 2], subsample_seqs=2
+        ).collect()
+    }
+    b = {
+        (r["combo"], r["kmer"]): r["cnt"]
+        for r in get_substrings(
+            st.reads, 2, positions=[1, 2], subsample_seqs=2
+        ).collect()
+    }
+    assert a == b  # hash-deterministic, retry-safe
+    assert sum(v for (c, _), v in a.items() if c == "p1,p2") == 2
+
+
 def test_compare_set_diff(spark):
     from seqtables_spark.operators.compare import compare_to_references
 
