@@ -99,3 +99,73 @@ def test_bam_feeds_alignment_pipeline(spark, tmp_path):
     assert cells
     positions = {r["position"] for r in cells}
     assert min(positions) >= 2
+
+
+def _many_records(n=400):
+    # enough bulk that the payload spans several 60000-byte BGZF
+    # blocks, with records straddling block boundaries
+    recs = []
+    for i in range(n):
+        seq = "ACGT" * 40  # 160 nt
+        qual = "I" * 160
+        recs.append((f"read{i:04d}", 0, "ref1", i % 90 + 1, 60, "160M", seq, qual))
+    return recs
+
+
+def test_index_bam_chunks_covers_all_records():
+    from seqtables_spark.sources.bam import index_bam_chunks, scan_bgzf_blocks
+
+    data = encode_bam(_many_records(), REFS)
+    assert len(scan_bgzf_blocks(data)) > 2  # multi-block file
+    specs = index_bam_chunks(data, records_per_chunk=64)
+    assert sum(n for _, _, n in specs) == 400
+    assert len(specs) >= 4
+    # chunk starts are valid member boundaries
+    offs = {o for o, _, _ in scan_bgzf_blocks(data)}
+    assert all(c in offs for c, _, _ in specs)
+
+
+def test_decode_bam_range_matches_full_decode(tmp_path):
+    from seqtables_spark.sources.bam import decode_bam_range, index_bam_chunks
+
+    recs = _many_records()
+    data = encode_bam(recs, REFS)
+    p = tmp_path / "big.bam"
+    p.write_bytes(data)
+    refs, full = decode_bam(data)
+    want = list(full)
+    got = []
+    with open(p, "rb") as f:
+        for comp_off, uoff, n in index_bam_chunks(data, records_per_chunk=64):
+            got.extend(decode_bam_range(f, comp_off, uoff, n, refs))
+    assert got == want
+
+
+def test_read_bam_split_identical_to_single_task(spark, tmp_path):
+    """One large BAM decoded across >=4 tasks == the per-file path."""
+    from seqtables_spark.sources.bam import _CHUNK_SCHEMA  # noqa: F401
+
+    recs = _many_records()
+    (tmp_path / "big.bam").write_bytes(encode_bam(recs, REFS))
+    single = read_bam(spark, str(tmp_path / "big.bam"))
+    split = read_bam(
+        spark, str(tmp_path / "big.bam"), records_per_chunk=64
+    )
+    key = lambda r: r["header"]
+    s_rows = sorted(single.collect(), key=key)
+    p_rows = sorted(split.collect(), key=key)
+    assert len(p_rows) == 400
+    assert s_rows == p_rows
+    # and the split plan genuinely fans out over >= 4 tasks
+    assert split.rdd.getNumPartitions() >= 4
+
+
+def test_read_bam_split_with_mapq_filter(spark, tmp_path):
+    recs = _many_records(100) + [("low", 0, "ref1", 1, 5, "4M", "ACGT", "IIII")]
+    (tmp_path / "f.bam").write_bytes(encode_bam(recs, REFS))
+    rows = read_bam(
+        spark, str(tmp_path / "f.bam"), min_mapping_quality=50,
+        records_per_chunk=32,
+    ).collect()
+    names = {r["header"] for r in rows}
+    assert "low" not in names and len(names) == 100
