@@ -573,6 +573,21 @@ def q_view_with_ins(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_seq_logo_ins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A13 seq_logo compute side with insertions (reference
+    seqtables.py:1379-1394): matrix slots normalized over matrix
+    letters per position, insertion slots as per-(position, loc_ins)
+    distributions incl. the implicit '-' gap row, each normalized
+    over all N reads."""
+    from seqtables_spark import from_df
+    from seqtables_spark.model import SeqTable
+
+    _, ins = _aligned(spark, sf_dir)
+    st = from_df(_doc_reads(spark, sf_dir), max_len=W)
+    st2 = SeqTable(st.reads, insertions=ins)
+    return st2.seq_logo(positions=[9, 10, 11], method="freq")
+
+
 def q_merge_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Set op st_merge axis=0: vertical union of two tables with
     different position windows (even docs: 24 chars at pos 1; odd
@@ -1626,7 +1641,7 @@ _ORACLE_PRIORITY = [
     "streaming_windowed", "streaming_dedup", "events_hourly",
     "event_sessions", "pricing_summary", "revenue_by_nation",
     "profit_by_nation_brand", "top_orders_per_cust",
-    "salted_brand_revenue",
+    "salted_brand_revenue", "seq_logo_ins",
 ]
 
 
@@ -1672,6 +1687,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "insertion_stats": q_insertion_stats,
         "insertion_expectations": q_insertion_expectations,
         "view_with_ins": q_view_with_ins,
+        "seq_logo_ins": q_seq_logo_ins,
         "merge_union": q_merge_union,
         "merge_overlay": q_merge_overlay,
         "sam_flags": q_sam_flags,
@@ -2630,6 +2646,38 @@ gaps AS (
 SELECT position, loc_ins, base, CAST(cnt AS BIGINT) AS cnt FROM dist
 UNION ALL
 SELECT position, loc_ins, base, CAST(cnt AS BIGINT) AS cnt FROM gaps
+"""
+
+    sqls["seq_logo_ins"] = f"""
+WITH {_sql_ins_cte},
+doc_cells AS (
+  SELECT doc_id, CAST(i AS BIGINT) AS position,
+         substring(seq, CAST(i AS INTEGER), 1) AS base
+  FROM (SELECT doc_id, seq, unnest(generate_series(9, 11)) AS i FROM doc_seq)
+),
+insd AS (
+  SELECT CAST(position AS BIGINT) AS position, CAST(loc_ins AS INTEGER) AS loc_ins,
+         base, count(*) AS cnt
+  FROM ins GROUP BY 1, 2, 3
+),
+gaps AS (
+  SELECT position, loc_ins, '-' AS base,
+         (SELECT count(*) FROM documents) - sum(cnt) AS cnt
+  FROM insd GROUP BY position, loc_ins
+),
+ins_all AS (
+  SELECT position, loc_ins, base, CAST(cnt AS BIGINT) AS cnt FROM insd
+  UNION ALL
+  SELECT position, loc_ins, base, CAST(cnt AS BIGINT) AS cnt FROM gaps
+),
+mat AS (SELECT position, base, count(*) AS cnt FROM doc_cells GROUP BY position, base)
+SELECT position, CAST(0 AS INTEGER) AS loc_ins, base,
+       cnt / sum(cnt) OVER (PARTITION BY position) AS freq
+FROM mat
+UNION ALL
+SELECT position, loc_ins, base,
+       cnt / CAST((SELECT count(*) FROM documents) AS DOUBLE) AS freq
+FROM ins_all
 """
 
     sqls["view_with_ins"] = f"""

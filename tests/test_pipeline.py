@@ -296,3 +296,55 @@ def test_dedup_survivors_keeps_min_per_cluster_and_singletons(spark):
     pairs = spark.createDataFrame([(1, 2), (2, 5), (6, 7)], "id_a long, id_b long")
     kept = sorted(r["doc_id"] for r in dedup_survivors(docs, pairs).collect())
     assert kept == [0, 1, 3, 4, 6]
+
+
+def test_connected_components_star_random_graphs_match_union_find(spark):
+    """Property check: on arbitrary small graphs the distributed
+    star-contraction labels equal path-compressed union-find's
+    min-label components (hypothesis-generated, fixed seed set kept
+    small because each example is a full Spark job cascade)."""
+    from hypothesis import HealthCheck, given, settings, strategies as st_
+
+    from seqtables_spark.pipeline.dedup import connected_components
+
+    @settings(
+        max_examples=8,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(
+        edges=st_.lists(
+            st_.tuples(st_.integers(0, 15), st_.integers(0, 15)),
+            min_size=1,
+            max_size=20,
+        )
+    )
+    def run(edges):
+        parent = {}
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            parent.setdefault(a, a)
+            parent.setdefault(b, b)
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                if rb < ra:
+                    ra, rb = rb, ra
+                parent[rb] = ra
+        want = {x: find(x) for x in parent}
+
+        pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+        got = {
+            r["doc_id"]: r["cluster_id"]
+            for r in connected_components(
+                pairs, driver_edge_limit=0, algorithm="star"
+            ).collect()
+        }
+        assert got == want
+
+    run()
