@@ -784,6 +784,17 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return connected_components(pairs)
 
 
+def q_dedup_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The DISTRIBUTED clustering path under the oracle: same verified
+    near-dup pairs, but driver_edge_limit=0 forces the large/small-star
+    contraction loop (the route an actual >5M-edge 100 TB dedup takes)
+    instead of driver union-find. Same answer, same oracle."""
+    from seqtables_spark.pipeline.dedup import connected_components
+
+    pairs = _verified_pairs(spark, sf_dir).select("id_a", "id_b")
+    return connected_components(pairs, driver_edge_limit=0, algorithm="star")
+
+
 def q_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fuzzy-dedup final output: the planted corpus with every
     non-canonical near-duplicate removed (anti-join against the
@@ -1641,7 +1652,7 @@ _ORACLE_PRIORITY = [
     "streaming_windowed", "streaming_dedup", "events_hourly",
     "event_sessions", "pricing_summary", "revenue_by_nation",
     "profit_by_nation_brand", "top_orders_per_cust",
-    "salted_brand_revenue", "seq_logo_ins",
+    "salted_brand_revenue", "seq_logo_ins", "dedup_clusters_star",
 ]
 
 
@@ -1698,6 +1709,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "ngram_jaccard": q_ngram_jaccard,
         "dedup_clusters": q_dedup_clusters,
+        "dedup_clusters_star": q_dedup_clusters_star,
         "dedup_survivors": q_dedup_survivors,
         "embedding_near_dups": q_embedding_near_dups,
         "multimodal_features": q_multimodal_features,
@@ -2813,6 +2825,7 @@ FROM scored GROUP BY 1, 2
     sqls["minhash_lsh_pairs"] = _sql_lsh_pairs()
     sqls["ngram_jaccard"] = _sql_ngram_jaccard()
     sqls["dedup_clusters"] = _sql_dedup_clusters()
+    sqls["dedup_clusters_star"] = _sql_dedup_clusters()
     sqls["dedup_survivors"] = _sql_dedup_survivors()
     sqls["embedding_near_dups"] = _sql_embedding_pairs()
     sqls["multimodal_features"] = _sql_multimodal()

@@ -17,16 +17,16 @@ Three entry points:
   emitting one row per wildtype nucleotide position with the
   expected-mutation masks. Alignment search and mask derivation are
   pure built-in higher-order functions (no UDF): per row the work is
-  O(|wildtype| * |library|) inside whole-stage codegen, rows are
-  independent, and the only shuffle-free wide op is the per-codon
-  window max — so the op scales to millions of designs.
+  O(|wildtype| * |library|) inside whole-stage codegen and every
+  output column is row-local — a shuffle-free projection that scales
+  to millions of designs.
 """
 
 from __future__ import annotations
 
 import re
 
-from pyspark.sql import Column, DataFrame, Window, functions as F
+from pyspark.sql import Column, DataFrame, functions as F
 
 from ..alphabets import DEGENERATE_MAP
 from ..functions.dna import seq_to_regex
@@ -138,9 +138,11 @@ def library_alignment_details(
     raises; a relational op filters). The alignment offset is the
     FIRST (minimum) position where every library base
     degenerate-matches the wildtype — computed row-locally with
-    nested higher-order functions, no UDF, no shuffle. The per-codon
-    expected_mut_aa max runs on a (id, aa_pos) window, partitioned by
-    the design id, so it never sees more than one design's rows.
+    nested higher-order functions, no UDF. The per-codon
+    expected_mut_aa is ALSO row-local (an exists() over the codon's
+    three nucleotides against the library string each row already
+    carries), so the whole operator is a shuffle-free projection:
+    at any scale it is scan → explode → project, no exchange.
     """
     expand = _degen_expand_map()
     act = F.col("_act")
@@ -190,7 +192,25 @@ def library_alignment_details(
     mut_nt = F.when(
         in_amp & ~lib_base.isin("A", "C", "G", "T"), F.lit(1)
     ).otherwise(F.lit(0))
-    out = pos.select(
+    aa_pos = F.floor((F.col("nt_pos") - 1) / 3) + 1
+    codon_start = (aa_pos - 1) * 3 + 1
+    start, llen = F.col("start_aln"), F.col("_llen")
+    # row-local per-codon mask: any of the codon's three nucleotides
+    # degenerate in the library (no window — every row carries _lib);
+    # residues past len//3 (trailing partial codon) are outside the
+    # reference's fixed-size aa mask -> 0
+    mut_aa = F.when(
+        aa_pos <= F.floor(F.col("_alen") / 3),
+        F.exists(
+            F.sequence(codon_start, codon_start + 2),
+            lambda q: (q > start)
+            & (q <= start + llen)
+            & ~F.col("_lib")
+            .substr((q - start).cast("int"), F.lit(1))
+            .isin("A", "C", "G", "T"),
+        ).cast("int"),
+    ).otherwise(F.lit(0))
+    return pos.select(
         "lib_id",
         "nt_pos",
         F.col("_act").substr(F.col("nt_pos").cast("int"), F.lit(1)).alias("wt_base"),
@@ -198,20 +218,7 @@ def library_alignment_details(
         "wt_sub",
         in_amp.cast("int").alias("in_amplicon"),
         mut_nt.alias("expected_mut_nt"),
-        (F.floor((F.col("nt_pos") - 1) / 3) + 1).alias("aa_pos"),
+        aa_pos.alias("aa_pos"),
         ((F.col("nt_pos") - 1) % 3).alias("codon_pos"),
-        F.col("_alen").alias("_alen"),
-    )
-    w = Window.partitionBy("lib_id", "aa_pos")
-    return (
-        out.withColumn(
-            "expected_mut_aa",
-            # residues past len//3 (trailing partial codon) are outside
-            # the reference's aa mask -> 0, matching its fixed-size list
-            F.when(
-                F.col("aa_pos") <= F.floor(F.col("_alen") / 3),
-                F.max("expected_mut_nt").over(w),
-            ).otherwise(F.lit(0)),
-        )
-        .drop("_alen")
+        mut_aa.alias("expected_mut_aa"),
     )
