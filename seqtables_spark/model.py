@@ -391,12 +391,14 @@ class SeqTable:
 
         return get_insertion_expectations(self.insertions, positions)
 
-    def get_insertion_seq_dist(self, positions=None, min_ins_count=0) -> DataFrame:
+    def get_insertion_seq_dist(self, positions=None, min_ins_count=0,
+                               method: str = "counts") -> DataFrame:
         """Reference get_insertion_seq_dist (seqtables.py:1036-1053)."""
         from .operators.insertions import get_insertion_seq_dist
 
         return get_insertion_seq_dist(
-            self.insertions, self.n_reads, positions=positions, min_ins_count=min_ins_count
+            self.insertions, self.n_reads, positions=positions,
+            min_ins_count=min_ins_count, method=method,
         )
 
     def seq_logo(self, positions=None, method: str = "freq",

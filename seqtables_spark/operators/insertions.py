@@ -96,11 +96,22 @@ def get_insertion_seq_dist(
     n_reads_total: int | None = None,
     positions: Sequence[int] | None = None,
     min_ins_count: int = 0,
+    method: str = "counts",
 ) -> DataFrame:
     """Letter counts by (position, loc_ins); when n_reads_total is
     given, adds the implicit gap row '-' = N - sum(counts) (reads with
     no insertion at that slot; reference seqtables.py:1049).
-    Returns DF(position, loc_ins, base, cnt)."""
+
+    method (reference seqtables.py:1048-1052): 'counts' ->
+    DF(position, loc_ins, base, cnt); 'freq' -> per-slot normalized
+    (over N when the gap row is present); 'bits' -> information-
+    content heights via get_bits with alphabet = the distribution's
+    observed letters (seq_logo.py:296-311 — per-slot Shannon entropy,
+    small-sample correction over N, negative heights clamped to 0).
+    freq/bits require n_reads_total (the reference always has
+    self.shape[0])."""
+    import math
+
     ins = _pos_filter(insertions, positions)
     dist = ins.groupBy("position", "loc_ins", "base").agg(
         F.count(F.lit(1)).alias("cnt")
@@ -118,7 +129,29 @@ def get_insertion_seq_dist(
             (F.lit(n_reads_total) - F.sum("cnt")).alias("cnt")
         ).select("position", "loc_ins", F.lit("-").alias("base"), "cnt")
         dist = dist.unionByName(gaps)
-    return dist
+    if method == "counts":
+        return dist
+    if n_reads_total is None:
+        raise ValueError("method='freq'/'bits' requires n_reads_total")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("position", "loc_ins")
+    freq = dist.withColumn("freq", F.col("cnt") / F.sum("cnt").over(w)).drop("cnt")
+    if method == "freq":
+        return freq
+    if method == "bits":
+        # alphabet = observed letters across the whole distribution
+        # (the reference passes list(ins_dist.index)); a zero-freq gap
+        # row contributes nothing to entropy (log(0) -> NULL, skipped
+        # by sum — the reference's skipna equivalent)
+        n_alpha = dist.select("base").distinct().count()
+        entropy = F.sum(-F.col("freq") * F.log2("freq")).over(w)
+        correction = (1.0 / math.log(2)) * (n_alpha - 1) / (2.0 * n_reads_total)
+        total_height = F.log2(F.lit(float(n_alpha))) - (entropy + correction / 2)
+        return freq.withColumn(
+            "bits", F.greatest(F.col("freq") * total_height, F.lit(0.0))
+        ).drop("freq")
+    raise ValueError(f"unknown method {method!r}")
 
 
 def view_with_insertions(

@@ -114,3 +114,40 @@ def test_facade_insertion_aggs_and_seq_logo(spark):
     assert logo_cnt[(2, -1, "T")] == 2
     assert logo_cnt[(2, -1, "-")] == 1
     assert logo_cnt[(2, 0, "G")] == 1
+
+
+def test_insertion_seq_dist_freq_and_bits(spark):
+    import math
+
+    from seqtables_spark.model import SeqTable
+    from seqtables_spark import from_list
+
+    n = 30
+    reads = ["AC"] * n
+    st = from_list(spark, reads)
+    # 20 reads carry T at slot (2,-1), 10 do not -> gap cnt 10
+    ins = spark.createDataFrame(
+        [(str(i + 1), 2, -1, "T", 30) for i in range(20)],
+        "read_id string, position long, loc_ins int, base string, qual int",
+    )
+    st2 = SeqTable(st.reads, insertions=ins)
+
+    freq = {(r["base"]): r["freq"]
+            for r in st2.get_insertion_seq_dist(method="freq").collect()}
+    assert abs(freq["T"] - 20 / n) < 1e-12
+    assert abs(freq["-"] - 10 / n) < 1e-12
+
+    bits = {r["base"]: r["bits"]
+            for r in st2.get_insertion_seq_dist(method="bits").collect()}
+    # reference get_bits with alphabet={T,-}: per-slot entropy +
+    # small-sample correction, negative heights clamped
+    p_t, p_g = 20 / n, 10 / n
+    ent = -(p_t * math.log2(p_t) + p_g * math.log2(p_g))
+    corr = (1 / math.log(2)) * (2 - 1) / (2 * n)
+    total = math.log2(2) - (ent + corr / 2)
+    assert abs(bits["T"] - max(p_t * total, 0.0)) < 1e-12
+    assert abs(bits["-"] - max(p_g * total, 0.0)) < 1e-12
+
+    with pytest.raises(ValueError):
+        from seqtables_spark.operators.insertions import get_insertion_seq_dist
+        get_insertion_seq_dist(ins, method="freq")
