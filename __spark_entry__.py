@@ -1016,6 +1016,24 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023) semantic dedup: k-means cluster
+    the embeddings (the cached IVF assignment - index built once,
+    reused by ann_ivf and this query), then prune items with a
+    lower-id neighbor at cosine >= 0.2 INSIDE their cluster. The
+    pairwise step is an equi-join on the cell id, so cost is
+    sum(|cluster|^2), never N^2 - clustering-first is what makes
+    semantic dedup tractable at 100 TB (fixed expected cluster size,
+    assignment written out partitioned by cell)."""
+    from seqtables_spark.pipeline.similarity import semantic_dedup
+
+    _, assigned = _ivf_index(spark, sf_dir)
+    pruned = semantic_dedup(assigned, tau=0.2)
+    return pruned.select(
+        "vec_id", "keeper_id", F.round("max_sim", 6).alias("max_sim")
+    )
+
+
 def q_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming stateful exact-dedup (dropDuplicates state machine):
     first-seen row per (lang, 8-char text prefix) over the document
@@ -1653,6 +1671,7 @@ _ORACLE_PRIORITY = [
     "event_sessions", "pricing_summary", "revenue_by_nation",
     "profit_by_nation_brand", "top_orders_per_cust",
     "salted_brand_revenue", "seq_logo_ins", "dedup_clusters_star",
+    "semantic_dedup",
 ]
 
 
@@ -1724,6 +1743,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "plogo": q_plogo,
         "ann_lsh": q_ann_lsh,
         "ann_ivf": q_ann_ivf,
+        "semantic_dedup": q_semantic_dedup,
         "insilico_library": q_insilico_library,
         "pairwise_hamming": q_pairwise_hamming,
         "seq_dist_ins": q_seq_dist_ins,
@@ -1894,6 +1914,28 @@ FROM tails, n_cells
 """
 
 
+def _dk_sqdist(vec: str, cent: str) -> str:
+    return (
+        f"list_reduce(list_transform(list_zip({vec}, {cent}),"
+        " x -> (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE))"
+        " * (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE))), (a,b) -> a + b)"
+    )
+
+
+def _dk_dot(a: str, b: str) -> str:
+    return (
+        f"list_reduce(list_transform(list_zip({a}, {b}),"
+        " x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)), (a,b) -> a + b)"
+    )
+
+
+def _dk_norm(a: str) -> str:
+    return (
+        f"sqrt(list_reduce(list_transform({a},"
+        " v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE)), (a,b) -> a + b))"
+    )
+
+
 def _sql_ann_ivf(k: int = 8, nprobe: int = 3, topk: int = 10, dim: int = 64) -> str:
     """DuckDB twin of the IVF path (ivf_centroids n_iters=1 +
     ivf_topk): the Lloyd mean is fixed-point (1e-6-quantized int64
@@ -1902,28 +1944,36 @@ def _sql_ann_ivf(k: int = 8, nprobe: int = 3, topk: int = 10, dim: int = 64) -> 
     selection and the exact re-rank all use the same fold order as
     the Spark expressions. An iterative algorithm with a value-exact
     SQL oracle."""
-
-    def sqdist(vec: str, cent: str) -> str:
-        return (
-            f"list_reduce(list_transform(list_zip({vec}, {cent}),"
-            " x -> (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE))"
-            " * (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE))), (a,b) -> a + b)"
-        )
-
-    def dot(a: str, b: str) -> str:
-        return (
-            f"list_reduce(list_transform(list_zip({a}, {b}),"
-            " x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)), (a,b) -> a + b)"
-        )
-
-    def norm(a: str) -> str:
-        return (
-            f"sqrt(list_reduce(list_transform({a},"
-            " v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE)), (a,b) -> a + b))"
-        )
+    dot, norm = _dk_dot, _dk_norm
 
     return f"""
-WITH base AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id <> 0),
+WITH {_sql_ivf_asg_ctes(k, dim)},
+cq AS (
+  SELECT c.c_idx,
+         {dot('q.qv', 'c.cv')} / ({norm('q.qv')} * {norm('c.cv')}) AS cs
+  FROM cents c, q
+),
+probes AS (SELECT c_idx FROM cq ORDER BY cs DESC, c_idx ASC LIMIT {nprobe}),
+scored AS (
+  SELECT a.vec_id,
+         {dot('a.embedding', 'q.qv')} / ({norm('a.embedding')} * {norm('q.qv')}) AS sim
+  FROM asg1 a, q
+  WHERE a.c_idx IN (SELECT c_idx FROM probes)
+)
+SELECT vec_id, round(sim, 6) AS sim
+FROM scored ORDER BY sim DESC, vec_id ASC LIMIT {topk}
+"""
+
+
+def _sql_ivf_asg_ctes(k: int = 8, dim: int = 64) -> str:
+    """Shared CTE chain (no leading WITH): deterministic k-means
+    seeding -> fixed-point 1-iter Lloyd -> final cell assignment
+    `asg1(vec_id, embedding, c_idx)`. Used by both the ann_ivf and
+    semantic_dedup oracles so the cluster assignment is the SAME
+    bit-exact computation in every consumer."""
+    sqdist = _dk_sqdist
+
+    return f"""base AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id <> 0),
 q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
 seeds AS (
   SELECT row_number() OVER (ORDER BY h ASC, vec_id ASC) - 1 AS c_idx, cv
@@ -1960,12 +2010,6 @@ cents AS (
   SELECT s.c_idx, COALESCE(m.cv, s.cv) AS cv
   FROM seeds s LEFT JOIN mean1 m ON s.c_idx = m.c_idx
 ),
-cq AS (
-  SELECT c.c_idx,
-         {dot('q.qv', 'c.cv')} / ({norm('q.qv')} * {norm('c.cv')}) AS cs
-  FROM cents c, q
-),
-probes AS (SELECT c_idx FROM cq ORDER BY cs DESC, c_idx ASC LIMIT {nprobe}),
 a1 AS (
   SELECT b.vec_id, b.embedding, c.c_idx, {sqdist('b.embedding', 'c.cv')} AS d
   FROM base b, cents c
@@ -1976,15 +2020,30 @@ asg1 AS (
                                  ORDER BY d ASC, c_idx ASC) AS rk
     FROM a1
   ) WHERE rk = 1
-),
-scored AS (
-  SELECT a.vec_id,
-         {dot('a.embedding', 'q.qv')} / ({norm('a.embedding')} * {norm('q.qv')}) AS sim
-  FROM asg1 a, q
-  WHERE a.c_idx IN (SELECT c_idx FROM probes)
+)"""
+
+
+def _sql_semantic_dedup(k: int = 8, dim: int = 64, tau: float = 0.2) -> str:
+    """DuckDB twin of pipeline.similarity.semantic_dedup: the SAME
+    fixed-point k-means assignment as the ann_ivf oracle
+    (_sql_ivf_asg_ctes), then within-cluster pairwise cosine in the
+    engine's fold order. A row is pruned when a lower-id item in its
+    cluster has cosine >= tau; keeper = lowest such id."""
+    dot, norm = _dk_dot, _dk_norm
+
+    return f"""
+WITH {_sql_ivf_asg_ctes(k, dim)},
+pairs AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         {dot('a.embedding', 'b.embedding')}
+           / ({norm('a.embedding')} * {norm('b.embedding')}) AS sim
+  FROM asg1 a JOIN asg1 b
+    ON a.c_idx = b.c_idx AND a.vec_id > b.vec_id
 )
-SELECT vec_id, round(sim, 6) AS sim
-FROM scored ORDER BY sim DESC, vec_id ASC LIMIT {topk}
+SELECT id_a AS vec_id,
+       CAST(min(id_b) AS BIGINT) AS keeper_id,
+       round(max(sim), 6) AS max_sim
+FROM pairs WHERE sim >= {tau} GROUP BY id_a
 """
 
 
@@ -2870,6 +2929,7 @@ FROM cells GROUP BY read_id
     sqls["cosine_topk"] = _sql_cosine_topk()
     sqls["ann_lsh"] = _sql_ann_lsh()
     sqls["ann_ivf"] = _sql_ann_ivf()
+    sqls["semantic_dedup"] = _sql_semantic_dedup()
     sqls["plogo"] = _sql_plogo()
 
     # A7 bits: N=4 alphabet; correction = (1/ln 2)*(4-1)/(2*n_reads)

@@ -192,6 +192,54 @@ def ivf_topk(
     return scored.orderBy(F.desc("sim"), F.asc(id_col)).limit(k)
 
 
+def semantic_dedup(
+    assigned: DataFrame,
+    tau: float = 0.2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    cluster_col: str = "_c",
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023):
+    items are pruned when a more-canonical (lower-id) item in the SAME
+    k-means cluster has cosine similarity >= tau.
+
+    Input is the IVF/k-means cell assignment (ivf_assign) - clustering
+    first is what makes this scale: the pairwise cosine is an
+    EQUI-join on the cluster id, so cost is sum over clusters of
+    |cluster|^2, never N^2. At 100 TB, k grows with N (fixed expected
+    cluster size), the assignment is written out partitioned by the
+    cell id, and each cluster's pair generation is a co-located
+    partition-local join.
+
+    Returns DF(id, keeper_id, max_sim): one row per PRUNED item with
+    the lowest-id qualifying neighbor as its keeper (deterministic
+    policy, no iterative closure) and the max similarity that doomed
+    it. Survivors = input ids minus returned ids.
+    """
+    a = assigned.select(
+        F.col(id_col).alias("id_a"),
+        F.col(cluster_col).alias("_ca"),
+        F.col(vec_col).alias("va"),
+        _norm(F.col(vec_col)).alias("na"),
+    )
+    b = assigned.select(
+        F.col(id_col).alias("id_b"),
+        F.col(cluster_col).alias("_cb"),
+        F.col(vec_col).alias("vb"),
+        _norm(F.col(vec_col)).alias("nb"),
+    )
+    pairs = a.join(b, (F.col("_ca") == F.col("_cb")) & (F.col("id_a") > F.col("id_b")))
+    sims = pairs.select(
+        "id_a",
+        "id_b",
+        (_dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))).alias("sim"),
+    ).filter(F.col("sim") >= F.lit(tau))
+    return sims.groupBy("id_a").agg(
+        F.min("id_b").alias("keeper_id"),
+        F.max("sim").alias("max_sim"),
+    ).select(F.col("id_a").alias(id_col), "keeper_id", "max_sim")
+
+
 def lsh_bucketed_cosine(
     df: DataFrame,
     query_vec: list[float],

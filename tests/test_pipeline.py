@@ -348,3 +348,34 @@ def test_connected_components_star_random_graphs_match_union_find(spark):
         assert got == want
 
     run()
+
+
+def test_semantic_dedup_within_cluster_pruning(spark):
+    """Two tight clusters plus one outlier: only same-cluster
+    neighbors above tau prune, keeper is the lowest qualifying id,
+    and cross-cluster near-identity does NOT prune (SemDeDup scopes
+    comparisons to the assigned cell)."""
+    from seqtables_spark.pipeline.similarity import semantic_dedup
+
+    rows = [
+        # cluster 0: ids 1,2,3 nearly colinear with e1
+        (1, [1.0, 0.0, 0.0], 0),
+        (2, [0.99, 0.1, 0.0], 0),
+        (3, [0.98, 0.15, 0.0], 0),
+        # cluster 1: ids 4,5 colinear with e2
+        (4, [0.0, 1.0, 0.0], 1),
+        (5, [0.0, 0.99, 0.05], 1),
+        # cluster 1 outlier: orthogonal-ish, below tau to 4 and 5
+        (6, [0.05, 0.0, 1.0], 1),
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, _c int"
+    )
+    got = {
+        r["vec_id"]: (r["keeper_id"], round(r["max_sim"], 4))
+        for r in semantic_dedup(df, tau=0.9).collect()
+    }
+    # ids 2,3 pruned by 1; id 5 pruned by 4; 1,4,6 survive
+    assert set(got) == {2, 3, 5}
+    assert got[2][0] == 1 and got[3][0] == 1 and got[5][0] == 4
+    assert all(s >= 0.9 for _, s in got.values())
