@@ -1360,6 +1360,116 @@ def q_top_orders_per_cust(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relational core: ROLLUP over (region, nation) on the star
+    join - Catalyst expands grouping sets into one Expand + single
+    hash aggregate (one shuffle for all three grouping levels, not
+    one scan per level). Revenue in fixed-point cents so the rollup
+    sums are order-free integers."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region")
+    joined = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+    )
+    return (
+        joined.rollup("r_name", "n_name")
+        .agg(
+            F.grouping_id().cast("int").alias("lvl"),
+            F.sum(
+                F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100).cast(
+                    "long"
+                )
+            ).alias("revenue_cents"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+        .select("r_name", "n_name", "lvl", "revenue_cents", "n_items")
+    )
+
+
+def q_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relational core (Q22 shape): customers above the positive-
+    balance average with no BIG order (>400k) - broadcast scalar
+    threshold + filter-before-anti LEFT ANTI join (the predicate is
+    pushed into the anti side's scan; no row materializes the
+    non-match). Threshold math in fixed-point cents so the boundary
+    compare is engine-independent."""
+    cust = _t(spark, sf_dir, "customer").withColumn(
+        "bal_cents", F.round(F.col("c_acctbal") * 100).cast("long")
+    )
+    thresh = cust.filter(F.col("bal_cents") > 0).agg(
+        (F.sum("bal_cents").cast("double") / F.count(F.lit(1))).alias("avg_cents")
+    )
+    big_orders = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_totalprice") > 400000)
+        .select("o_custkey")
+    )
+    return (
+        cust.join(F.broadcast(thresh))
+        .filter(F.col("bal_cents").cast("double") > F.col("avg_cents"))
+        .join(big_orders, cust.c_custkey == big_orders.o_custkey, "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.sum("bal_cents").alias("totbal_cents"),
+        )
+    )
+
+
+def q_running_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relational core: monthly order revenue + running cumulative
+    total (window sum over an ordered month key). Aggregate FIRST to
+    one row per month, then window over the tiny month table - the
+    unbounded-preceding frame never sees the fact table."""
+    orders = _t(spark, sf_dir, "orders")
+    from pyspark.sql import Window
+
+    monthly = (
+        orders.withColumn(
+            "ym", (F.year("o_orderdate") * 100 + F.month("o_orderdate")).cast("int")
+        )
+        .groupBy("ym")
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias(
+                "month_cents"
+            ),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+    )
+    w = Window.orderBy("ym").rowsBetween(Window.unboundedPreceding, 0)
+    return monthly.select(
+        "ym", "month_cents", "n_orders", F.sum("month_cents").over(w).alias("cum_cents")
+    )
+
+
+def q_json_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured: extract a typed field from the JSON `props`
+    payload (get_json_object stays JVM-side - no Python UDF) and
+    aggregate per event_type. avg is exact-int sum / count, division
+    of exact integers is correctly-rounded on every engine."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "k", F.get_json_object("props", "$.k").cast("long")
+    )
+    return (
+        ev.filter(F.col("k").isNotNull())
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("k").alias("sum_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+            (F.sum("k").cast("double") / F.count(F.lit(1))).alias("avg_k"),
+        )
+    )
+
+
 def _nt_projection() -> F.Column:
     """The deterministic char->ACGT projection of the 24-char prefix
     as one translate() call (shared by translate/codon/motif queries)."""
@@ -1671,7 +1781,8 @@ _ORACLE_PRIORITY = [
     "event_sessions", "pricing_summary", "revenue_by_nation",
     "profit_by_nation_brand", "top_orders_per_cust",
     "salted_brand_revenue", "seq_logo_ins", "dedup_clusters_star",
-    "semantic_dedup",
+    "semantic_dedup", "rollup_revenue", "customers_without_orders",
+    "running_revenue", "json_events",
 ]
 
 
@@ -1771,6 +1882,10 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "revenue_by_nation": q_revenue_by_nation,
         "profit_by_nation_brand": q_profit_by_nation_brand,
         "top_orders_per_cust": q_top_orders_per_cust,
+        "rollup_revenue": q_rollup_revenue,
+        "customers_without_orders": q_customers_without_orders,
+        "running_revenue": q_running_revenue,
+        "json_events": q_json_events,
         "salted_brand_revenue": q_salted_brand_revenue,
     }
 
@@ -3061,6 +3176,66 @@ SELECT o_custkey, o_orderkey, rk FROM (
                             ORDER BY o_totalprice DESC, o_orderkey ASC) AS rk
   FROM orders
 ) WHERE rk <= 3
+"""
+
+    sqls["rollup_revenue"] = """
+SELECT r_name, n_name,
+       CAST(GROUPING(r_name, n_name) AS INTEGER) AS lvl,
+       CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS revenue_cents,
+       count(*) AS n_items
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+GROUP BY ROLLUP (r_name, n_name)
+"""
+
+    sqls["customers_without_orders"] = """
+WITH c AS (
+  SELECT c_custkey, c_mktsegment,
+         CAST(round(c_acctbal * 100) AS BIGINT) AS bal_cents
+  FROM customer
+),
+thresh AS (
+  SELECT CAST(sum(bal_cents) AS DOUBLE) / count(*) AS avg_cents
+  FROM c WHERE bal_cents > 0
+)
+SELECT c_mktsegment, count(*) AS numcust,
+       CAST(sum(bal_cents) AS BIGINT) AS totbal_cents
+FROM c, thresh
+WHERE CAST(bal_cents AS DOUBLE) > avg_cents
+  AND NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000)
+GROUP BY c_mktsegment
+"""
+
+    sqls["running_revenue"] = """
+WITH monthly AS (
+  SELECT CAST(year(o_orderdate) * 100 + month(o_orderdate) AS INTEGER) AS ym,
+         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS month_cents,
+         count(*) AS n_orders
+  FROM orders GROUP BY 1
+)
+SELECT ym, month_cents, n_orders,
+       CAST(sum(month_cents) OVER (ORDER BY ym
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_cents
+FROM monthly
+"""
+
+    sqls["json_events"] = """
+WITH ev AS (
+  SELECT event_type,
+         CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+  FROM events
+)
+SELECT event_type, count(*) AS n,
+       CAST(sum(k) AS BIGINT) AS sum_k,
+       CAST(min(k) AS BIGINT) AS min_k,
+       CAST(max(k) AS BIGINT) AS max_k,
+       CAST(sum(k) AS DOUBLE) / count(*) AS avg_k
+FROM ev WHERE k IS NOT NULL
+GROUP BY event_type
 """
 
     sqls["pairwise_hamming"] = f"""
