@@ -1470,6 +1470,18 @@ def q_json_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring span dedup (Lee et al. 2022 shape): 15-token
+    windows at stride 5, fingerprint group-by instead of a suffix
+    array - two hash shuffles on the span hash + one per-doc rollup,
+    nothing quadratic (see pipeline/dedup.py duplicate_spans)."""
+    from seqtables_spark.pipeline.dedup import duplicate_spans
+
+    return duplicate_spans(
+        _t(spark, sf_dir, "documents"), span_tokens=15, stride=5
+    )
+
+
 def _nt_projection() -> F.Column:
     """The deterministic char->ACGT projection of the 24-char prefix
     as one translate() call (shared by translate/codon/motif queries)."""
@@ -1782,7 +1794,7 @@ _ORACLE_PRIORITY = [
     "profit_by_nation_brand", "top_orders_per_cust",
     "salted_brand_revenue", "seq_logo_ins", "dedup_clusters_star",
     "semantic_dedup", "rollup_revenue", "customers_without_orders",
-    "running_revenue", "json_events",
+    "running_revenue", "json_events", "duplicate_spans",
 ]
 
 
@@ -1882,6 +1894,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "revenue_by_nation": q_revenue_by_nation,
         "profit_by_nation_brand": q_profit_by_nation_brand,
         "top_orders_per_cust": q_top_orders_per_cust,
+        "duplicate_spans": q_duplicate_spans,
         "rollup_revenue": q_rollup_revenue,
         "customers_without_orders": q_customers_without_orders,
         "running_revenue": q_running_revenue,
@@ -2998,6 +3011,31 @@ FROM scored GROUP BY 1, 2
 
     sqls["minhash_lsh_pairs"] = _sql_lsh_pairs()
     sqls["ngram_jaccard"] = _sql_ngram_jaccard()
+    _ph_span = _SQL_PORTABLE_HASH.format(x="span")
+    sqls["duplicate_spans"] = f"""
+WITH toks AS (
+  SELECT doc_id, regexp_extract_all(text, '\\S+') AS tk FROM documents
+),
+spans AS (
+  SELECT doc_id,
+         array_to_string(list_slice(tk, CAST(i AS BIGINT),
+                                    CAST(i + 14 AS BIGINT)), ' ') AS span
+  FROM (SELECT doc_id, tk,
+               unnest(generate_series(1, len(tk) - 14, 5)) AS i
+        FROM toks WHERE len(tk) >= 15)
+),
+hashed AS (SELECT doc_id, {_ph_span} AS h FROM spans),
+dup AS (
+  SELECT h, count(DISTINCT doc_id) AS n_docs
+  FROM hashed GROUP BY h HAVING count(DISTINCT doc_id) >= 2
+)
+SELECT hashed.doc_id, count(*) AS n_spans,
+       CAST(sum(CASE WHEN d.n_docs IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_dup_spans,
+       CAST(coalesce(max(d.n_docs), 0) AS BIGINT) AS max_span_docs
+FROM hashed LEFT JOIN dup d ON hashed.h = d.h
+GROUP BY hashed.doc_id
+"""
     sqls["dedup_clusters"] = _sql_dedup_clusters()
     sqls["dedup_clusters_star"] = _sql_dedup_clusters()
     sqls["dedup_survivors"] = _sql_dedup_survivors()

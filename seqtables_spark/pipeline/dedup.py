@@ -617,3 +617,53 @@ def contamination_check(
         F.col("n_contaminated").cast("long").alias("n_contaminated"),
         (F.col("n_contaminated") / F.col("n_grams")).alias("contamination"),
     )
+
+
+def duplicate_spans(
+    df: DataFrame,
+    span_tokens: int = 15,
+    stride: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact-substring duplicate-span detection (the span-level dedup
+    of Lee et al. 2022, "Deduplicating Training Data Makes Language
+    Models Better", re-expressed relationally): token-aligned windows
+    of `span_tokens` whitespace tokens sampled every `stride` tokens;
+    a span occurrence is DUPLICATED when its exact text occurs in >=2
+    distinct documents. Where the paper builds a giant suffix array,
+    the relational formulation is a fingerprint group-by - the scale
+    cost is two hash shuffles keyed by span hash (uniform keys: the
+    hash IS the key), then one per-doc rollup. Nothing quadratic,
+    nothing driver-side; span generation itself is row-local
+    (tokenize -> slice -> explode, one Generate).
+
+    Returns DF(id, n_spans, n_dup_spans, max_span_docs): per doc, the
+    number of sampled spans, how many of them are duplicated across
+    the corpus, and the widest fan-out (how many docs share its most
+    widely shared span; 0 when none).
+    """
+    toks = F.regexp_extract_all(F.col(text_col), F.lit(r"\S+"), 0)
+    n = F.size(toks)
+    spans = F.transform(
+        F.sequence(F.lit(1), n - F.lit(span_tokens - 1), F.lit(stride)),
+        lambda i: F.array_join(F.slice(toks, i, span_tokens), " "),
+    )
+    doc_spans = (
+        df.filter(n >= span_tokens)
+        .select(F.col(id_col), F.explode(spans).alias("span"))
+        .select(F.col(id_col), portable_string_hash(F.col("span")).alias("h"))
+    )
+    dup = (
+        doc_spans.groupBy("h")
+        .agg(F.count_distinct(F.col(id_col)).alias("n_docs"))
+        .filter(F.col("n_docs") >= 2)
+    )
+    marked = doc_spans.join(dup, "h", "left")
+    return marked.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_spans"),
+        F.sum(
+            F.when(F.col("n_docs").isNotNull(), F.lit(1)).otherwise(F.lit(0))
+        ).alias("n_dup_spans"),
+        F.coalesce(F.max("n_docs"), F.lit(0)).cast("long").alias("max_span_docs"),
+    )

@@ -379,3 +379,29 @@ def test_semantic_dedup_within_cluster_pruning(spark):
     assert set(got) == {2, 3, 5}
     assert got[2][0] == 1 and got[3][0] == 1 and got[5][0] == 4
     assert all(s >= 0.9 for _, s in got.values())
+
+
+def test_duplicate_spans_cross_doc_detection(spark):
+    """Docs sharing an exact 5-token window are flagged; a doc with
+    no shared window reports zero duplicated spans; too-short docs
+    are absent."""
+    from seqtables_spark.pipeline.dedup import duplicate_spans
+
+    shared = "the quick brown fox jumps"
+    rows = [
+        (1, shared + " over the lazy dog entirely"),
+        (2, "prefix words here " + shared + " suffix tail words"),
+        (3, "totally unrelated content with many distinct words inside"),
+        (4, "tiny doc"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["n_spans"], r["n_dup_spans"], r["max_span_docs"])
+        for r in duplicate_spans(df, span_tokens=5, stride=1).collect()
+    }
+    assert 4 not in got  # below span length
+    # doc 3 has spans but none duplicated
+    assert got[3][1] == 0 and got[3][2] == 0
+    # docs 1 and 2 share the exact 5-token window
+    assert got[1][1] >= 1 and got[2][1] >= 1
+    assert got[1][2] == 2 and got[2][2] == 2
