@@ -1470,6 +1470,19 @@ def q_json_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_classifier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """fastText-shape quality classifier: hashed-token linear model,
+    zero-shuffle row-local projection (pipeline/text.classifier_logit).
+    Weights are hash-derived (deterministic) so the oracle is value-
+    exact; a trained weight table slots into the same plan as a
+    broadcast map."""
+    from seqtables_spark.pipeline.text import classifier_logit
+
+    return classifier_logit(_t(spark, sf_dir, "documents")).select(
+        "doc_id", "n_tokens", F.round("logit", 6).alias("logit")
+    )
+
+
 def q_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact-substring span dedup (Lee et al. 2022 shape): 15-token
     windows at stride 5, fingerprint group-by instead of a suffix
@@ -1795,6 +1808,7 @@ _ORACLE_PRIORITY = [
     "salted_brand_revenue", "seq_logo_ins", "dedup_clusters_star",
     "semantic_dedup", "rollup_revenue", "customers_without_orders",
     "running_revenue", "json_events", "duplicate_spans",
+    "classifier_score",
 ]
 
 
@@ -1895,6 +1909,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "profit_by_nation_brand": q_profit_by_nation_brand,
         "top_orders_per_cust": q_top_orders_per_cust,
         "duplicate_spans": q_duplicate_spans,
+        "classifier_score": q_classifier_score,
         "rollup_revenue": q_rollup_revenue,
         "customers_without_orders": q_customers_without_orders,
         "running_revenue": q_running_revenue,
@@ -3011,6 +3026,21 @@ FROM scored GROUP BY 1, 2
 
     sqls["minhash_lsh_pairs"] = _sql_lsh_pairs()
     sqls["ngram_jaccard"] = _sql_ngram_jaccard()
+    _ph_tok = _SQL_PORTABLE_HASH.format(x="t")
+    sqls["classifier_score"] = f"""
+WITH toks AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '\\S+') AS tk FROM documents
+),
+w AS (
+  SELECT doc_id, len(tk) AS n_tokens,
+         list_sum(list_transform(tk,
+           t -> ({_ph_tok} % 1024) * 2654435761 % 1000003 - 500001)) AS s
+  FROM toks WHERE len(tk) > 0
+)
+SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+       round(CAST(s AS DOUBLE) / n_tokens / 1000000.0, 6) AS logit
+FROM w
+"""
     _ph_span = _SQL_PORTABLE_HASH.format(x="span")
     sqls["duplicate_spans"] = f"""
 WITH toks AS (

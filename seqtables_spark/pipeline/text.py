@@ -317,3 +317,44 @@ def chunk_documents(
         F.array_join("_ctoks", " ").alias("chunk_text"),
         F.size("_ctoks").cast("long").alias("n_chunk_tokens"),
     )
+
+
+def classifier_logit(
+    df: DataFrame,
+    n_buckets: int = 1024,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Linear text classifier over hashed token features - the
+    fastText-style quality-filter shape (hash token -> feature
+    bucket -> weight; score = mean bucket weight). Real pipelines
+    load trained weights; here the weight table is DERIVED from the
+    bucket index by a fixed integer mix (Knuth multiplicative), which
+    keeps the operator value-exact across engines while exercising
+    the exact production plan: row-local tokenize -> hash -> lookup
+    -> mean, one projection, ZERO shuffles, no Python.
+
+    The logit stays a ratio of exact integers (sum of int weights /
+    token count) so the division is the only float op - correctly
+    rounded, engine-independent. Callers wanting a probability apply
+    sigmoid downstream (exp() is libm-dependent, so the oracle-able
+    surface stops at the logit).
+
+    Returns DF(id, n_tokens, logit).
+    """
+    toks = F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(r"\S+"), 0)
+    # bucket = portable_hash(token) % n_buckets; weight = centered
+    # Knuth mix of the bucket in [-500001, 500001] "micro-units"
+    weights = F.transform(
+        toks,
+        lambda t: (portable_string_hash(t) % n_buckets) * F.lit(2654435761)
+        % F.lit(1000003)
+        - F.lit(500001),
+    )
+    n = F.size(toks)
+    s = F.aggregate(weights, F.lit(0).cast("long"), lambda acc, w: acc + w)
+    return df.filter(n > 0).select(
+        F.col(id_col),
+        n.cast("long").alias("n_tokens"),
+        (s.cast("double") / n / F.lit(1000000.0)).alias("logit"),
+    )

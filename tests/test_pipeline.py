@@ -405,3 +405,24 @@ def test_duplicate_spans_cross_doc_detection(spark):
     # docs 1 and 2 share the exact 5-token window
     assert got[1][1] >= 1 and got[2][1] >= 1
     assert got[1][2] == 2 and got[2][2] == 2
+
+
+def test_classifier_logit_deterministic_mean(spark):
+    """Logit is the mean bucket weight: a doc repeating one token has
+    the single-token logit; empty docs are dropped; values are
+    identical across runs (hash-derived weights, no randomness)."""
+    from seqtables_spark.pipeline.text import classifier_logit
+
+    df = spark.createDataFrame(
+        [(1, "alpha"), (2, "alpha alpha alpha"), (3, "   "), (4, "alpha beta")],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in classifier_logit(df).collect()}
+    assert 3 not in got
+    assert got[1]["logit"] == got[2]["logit"]
+    assert got[2]["n_tokens"] == 3
+    # mean of two distinct weights lies strictly between them unless equal
+    lo, hi = sorted([got[1]["logit"], 2 * got[4]["logit"] - got[1]["logit"]])
+    assert lo <= got[4]["logit"] <= hi or got[1]["logit"] == got[4]["logit"]
+    again = {r["doc_id"]: r["logit"] for r in classifier_logit(df).collect()}
+    assert again == {k: v["logit"] for k, v in got.items()}
