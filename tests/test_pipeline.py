@@ -426,3 +426,50 @@ def test_classifier_logit_deterministic_mean(spark):
     assert lo <= got[4]["logit"] <= hi or got[1]["logit"] == got[4]["logit"]
     again = {r["doc_id"]: r["logit"] for r in classifier_logit(df).collect()}
     assert again == {k: v["logit"] for k, v in got.items()}
+
+
+def test_duplicate_spans_matches_bruteforce_random(spark):
+    """Randomized cross-check: duplicate_spans agrees with a pure-
+    Python brute force on word-soup corpora with planted repeats
+    (seeded, deterministic)."""
+    import random
+
+    from seqtables_spark.pipeline.dedup import duplicate_spans
+
+    rng = random.Random(7)
+    vocab = [f"w{i}" for i in range(30)]
+    L, S = 4, 2
+    for trial in range(3):
+        docs = []
+        shared_block = " ".join(rng.choices(vocab, k=L))
+        for d in range(8):
+            words = rng.choices(vocab, k=rng.randint(0, 14))
+            if d % 3 == 0:
+                words += shared_block.split()
+            docs.append((d, " ".join(words)))
+
+        # brute force
+        span_map: dict[str, set[int]] = {}
+        per_doc: dict[int, list[str]] = {}
+        for d, text in docs:
+            tk = text.split()
+            if len(tk) < L:
+                continue
+            spans = [
+                " ".join(tk[i : i + L]) for i in range(0, len(tk) - L + 1, S)
+            ]
+            per_doc[d] = spans
+            for sp in spans:
+                span_map.setdefault(sp, set()).add(d)
+        want = {}
+        for d, spans in per_doc.items():
+            ndup = sum(1 for sp in spans if len(span_map[sp]) >= 2)
+            mx = max((len(span_map[sp]) for sp in spans if len(span_map[sp]) >= 2), default=0)
+            want[d] = (len(spans), ndup, mx)
+
+        df = spark.createDataFrame(docs, "doc_id long, text string")
+        got = {
+            r["doc_id"]: (r["n_spans"], r["n_dup_spans"], r["max_span_docs"])
+            for r in duplicate_spans(df, span_tokens=L, stride=S).collect()
+        }
+        assert got == want, f"trial {trial}"
