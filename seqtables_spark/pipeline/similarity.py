@@ -192,6 +192,21 @@ def ivf_topk(
     return scored.orderBy(F.desc("sim"), F.asc(id_col)).limit(k)
 
 
+def save_ivf_index(assigned: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """Materialize the IVF index: the cell assignment written out
+    PARTITIONED BY the cell id, so a probe (filter on `_c`) is
+    directory-level partition pruning - the physical realization of
+    "probe = partition pruning at scale" (see ivf_topk). Centroids are
+    tiny and live with the caller (driver/metastore)."""
+    assigned.write.mode(mode).partitionBy("_c").parquet(path)
+
+
+def load_ivf_cells(spark, path: str, probes: list[int]) -> DataFrame:
+    """Read only the probed IVF cells: the `_c` filter lands in the
+    scan's PartitionFilters, so non-probed cells are never opened."""
+    return spark.read.parquet(path).filter(F.col("_c").isin(probes))
+
+
 def semantic_dedup(
     assigned: DataFrame,
     tau: float = 0.2,

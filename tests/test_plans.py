@@ -254,3 +254,34 @@ def test_pack_sequences_agg_reuses_window_partitioning(spark):
     # one exchange total: the groupBy(lang, seq_id) is satisfied by the
     # window's hashpartitioning(lang) - no second shuffle
     assert plan.count("Exchange") == 1
+
+
+def test_ivf_index_probe_is_partition_pruning(spark, tmp_path):
+    """The persisted IVF index (assignment partitioned by cell id)
+    turns a probe into directory pruning: the scan's PartitionFilters
+    carry the _c predicate and only probed cells are read."""
+    import random
+
+    from seqtables_spark.pipeline.similarity import (
+        ivf_assign,
+        ivf_centroids,
+        load_ivf_cells,
+        save_ivf_index,
+    )
+
+    rng = random.Random(3)
+    rows = [
+        (i, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(200)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    cents = ivf_centroids(df, k=4, n_iters=1, dim=8)
+    assigned = ivf_assign(df, cents)
+    path = str(tmp_path / "ivf")
+    save_ivf_index(assigned, path)
+
+    probed = load_ivf_cells(spark, path, [0, 2])
+    plan = _plan(probed)
+    assert "PartitionFilters" in plan and "_c" in plan
+    # pruning is consistent with recomputing the assignment
+    want = assigned.filter("_c in (0, 2)").count()
+    assert probed.count() == want and want > 0
