@@ -109,6 +109,55 @@ class SeqTable:
         self.fillna_val = fillna_val or FILL_CHAR.get(seq_type, "N")
         self._n_reads: int | None = None  # lazy, cached after first use
 
+    # -- constructors (reference classmethod surface, seqtables.py:92,
+    # 168, 214, 226): thin delegates so a reference user's
+    # SeqTable.from_* call sites work unchanged -----------------------
+    @classmethod
+    def from_list(cls, spark, seqs, quals=None, index=None, pos=1,
+                  seq_type=None) -> "SeqTable":
+        """Reference SeqTable.from_list (seqtables.py:92-111)."""
+        from .constructors import from_list
+
+        return from_list(spark, seqs, quals=quals, index=index, pos=pos,
+                         seq_type=seq_type)
+
+    @classmethod
+    def from_df(cls, df, seq_type: str = "NT", min_pos=None, max_pos=None,
+                **kwargs) -> "SeqTable":
+        """Reference SeqTable.from_df (seqtables.py:24-89): SAM-shaped
+        frames route through the CIGAR realignment; plain seq frames
+        through the pad/normalize path."""
+        from .constructors import from_df, from_sam_df
+
+        if "cigar" in df.columns:
+            return from_sam_df(df, seq_type=seq_type, min_pos=min_pos,
+                               max_pos=max_pos)
+        return from_df(df, seq_type=seq_type, **kwargs)
+
+    @classmethod
+    def from_sam(cls, spark, path, seq_type: str = "NT", limit=None,
+                 min_pos=None, max_pos=None) -> "SeqTable":
+        """Reference SeqTable.from_sam (seqtables.py:214-224)."""
+        from .constructors import from_sam_df
+        from .sources.sam import read_sam
+
+        return from_sam_df(read_sam(spark, path, limit=limit),
+                           seq_type=seq_type, min_pos=min_pos, max_pos=max_pos)
+
+    @classmethod
+    def from_pysam(cls, spark, path, seq_type: str = "NT",
+                   min_mapping_quality=None, min_pos=None,
+                   max_pos=None) -> "SeqTable":
+        """Reference SeqTable.from_pysam (seqtables.py:226-283), over
+        the pure-Python BGZF/BAM codec (no pysam in-container)."""
+        from .constructors import from_sam_df
+        from .sources.bam import read_bam
+
+        return from_sam_df(
+            read_bam(spark, path, min_mapping_quality=min_mapping_quality),
+            seq_type=seq_type, min_pos=min_pos, max_pos=max_pos,
+        )
+
     @property
     def n_reads(self) -> int:
         """Row count of `reads`, computed once per SeqTable (a count

@@ -151,3 +151,41 @@ def test_insertion_seq_dist_freq_and_bits(spark):
     with pytest.raises(ValueError):
         from seqtables_spark.operators.insertions import get_insertion_seq_dist
         get_insertion_seq_dist(ins, method="freq")
+
+
+def test_classmethod_constructor_surface(spark, tmp_path):
+    """Reference call sites SeqTable.from_list / from_df / from_sam /
+    from_pysam work unchanged on the facade (seqtables.py:92,168,214,
+    226) and agree with each other on the same alignments."""
+    from seqtables_spark.model import SeqTable
+    from seqtables_spark.sources.bam import encode_bam
+
+    st = SeqTable.from_list(spark, ["ACGT", "AC"], quals=["IIII", "II"])
+    seqs = {r["read_id"]: r["seq"] for r in st.reads.collect()}
+    assert seqs["2"] == "ACNN"  # ragged tail filled
+
+    sam_df = spark.createDataFrame(
+        [("r1", "ref1", 3, "4M", "ACGT", "IIII")],
+        "header string, rname string, pos long, cigar string, seq string, qual string",
+    )
+    st2 = SeqTable.from_df(sam_df)  # cigar column -> realignment path
+    assert {r["seq"] for r in st2.reads.collect()} == {"ACGT"}
+
+    refs = [("ref1", 100)]
+    recs = [
+        ("a1", 0, "ref1", 2, 60, "4M", "ACGT", "IIII"),
+        ("a2", 0, "ref1", 4, 60, "2M1I1M", "TGCA", "IIII"),
+    ]
+    (tmp_path / "x.bam").write_bytes(encode_bam(recs, refs))
+    sam_text = "@HD\tVN:1.6\n@SQ\tSN:ref1\tLN:100\n" + "".join(
+        f"{n}\t{f}\t{r}\t{p}\t{m}\t{c}\t*\t0\t0\t{s}\t{q}\n"
+        for n, f, r, p, m, c, s, q in recs
+    )
+    (tmp_path / "x.sam").write_text(sam_text)
+    st_bam = SeqTable.from_pysam(spark, str(tmp_path / "x.bam"))
+    st_sam = SeqTable.from_sam(spark, str(tmp_path / "x.sam"))
+    get = lambda t: sorted(
+        (r["read_id"], r["seq"]) for r in t.reads.collect()
+    )
+    assert get(st_bam) == get(st_sam)
+    assert st_bam.insertions.count() == st_sam.insertions.count() == 1
