@@ -1470,6 +1470,22 @@ def q_json_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed curation pipeline (pipeline/curate.py): quality
+    gate -> language filter -> exact-dedup survivors, ONE Catalyst
+    plan (gate predicates reach the scan; only survivors hit the
+    digest shuffle). Output: per (source, pred_lang) curated-corpus
+    stats."""
+    from seqtables_spark.pipeline.curate import curate_documents
+
+    cur = curate_documents(_t(spark, sf_dir, "documents"))
+    return cur.groupBy("source", "pred_lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+        F.min("doc_id").alias("first_doc"),
+    )
+
+
 def q_classifier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """fastText-shape quality classifier: hashed-token linear model,
     zero-shuffle row-local projection (pipeline/text.classifier_logit).
@@ -1808,7 +1824,7 @@ _ORACLE_PRIORITY = [
     "salted_brand_revenue", "seq_logo_ins", "dedup_clusters_star",
     "semantic_dedup", "rollup_revenue", "customers_without_orders",
     "running_revenue", "json_events", "duplicate_spans",
-    "classifier_score",
+    "classifier_score", "curate_corpus",
 ]
 
 
@@ -1910,6 +1926,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_orders_per_cust": q_top_orders_per_cust,
         "duplicate_spans": q_duplicate_spans,
         "classifier_score": q_classifier_score,
+        "curate_corpus": q_curate_corpus,
         "rollup_revenue": q_rollup_revenue,
         "customers_without_orders": q_customers_without_orders,
         "running_revenue": q_running_revenue,
@@ -3022,6 +3039,36 @@ WITH scored AS (
 )
 SELECT lang, {pred_chain} AS pred_lang, count(*) AS n
 FROM scored GROUP BY 1, 2
+"""
+
+    # curate_corpus reuses the language-id scoring chain over the
+    # quality-gated rows, then dedups by content digest (md5 is
+    # byte-identical across engines on UTF-8 text)
+    sqls["curate_corpus"] = f"""
+WITH gated AS (
+  SELECT doc_id, source, text,
+         len(regexp_extract_all(text, '\\S+')) AS n_tokens
+  FROM documents
+  WHERE len(regexp_extract_all(text, '\\S+')) BETWEEN 10 AND 5000
+    AND CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE)
+        / length(text) >= 0.4
+),
+scored AS (
+  SELECT doc_id, source, text, n_tokens,
+       {lang_scores}
+  FROM gated
+),
+langed AS (
+  SELECT doc_id, source, text, n_tokens, {pred_chain} AS pred_lang
+  FROM scored
+),
+kept AS (SELECT * FROM langed WHERE pred_lang <> 'und'),
+surv AS (SELECT md5(text) AS digest, min(doc_id) AS keep_id FROM kept GROUP BY 1)
+SELECT source, pred_lang, count(*) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+       CAST(min(doc_id) AS BIGINT) AS first_doc
+FROM kept WHERE doc_id IN (SELECT keep_id FROM surv)
+GROUP BY source, pred_lang
 """
 
     sqls["minhash_lsh_pairs"] = _sql_lsh_pairs()

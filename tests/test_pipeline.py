@@ -473,3 +473,24 @@ def test_duplicate_spans_matches_bruteforce_random(spark):
             for r in duplicate_spans(df, span_tokens=L, stride=S).collect()
         }
         assert got == want, f"trial {trial}"
+
+
+def test_curate_documents_stage_semantics(spark):
+    """Each curation stage drops what it should: short docs at the
+    gate, marker-free docs at the language check, exact duplicates at
+    dedup (min-id survivor kept, later copy dropped)."""
+    from seqtables_spark.pipeline.curate import curate_documents
+
+    good = "the cat and the dog is of interest to all of us here today"
+    rows = [
+        (1, good, "web"),
+        (2, "too short", "web"),                       # fails min_tokens
+        (3, "zzz qqq xxx yyy www vvv uuu ttt sss rrr qqq ppp", "web"),  # no markers -> und
+        (4, good, "books"),                            # exact dup of 1 -> dropped
+        (5, "le chat et la vie est une chose les gens aiment bien ici", "web"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    got = {r["doc_id"]: r for r in curate_documents(df, min_tokens=5).collect()}
+    assert set(got) == {1, 5}
+    assert got[1]["pred_lang"] == "en" and got[5]["pred_lang"] == "fr"
+    assert got[1]["n_tokens"] == len(good.split())
