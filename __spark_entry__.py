@@ -3088,7 +3088,6 @@ SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
        round(CAST(s AS DOUBLE) / n_tokens / 1000000.0, 6) AS logit
 FROM w
 """
-    _ph_span = _SQL_PORTABLE_HASH.format(x="span")
     sqls["duplicate_spans"] = f"""
 WITH toks AS (
   SELECT doc_id, regexp_extract_all(text, '\\S+') AS tk FROM documents
@@ -3101,7 +3100,7 @@ spans AS (
                unnest(generate_series(1, len(tk) - 14, 5)) AS i
         FROM toks WHERE len(tk) >= 15)
 ),
-hashed AS (SELECT doc_id, {_ph_span} AS h FROM spans),
+hashed AS (SELECT doc_id, md5(span) AS h FROM spans),
 dup AS (
   SELECT h, count(DISTINCT doc_id) AS n_docs
   FROM hashed GROUP BY h HAVING count(DISTINCT doc_id) >= 2

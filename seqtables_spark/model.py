@@ -126,12 +126,26 @@ class SeqTable:
                 **kwargs) -> "SeqTable":
         """Reference SeqTable.from_df (seqtables.py:24-89): SAM-shaped
         frames route through the CIGAR realignment; plain seq frames
-        through the pad/normalize path."""
+        through the pad/normalize path. Arguments that the selected
+        path cannot honor raise instead of being silently dropped."""
         from .constructors import from_df, from_sam_df
 
         if "cigar" in df.columns:
+            if kwargs:
+                raise TypeError(
+                    "from_df: SAM-shaped input (cigar column) routes through "
+                    f"the realignment path, which does not take {sorted(kwargs)}; "
+                    "rename/select columns to the SAM schema or drop `cigar` "
+                    "to use the plain path"
+                )
             return from_sam_df(df, seq_type=seq_type, min_pos=min_pos,
                                max_pos=max_pos)
+        if min_pos is not None or max_pos is not None:
+            raise TypeError(
+                "from_df: min_pos/max_pos windowing applies to the CIGAR "
+                "realignment path only (no `cigar` column found); use "
+                ".filter_positions(...) on the constructed table instead"
+            )
         return from_df(df, seq_type=seq_type, **kwargs)
 
     @classmethod
@@ -470,7 +484,14 @@ class SeqTable:
         For reads with >=1 insertion counted as a single '^'
         pseudo-letter inside the per-position distribution instead,
         use get_seq_dist-with-insertion-counts
-        (operators.distribution.seq_dist_with_insertions)."""
+        (operators.distribution.seq_dist_with_insertions).
+
+        Parity note: like the reference (seqtables.py:1380-1382),
+        ``weights`` and ``ignore_characters`` shape ONLY the matrix
+        (loc_ins=0) slots — get_insertion_seq_dist takes neither, so
+        insertion slots are always unweighted counts over all N reads.
+        A weighted logo therefore mixes weighted matrix columns with
+        unweighted insertion columns, faithfully to the reference."""
         from .operators.distribution import seq_dist
         from .operators.insertions import get_insertion_seq_dist
 

@@ -103,10 +103,17 @@ def get_substrings(
             )
         )
         reads = reads.join(ins_map, "read_id", "left")
+        # pad ragged seqs to the furthest matrix slot: substring('')
+        # would silently DROP a slot from the concat and shift every
+        # later slot's letter into the wrong combo name; rpad keeps
+        # each slot exactly one char wide ('N' = the fill letter the
+        # constructors use for ragged tails)
+        max_off = max((p - pos_start + 1 for p, l in all_slots if l == 0), default=0)
+        padded_seq = F.rpad(F.col(seq_col), max_off, "N")
         chars = []
         for p, l in all_slots:
             if l == 0:
-                chars.append(F.substring(seq_col, p - pos_start + 1, 1))
+                chars.append(F.substring(padded_seq, p - pos_start + 1, 1))
             else:
                 c = F.element_at("_insmap", F.lit(f"{p}:{l}"))
                 if lowercase_insertions:

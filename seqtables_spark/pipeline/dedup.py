@@ -649,10 +649,14 @@ def duplicate_spans(
         F.sequence(F.lit(1), n - F.lit(span_tokens - 1), F.lit(stride)),
         lambda i: F.array_join(F.slice(toks, i, span_tokens), " "),
     )
+    # full 128-bit digest, not the 31-bit banding hash: "exact
+    # substring" is the claim, and at corpus scale a 31-bit space
+    # collides by the birthday bound (~50% at 65k distinct spans) -
+    # md5 keeps the group-by key collision-free for any real corpus
     doc_spans = (
         df.filter(n >= span_tokens)
         .select(F.col(id_col), F.explode(spans).alias("span"))
-        .select(F.col(id_col), portable_string_hash(F.col("span")).alias("h"))
+        .select(F.col(id_col), F.md5(F.col("span")).alias("h"))
     )
     dup = (
         doc_spans.groupBy("h")

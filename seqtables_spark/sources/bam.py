@@ -55,22 +55,38 @@ BGZF_EOF = bytes.fromhex(
 
 # ------------------------------------------------------------ BGZF framing
 
+def _validate_member_header(hdr: bytes, off: int = 0) -> None:
+    """gzip magic + deflate method + FEXTRA flag, or ValueError."""
+    if hdr[off : off + 2] != b"\x1f\x8b" or hdr[off + 2] != 8:
+        raise ValueError(f"not a gzip member at offset {off}")
+    if not hdr[off + 3] & 4:  # FEXTRA
+        raise ValueError(f"gzip member at {off} lacks the BGZF BC subfield")
+
+
+def _bc_bsize(extra: bytes, off: int, xlen: int) -> int:
+    """Walk the FEXTRA subfields at extra[off:off+xlen] for BGZF's BC
+    (total member size - 1). BGZF requires BC but not that it come
+    first."""
+    p, end = off, off + xlen
+    while p + 4 <= end:
+        si1, si2, slen = (
+            extra[p], extra[p + 1], struct.unpack_from("<H", extra, p + 2)[0]
+        )
+        if si1 == 0x42 and si2 == 0x43 and slen == 2:  # 'B','C'
+            return struct.unpack_from("<H", extra, p + 4)[0] + 1
+        p += 4 + slen
+    raise ValueError("BGZF member lacks the BC subfield")
+
+
 def _member_size(buf: bytes, off: int) -> int:
     """Length of the gzip member starting at `off`, from its BC extra
-    subfield (walks all subfields; BGZF requires BC but not that it
-    come first)."""
-    if buf[off : off + 2] != b"\x1f\x8b" or buf[off + 2] != 8:
-        raise ValueError(f"not a gzip member at offset {off}")
-    if not buf[off + 3] & 4:  # FEXTRA
-        raise ValueError(f"gzip member at {off} lacks the BGZF BC subfield")
+    subfield."""
+    _validate_member_header(buf, off)
     (xlen,) = struct.unpack_from("<H", buf, off + 10)
-    p, end = off + 12, off + 12 + xlen
-    while p + 4 <= end:
-        si1, si2, slen = buf[p], buf[p + 1], struct.unpack_from("<H", buf, p + 2)[0]
-        if si1 == 0x42 and si2 == 0x43 and slen == 2:  # 'B','C'
-            return struct.unpack_from("<H", buf, p + 4)[0] + 1
-        p += 4 + slen
-    raise ValueError(f"gzip member at {off} lacks the BGZF BC subfield")
+    try:
+        return _bc_bsize(buf, off + 12, xlen)
+    except ValueError:
+        raise ValueError(f"gzip member at {off} lacks the BGZF BC subfield")
 
 
 def scan_bgzf_blocks(data: bytes) -> list[tuple[int, int, int]]:
@@ -168,44 +184,90 @@ def decode_bam(data: bytes) -> tuple[list[str], Iterator[tuple]]:
 # --------------------------------------------------- sub-file splitting
 
 def index_bam_chunks(
-    data: bytes, records_per_chunk: int
+    data, records_per_chunk: int
 ) -> list[tuple[int, int, int]]:
-    """One light pass over a BAM file -> virtual-offset chunk specs
-    [(comp_off, uoff, n_records)]: every chunk starts at a BGZF member
-    boundary (comp_off) plus an uncompressed skip (uoff) to its first
-    record, i.e. the same (coffset, uoffset) pair a .bai virtual
-    offset encodes. The pass inflates the stream once but touches
-    records only with 4-byte length reads — none of the per-base
-    string work the decode stage pays."""
-    blocks = scan_bgzf_blocks(data)
-    raw = gzip.decompress(data)
-    _, off = _parse_header(raw)
-    # uncompressed start offset of each member
-    ustarts = []
-    acc = 0
-    for _, _, isize in blocks:
-        ustarts.append(acc)
-        acc += isize
+    """One light pass over a BAM file (bytes or a seekable binary
+    file) -> virtual-offset chunk specs [(comp_off, uoff, n_records)]:
+    every chunk starts at a BGZF member boundary (comp_off) plus an
+    uncompressed skip (uoff) to its first record, i.e. the same
+    (coffset, uoffset) pair a .bai virtual offset encodes.
+
+    Streams member-by-member with a ROLLING inflate buffer (drop
+    everything before the current record once the buffer passes 4 MB):
+    peak memory is O(max member + spanned record), never the whole
+    uncompressed stream — a 50 GB BAM indexes in constant memory. The
+    member table it keeps is (ustart, comp_off) pairs, ~16 B per 64 KB
+    member. Records are touched only with 4-byte length reads — none
+    of the per-base string work the decode stage pays."""
+    if isinstance(data, (bytes, bytearray)):
+        import io
+
+        f = io.BytesIO(data)
+    else:
+        f = data
+        f.seek(0)
+
+    members: list[tuple[int, int]] = []  # (ustart, comp_off), small
+    buf = bytearray()
+    base_u = 0       # uncompressed offset of buf[0]
+    comp_off = 0     # compressed offset of the next unread member
+    total_u = 0      # uncompressed bytes inflated so far
+
+    def _more() -> bool:
+        nonlocal comp_off, total_u
+        hdr = f.read(12)
+        if len(hdr) < 12:
+            return False
+        _validate_member_header(hdr)
+        (xlen,) = struct.unpack_from("<H", hdr, 10)
+        extra = f.read(xlen)
+        bsize = _bc_bsize(extra, 0, xlen)
+        rest = f.read(bsize - 12 - xlen)
+        inflated = zlib.decompress(hdr + extra + rest, 31)
+        members.append((total_u, comp_off))
+        comp_off += bsize
+        total_u += len(inflated)
+        buf.extend(inflated)
+        return True
+
+    def _voffset(u: int, n_records: int) -> tuple[int, int, int]:
+        j = bisect.bisect_right(members, (u, 1 << 62)) - 1
+        return (members[j][1], u - members[j][0], n_records)
+
+    # header spans the leading member(s); inflate until it parses
+    while True:
+        if len(buf) >= 4:
+            try:
+                _, off = _parse_header(bytes(buf))
+                break
+            except (IndexError, struct.error):
+                pass  # truncated mid-header: inflate more
+        if not _more():
+            raise ValueError("truncated BAM: header never completed")
+
     specs: list[tuple[int, int, int]] = []
-    n = len(raw)
-    o = off
+    o = off  # absolute uncompressed offset
     count = 0
     chunk_start = o
-    while o + 4 <= n:
+    while True:
+        while total_u < o + 4:
+            if not _more():
+                break
+        if total_u < o + 4:
+            break
         if count == records_per_chunk:
-            specs.append(_voffset(blocks, ustarts, chunk_start, count))
+            specs.append(_voffset(chunk_start, count))
             chunk_start, count = o, 0
-        (block_size,) = struct.unpack_from("<i", raw, o)
+        (block_size,) = struct.unpack_from("<i", buf, o - base_u)
         o += 4 + block_size
         count += 1
+        # trim: nothing before the current chunk start is needed again
+        if o - base_u > (4 << 20) and chunk_start > base_u:
+            del buf[: chunk_start - base_u]
+            base_u = chunk_start
     if count:
-        specs.append(_voffset(blocks, ustarts, chunk_start, count))
+        specs.append(_voffset(chunk_start, count))
     return specs
-
-
-def _voffset(blocks, ustarts, u, n_records) -> tuple[int, int, int]:
-    j = bisect.bisect_right(ustarts, u) - 1
-    return (blocks[j][0], u - ustarts[j], n_records)
 
 
 def decode_bam_range(
@@ -224,20 +286,10 @@ def decode_bam_range(
         hdr = f.read(12)
         if len(hdr) < 12:
             return False
+        _validate_member_header(hdr)  # shared magic/FEXTRA checks
         (xlen,) = struct.unpack_from("<H", hdr, 10)
         extra = f.read(xlen)
-        bsize = None
-        p = 0
-        while p + 4 <= xlen:
-            si1, si2, slen = (
-                extra[p], extra[p + 1], struct.unpack_from("<H", extra, p + 2)[0]
-            )
-            if si1 == 0x42 and si2 == 0x43 and slen == 2:
-                bsize = struct.unpack_from("<H", extra, p + 4)[0] + 1
-                break
-            p += 4 + slen
-        if bsize is None:
-            raise ValueError("BGZF member without BC subfield")
+        bsize = _bc_bsize(extra, 0, xlen)
         rest = f.read(bsize - 12 - xlen)
         buf.extend(zlib.decompress(hdr + extra + rest, 31))
         return True
@@ -250,7 +302,10 @@ def decode_bam_range(
         while len(buf) < o + 4 + block_size:
             if not _more():
                 return rows
-        row, o = _parse_record(bytes(buf), o, refs)
+        # parse straight from the bytearray: a bytes(buf) copy here is
+        # O(records x chunk_bytes) of memcpy (struct.unpack_from and
+        # slicing both read bytearrays directly)
+        row, o = _parse_record(buf, o, refs)
         rows.append(row)
     return rows
 
@@ -260,6 +315,13 @@ def _local_path(uri: str) -> str:
         from urllib.parse import unquote, urlparse
 
         return unquote(urlparse(uri).path)
+    if "://" in uri:
+        raise NotImplementedError(
+            f"records_per_chunk BAM splitting needs a seekable LOCAL file, "
+            f"got {uri!r}; on distributed storage use records_per_chunk=None "
+            "(binaryFile decode, one stream per file) or localize the file "
+            "first"
+        )
     return uri
 
 
@@ -302,10 +364,13 @@ def read_bam(
         for pdf in batches:
             rows = []
             for uri in pdf["path"]:
+                # stream the index pass: constant memory even for one
+                # huge BAM (see index_bam_chunks)
                 with open(_local_path(uri), "rb") as f:
-                    data = f.read()
-                for comp_off, uoff, n in index_bam_chunks(data, records_per_chunk):
-                    rows.append((uri, comp_off, uoff, n))
+                    for comp_off, uoff, n in index_bam_chunks(
+                        f, records_per_chunk
+                    ):
+                        rows.append((uri, comp_off, uoff, n))
             yield pd.DataFrame(
                 rows, columns=["path", "comp_off", "uoff", "n_records"]
             )

@@ -169,3 +169,16 @@ def test_read_bam_split_with_mapq_filter(spark, tmp_path):
     ).collect()
     names = {r["header"] for r in rows}
     assert "low" not in names and len(names) == 100
+
+
+def test_index_bam_chunks_file_and_bytes_paths_agree(tmp_path):
+    """The streaming (file-object) index pass emits the same chunk
+    specs as the in-memory bytes path."""
+    import io
+
+    from seqtables_spark.sources.bam import index_bam_chunks
+
+    data = encode_bam(_many_records(), REFS)
+    want = index_bam_chunks(data, records_per_chunk=64)
+    got = index_bam_chunks(io.BytesIO(data), records_per_chunk=64)
+    assert got == want and len(want) >= 2

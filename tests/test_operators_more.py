@@ -298,3 +298,26 @@ def test_view_with_insertions(spark, ins_df):
     assert slot[("r1", -1)] == "g" and slot[("r1", -2)] == "c"
     assert slot[("r2", -1)] == "a" and slot[("r2", -2)] == "-"
     assert slot[("3", -1)] == "-"
+
+
+def test_get_substrings_insertions_ragged_reads_keep_slot_alignment(spark):
+    """A read shorter than a matrix slot must NOT shift later slots:
+    the short read's missing positions read as 'N' and the insertion
+    slot still carries the insertion letter (reviewed failure mode:
+    substring('') collapsed the slot and mislabeled combos)."""
+    from seqtables_spark.operators.kmers import get_substrings
+
+    reads = spark.createDataFrame(
+        [("1", "ACGT"), ("2", "AC")], "read_id string, seq string"
+    )
+    ins = spark.createDataFrame(
+        [("2", 4, -1, "T", 40)],
+        "read_id string, position long, loc_ins int, base string, qual int",
+    )
+    out = get_substrings(
+        reads, word_length=5, include_insertions=True, insertions=ins
+    ).collect()
+    # slots sort by (position, loc_ins): p1 p2 p3 p4_ins_1 p4
+    # (loc_ins=-1 < 0, the view_with_ins interleaving order)
+    kmers = {r["kmer"]: r["cnt"] for r in out}
+    assert kmers == {"ACG-T": 1, "ACNtN": 1}
