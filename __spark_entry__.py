@@ -59,8 +59,21 @@ MINHASH_N = 8
 SHINGLE_K = 5
 
 
+_t_cache: dict = {}
+
+
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    """Table reader, memoized per (session, sf_dir, table): the
+    DataFrame is a lazy plan, so reuse costs nothing semantically but
+    skips the per-call file listing + footer/schema resolution that
+    otherwise taxes every one of ~90 bench queries. (events readers
+    set nanosAsLong BEFORE their first _t call, so the cached plan is
+    created under the conf it needs.)"""
+    entry_ = _t_cache.get((sf_dir, name))
+    if entry_ is None or entry_[0] is not spark:
+        entry_ = (spark, spark.read.parquet(f"{sf_dir}/{name}.parquet"))
+        _t_cache[(sf_dir, name)] = entry_
+    return entry_[1]
 
 
 def _wide(spark: SparkSession, df: DataFrame) -> DataFrame:
