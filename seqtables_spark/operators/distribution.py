@@ -204,3 +204,61 @@ def relative_entropy(
     return joined.groupBy("position").agg(
         F.sum(F.col("freq") * F.log(F.col("freq") / F.col("bg_freq"))).alias("rel_entropy")
     )
+
+
+def seq_dist_dense(
+    reads: DataFrame,
+    seq_col: str = "seq",
+    pos_start: int = 1,
+) -> DataFrame:
+    """The reference's dense bincount kernel (numpy_ops.py:107-134),
+    distributed: each Arrow batch becomes a uint8 char matrix,
+    np.bincount runs per column, and only the per-partition 256 x P
+    count matrix leaves Python as (position, base, cnt) partials; one
+    final hash agg collapses partitions.
+
+    Same result as seq_dist over cells() (pinned by test, including on
+    ragged reads: a read contributes only the positions it has, the
+    relational plan's semantics) - this is the THROUGHPUT path. The
+    relational explode plan materializes one row per cell (~160M
+    cells/s across 32 local cores, measured at 300M cells); this
+    kernel counts at ~335M cells/s on the same cores because a cell
+    is one byte, never a row (the reference's own single-core numpy
+    runs ~75M cells/s on this machine — see SCALING.md). Choose it
+    when the corpus is the bottleneck (the 100 TB scan), the explode
+    plan when composability with other cell-level predicates matters.
+    """
+    import numpy as np
+    import pandas as pd
+
+    def part(batches):
+        counts: dict[int, "np.ndarray"] = {}  # 0-based offset -> 256 bins
+        for pdf in batches:
+            seqs = pdf[seq_col]
+            if len(seqs) == 0:
+                continue
+            # group by length: each group is a dense rectangle; ragged
+            # inputs just form several rectangles with shared columns
+            for w, grp in seqs.groupby(seqs.str.len()):
+                w = int(w)
+                if w == 0:
+                    continue
+                arr = np.frombuffer(
+                    "".join(grp).encode("ascii"), dtype=np.uint8
+                ).reshape(len(grp), w)
+                for j in range(w):
+                    c = counts.get(j)
+                    if c is None:
+                        c = counts[j] = np.zeros(256, dtype=np.int64)
+                    c += np.bincount(arr[:, j], minlength=256)
+        if not counts:
+            return
+        rows = [
+            (pos_start + j, chr(b), int(c[b]))
+            for j, c in counts.items()
+            for b in np.nonzero(c)[0]
+        ]
+        yield pd.DataFrame(rows, columns=["position", "base", "cnt"])
+
+    partials = reads.mapInPandas(part, "position long, base string, cnt long")
+    return partials.groupBy("position", "base").agg(F.sum("cnt").alias("cnt"))

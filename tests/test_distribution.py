@@ -77,3 +77,53 @@ def test_ragged_fill(spark):
     d = dist_map(seq_dist(st.cells()))
     assert d[(3, "N")] == 2 and d[(3, "G")] == 1
     assert d[(2, "N")] == 1
+
+
+def test_seq_dist_dense_matches_relational(spark):
+    """The dense bincount kernel (mapInPandas) and the relational
+    explode plan produce identical (position, base, cnt) results."""
+    import random
+
+    from seqtables_spark.constructors import from_list
+    from seqtables_spark.operators.distribution import seq_dist, seq_dist_dense
+
+    rng = random.Random(11)
+    seqs = [
+        "".join(rng.choice("ACGTN") for _ in range(12)) for _ in range(300)
+    ]
+    st = from_list(spark, seqs)
+    want = {
+        (r["position"], r["base"]): r["cnt"]
+        for r in seq_dist(st.cells(with_qual=False)).collect()
+    }
+    got = {
+        (r["position"], r["base"]): r["cnt"]
+        for r in seq_dist_dense(st.reads).collect()
+    }
+    assert got == want
+
+
+def test_seq_dist_dense_ragged_matches_relational(spark):
+    """Ragged reads: both plans count only the positions a read has."""
+    from pyspark.sql import functions as F
+
+    from seqtables_spark.operators.distribution import seq_dist, seq_dist_dense
+
+    df = spark.createDataFrame(
+        [("1", "ACGT"), ("2", "AC"), ("3", ""), ("4", "GGGGGG")],
+        "read_id string, seq string",
+    )
+    cells = df.select(
+        "read_id",
+        F.posexplode(F.split("seq", "(?!^)")).alias("off", "base"),
+    ).select(
+        "read_id", (F.col("off") + 1).cast("long").alias("position"), "base"
+    ).filter(F.col("base") != "")  # split(limit=-1) keeps a trailing ""
+    want = {
+        (r["position"], r["base"]): r["cnt"] for r in seq_dist(cells).collect()
+    }
+    got = {
+        (r["position"], r["base"]): r["cnt"]
+        for r in seq_dist_dense(df).collect()
+    }
+    assert got == want and (6, "G") in got
