@@ -166,6 +166,17 @@ def q_seq_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_seq_dist_dense(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1 via the dense per-partition bincount kernel (mapInPandas
+    partials; operators/distribution.seq_dist_dense) - same result
+    and oracle as seq_dist, different physical plan: the measured
+    throughput path of SCALING.md's head-to-head vs the reference
+    kernel."""
+    from seqtables_spark.operators.distribution import seq_dist_dense
+
+    return seq_dist_dense(_doc_reads(spark, sf_dir))
+
+
 def q_seq_dist_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A1 get_seq_dist (freq); exact double: cnt/total with both sides
     computing the same integer division operands."""
@@ -1837,7 +1848,7 @@ _ORACLE_PRIORITY = [
     "salted_brand_revenue", "seq_logo_ins", "dedup_clusters_star",
     "semantic_dedup", "rollup_revenue", "customers_without_orders",
     "running_revenue", "json_events", "duplicate_spans",
-    "classifier_score", "curate_corpus",
+    "classifier_score", "curate_corpus", "seq_dist_dense",
 ]
 
 
@@ -1854,6 +1865,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "seq_dist": q_seq_dist,
+        "seq_dist_dense": q_seq_dist_dense,
         "seq_dist_freq": q_seq_dist_freq,
         "seq_dist_weighted": q_seq_dist_weighted,
         "hamming_norm": q_hamming_norm,
@@ -2465,6 +2477,8 @@ def oracle_sql() -> dict[str, str]:
 WITH {_SQL_DOC_CELLS}
 SELECT position, base, count(*) AS cnt FROM doc_cells GROUP BY position, base
 """
+
+    sqls["seq_dist_dense"] = sqls["seq_dist"]
 
     sqls["seq_dist_freq"] = f"""
 WITH {_SQL_DOC_CELLS}
