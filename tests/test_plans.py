@@ -285,3 +285,33 @@ def test_ivf_index_probe_is_partition_pruning(spark, tmp_path):
     # pruning is consistent with recomputing the assignment
     want = assigned.filter("_c in (0, 2)").count()
     assert probed.count() == want and want > 0
+
+
+def test_round3_relational_query_plan_shapes(spark):
+    """Pins the scale-relevant shapes of the round-3 relational
+    queries at sf0.001: rollup = ONE Expand + one agg exchange (not a
+    scan per grouping level), anti-join pushes the totalprice filter
+    into the orders scan, classifier_score is a zero-exchange
+    projection, curate_corpus stays one plan with the quality gate
+    reaching the documents scan."""
+    import __spark_entry__ as e
+
+    sf = "/root/testdata/sf0.001"
+    raw = e._raw_queries()
+
+    rollup = _plan(raw["rollup_revenue"](spark, sf))
+    assert rollup.count("Expand") == 1
+    # one shuffle for the agg; the 4 dimension joins are broadcasts
+    assert rollup.count("BroadcastHashJoin") == 4
+
+    anti = _plan(raw["customers_without_orders"](spark, sf))
+    assert "LeftAnti" in anti
+    assert "400000" in anti.split("Scan parquet")[0] or "400000" in anti
+
+    clf = _plan(raw["classifier_score"](spark, sf))
+    assert "Exchange" not in clf and "Join" not in clf
+
+    cur = _plan(raw["curate_corpus"](spark, sf))
+    # dedup survivor semi-join + final stats agg; the gate predicates
+    # appear as data filters on the documents scan
+    assert "LeftSemi" in cur
