@@ -1494,6 +1494,32 @@ def q_json_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_fastq_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S6+S7 through a REAL file: write the doc-derived reads with the
+    seqs_to_fastq parity sink (sources/fastq.write_fastq), read them
+    back with the fastq DataSource (record-aligned byte-range splits,
+    sources/fastq_datasource). The result is value-checked against the
+    direct SQL derivation, so the FASTQ source/sink pair carries a
+    full oracle even though the driver testdata ships no FASTQ."""
+    import hashlib
+    import os
+    import tempfile
+
+    from seqtables_spark.sources.fastq import write_fastq
+    from seqtables_spark.sources.fastq_datasource import register_fastq_source
+
+    reads = _doc_reads(spark, sf_dir).select("read_id", "seq", "qual")
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    path = os.path.join(tempfile.gettempdir(), f"seqtables_fastq_rt_{tag}")
+    write_fastq(reads, path)
+    register_fastq_source(spark)
+    return (
+        spark.read.format("fastq")
+        .option("partition_bytes", 65536)
+        .load(os.path.join(path, "part-*"))
+    )
+
+
 def q_curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The composed curation pipeline (pipeline/curate.py): quality
     gate -> language filter -> exact-dedup survivors, ONE Catalyst
@@ -1849,6 +1875,7 @@ _ORACLE_PRIORITY = [
     "semantic_dedup", "rollup_revenue", "customers_without_orders",
     "running_revenue", "json_events", "duplicate_spans",
     "classifier_score", "curate_corpus", "seq_dist_dense",
+    "fastq_roundtrip",
 ]
 
 
@@ -1952,6 +1979,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "duplicate_spans": q_duplicate_spans,
         "classifier_score": q_classifier_score,
         "curate_corpus": q_curate_corpus,
+        "fastq_roundtrip": q_fastq_roundtrip,
         "rollup_revenue": q_rollup_revenue,
         "customers_without_orders": q_customers_without_orders,
         "running_revenue": q_running_revenue,
@@ -3066,6 +3094,17 @@ WITH scored AS (
 )
 SELECT lang, {pred_chain} AS pred_lang, count(*) AS n
 FROM scored GROUP BY 1, 2
+"""
+
+    sqls["fastq_roundtrip"] = f"""
+WITH {_SQL_DOC_QCELLS},
+quals AS (
+  SELECT doc_id,
+         string_agg(chr(ascii(base) % 40 + 33), '' ORDER BY position) AS qual
+  FROM doc_cells GROUP BY doc_id
+)
+SELECT CAST(s.doc_id AS VARCHAR) AS read_id, s.seq, q.qual
+FROM doc_seq s JOIN quals q ON s.doc_id = q.doc_id
 """
 
     # curate_corpus reuses the language-id scoring chain over the
