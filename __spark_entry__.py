@@ -1520,6 +1520,43 @@ def q_fastq_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_sam_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S3 through a REAL file: emit doc-derived alignments as SAM text
+    (distributed write.text - tab-joined 11 columns plus an XM tag),
+    read back with sources/sam.read_sam (splittable CSV scan, comment
+    '@', optional-tag extraction), value-checked against the direct
+    SQL derivation. flag/pos/mapq exercise the typed casts; XM the
+    tag-map path."""
+    import hashlib
+    import os
+    import tempfile
+
+    from seqtables_spark.sources.sam import read_sam
+
+    reads = _doc_reads(spark, sf_dir)
+    rid = F.col("read_id").cast("long")
+    line = F.concat_ws(
+        "\t",
+        F.col("read_id"),
+        (rid % 2 * 16).cast("string"),          # flag: fwd/rev
+        F.lit("ref1"),
+        (rid % 8 + 1).cast("string"),           # pos
+        F.lit("60"),
+        F.concat((F.length("seq")).cast("string"), F.lit("M")),
+        F.lit("*"), F.lit("0"), F.lit("0"),
+        F.col("seq"), F.col("qual"),
+        F.concat(F.lit("XM:i:"), (rid % 5).cast("string")),
+    )
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    path = os.path.join(tempfile.gettempdir(), f"seqtables_sam_rt_{tag}")
+    reads.select(line.alias("value")).write.mode("overwrite").text(path)
+    df = read_sam(spark, os.path.join(path, "part-*"))
+    return df.select(
+        "header", "flag", "pos", "cigar", "seq", "qual",
+        F.col("XM").cast("int").alias("xm"),
+    )
+
+
 def q_curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The composed curation pipeline (pipeline/curate.py): quality
     gate -> language filter -> exact-dedup survivors, ONE Catalyst
@@ -1875,7 +1912,7 @@ _ORACLE_PRIORITY = [
     "semantic_dedup", "rollup_revenue", "customers_without_orders",
     "running_revenue", "json_events", "duplicate_spans",
     "classifier_score", "curate_corpus", "seq_dist_dense",
-    "fastq_roundtrip",
+    "fastq_roundtrip", "sam_roundtrip",
 ]
 
 
@@ -1980,6 +2017,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "classifier_score": q_classifier_score,
         "curate_corpus": q_curate_corpus,
         "fastq_roundtrip": q_fastq_roundtrip,
+        "sam_roundtrip": q_sam_roundtrip,
         "rollup_revenue": q_rollup_revenue,
         "customers_without_orders": q_customers_without_orders,
         "running_revenue": q_running_revenue,
@@ -3104,6 +3142,22 @@ quals AS (
   FROM doc_cells GROUP BY doc_id
 )
 SELECT CAST(s.doc_id AS VARCHAR) AS read_id, s.seq, q.qual
+FROM doc_seq s JOIN quals q ON s.doc_id = q.doc_id
+"""
+
+    sqls["sam_roundtrip"] = f"""
+WITH {_SQL_DOC_QCELLS},
+quals AS (
+  SELECT doc_id,
+         string_agg(chr(ascii(base) % 40 + 33), '' ORDER BY position) AS qual
+  FROM doc_cells GROUP BY doc_id
+)
+SELECT CAST(s.doc_id AS VARCHAR) AS header,
+       CAST(s.doc_id % 2 * 16 AS INTEGER) AS flag,
+       CAST(s.doc_id % 8 + 1 AS BIGINT) AS pos,
+       '{W}M' AS cigar,
+       s.seq, q.qual,
+       CAST(s.doc_id % 5 AS INTEGER) AS xm
 FROM doc_seq s JOIN quals q ON s.doc_id = q.doc_id
 """
 

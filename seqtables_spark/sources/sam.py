@@ -42,6 +42,12 @@ def read_sam(
         spark.read.option("sep", "\t")
         .option("comment", "@")
         .option("mode", "PERMISSIVE")
+        # SAM is raw tab-separated text: phred+33 quality strings
+        # legitimately contain '"', which CSV quote handling would
+        # swallow and merge fields across tabs (the reference's
+        # ignore_quotes=True, custom_sam_utils.py:299-362). Empty
+        # quote disables quoting entirely.
+        .option("quote", "")
         .csv(path)
     )
     cols = raw.columns
