@@ -1557,6 +1557,60 @@ def q_sam_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_bam_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S4 through a REAL file: encode the doc-derived alignments as
+    BGZF/BAM bytes (the pure-Python codec; encoding is the test-grade
+    sink and runs driver-side like the reference's pysam writer),
+    then decode DISTRIBUTED via read_bam's virtual-offset chunk
+    splitting - one BAM, many tasks - and value-check against the
+    direct SQL derivation. Makes the BAM source's full path (BGZF
+    framing, chunk index, range decode) oracle-checked, not
+    tests-only."""
+    import hashlib
+    import os
+    import tempfile
+
+    from seqtables_spark.sources.bam import encode_bam, read_bam
+
+    reads = _doc_reads(spark, sf_dir)
+    rid = F.col("read_id").cast("long")
+    # BAM's 4-bit nibble alphabet is IUPAC-only: map each document
+    # char onto ACGT deterministically (ascii % 4) - the oracle
+    # derives the same mapping in SQL
+    nt = F.concat_ws(
+        "",
+        F.transform(
+            F.sequence(F.lit(1), F.lit(W)),
+            lambda i: F.element_at(
+                F.array(F.lit("A"), F.lit("C"), F.lit("G"), F.lit("T")),
+                (F.ascii(F.col("seq").substr(i, F.lit(1))) % 4 + 1).cast("int"),
+            ),
+        ),
+    )
+    rows = (
+        reads.select(
+            "read_id",
+            (rid % 2 * 16).cast("int").alias("flag"),
+            (rid % 8 + 1).cast("int").alias("pos"),
+            nt.alias("seq"),
+            "qual",
+        )
+        .orderBy(rid)
+        .collect()
+    )
+    records = [
+        (r["read_id"], r["flag"], "ref1", r["pos"], 60, f"{len(r['seq'])}M",
+         r["seq"], r["qual"])
+        for r in rows
+    ]
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    path = os.path.join(tempfile.gettempdir(), f"seqtables_bam_rt_{tag}.bam")
+    with open(path, "wb") as fh:
+        fh.write(encode_bam(records, [("ref1", 100)]))
+    df = read_bam(spark, path, records_per_chunk=64)
+    return df.select("header", "flag", "pos", "cigar", "seq", "qual")
+
+
 def q_curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The composed curation pipeline (pipeline/curate.py): quality
     gate -> language filter -> exact-dedup survivors, ONE Catalyst
@@ -1912,7 +1966,7 @@ _ORACLE_PRIORITY = [
     "semantic_dedup", "rollup_revenue", "customers_without_orders",
     "running_revenue", "json_events", "duplicate_spans",
     "classifier_score", "curate_corpus", "seq_dist_dense",
-    "fastq_roundtrip", "sam_roundtrip",
+    "fastq_roundtrip", "sam_roundtrip", "bam_roundtrip",
 ]
 
 
@@ -2018,6 +2072,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curate_corpus": q_curate_corpus,
         "fastq_roundtrip": q_fastq_roundtrip,
         "sam_roundtrip": q_sam_roundtrip,
+        "bam_roundtrip": q_bam_roundtrip,
         "rollup_revenue": q_rollup_revenue,
         "customers_without_orders": q_customers_without_orders,
         "running_revenue": q_running_revenue,
@@ -3159,6 +3214,23 @@ SELECT CAST(s.doc_id AS VARCHAR) AS header,
        s.seq, q.qual,
        CAST(s.doc_id % 5 AS INTEGER) AS xm
 FROM doc_seq s JOIN quals q ON s.doc_id = q.doc_id
+"""
+
+    sqls["bam_roundtrip"] = f"""
+WITH {_SQL_DOC_QCELLS},
+per_doc AS (
+  SELECT doc_id,
+         string_agg(substring('ACGT', ascii(base) % 4 + 1, 1),
+                    '' ORDER BY position) AS seq,
+         string_agg(chr(ascii(base) % 40 + 33), '' ORDER BY position) AS qual
+  FROM doc_cells GROUP BY doc_id
+)
+SELECT CAST(doc_id AS VARCHAR) AS header,
+       CAST(doc_id % 2 * 16 AS INTEGER) AS flag,
+       CAST(doc_id % 8 + 1 AS BIGINT) AS pos,
+       '{W}M' AS cigar,
+       seq, qual
+FROM per_doc
 """
 
     # curate_corpus reuses the language-id scoring chain over the
