@@ -2111,7 +2111,7 @@ SELECT doc_id, {mh_cols} FROM hashed GROUP BY doc_id
 """
 
 
-def _sql_simhash(bits: int = 32) -> str:
+def _sql_simhash(bits: int = 28) -> str:
     ph = _SQL_PORTABLE_HASH.format(x="token")
     sums = ",\n    ".join(
         f"sum(CASE WHEN (h >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS s_{i}"
@@ -3704,8 +3704,8 @@ GROUP BY doc_id
 
     sqls["frame_sample"] = """
 SELECT doc_id AS media_id,
-       CAST(unnest(generate_series(0, greatest((length(text) % 301) - 1, 0), 30)) AS INTEGER) AS frame_idx
-FROM documents
+       CAST(unnest(generate_series(0, (length(text) % 301) - 1, 30)) AS INTEGER) AS frame_idx
+FROM documents WHERE (length(text) % 301) >= 1
 """
 
     sqls["contamination"] = """

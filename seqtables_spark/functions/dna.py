@@ -34,9 +34,13 @@ def get_codons_expr(seq: Column | str, frame: int = 1) -> Column:
     c = F.col(seq) if isinstance(seq, str) else seq
     shifted = c.substr(F.lit(frame), F.length(c))
     n_codons = F.floor(F.length(shifted) / 3).cast("int")
-    return F.transform(
-        F.sequence(F.lit(0), n_codons - 1),
-        lambda i: shifted.substr(i * 3 + 1, F.lit(3)),
+    # sequence(0, -1) DESCENDS to [0, -1] - guard the no-complete-codon
+    # case (seq shorter than a codon after the frame shift) to []
+    return F.when(n_codons <= 0, F.array().cast("array<string>")).otherwise(
+        F.transform(
+            F.sequence(F.lit(0), n_codons - 1),
+            lambda i: shifted.substr(i * 3 + 1, F.lit(3)),
+        )
     )
 
 
@@ -115,7 +119,10 @@ def translate_expr(seq: Column | str, frame: int = 1, unknown: str = "X") -> Col
             F.lit(unknown)
         )
 
-    return F.concat_ws("", F.transform(F.sequence(F.lit(0), n_codons - 1), _one))
+    # same sequence(0, -1) descending-array guard as get_codons_expr
+    return F.when(n_codons <= 0, F.lit("")).otherwise(
+        F.concat_ws("", F.transform(F.sequence(F.lit(0), n_codons - 1), _one))
+    )
 
 
 def seq_to_regex(seq: str) -> str:

@@ -25,7 +25,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-from .hashing import HASH_PRIME, minhash_params, portable_string_hash
+from .hashing import HASH_PRIME, minhash_params, portable_string_hash, universal_hash
 
 
 def exact_dedup(
@@ -37,6 +37,8 @@ def exact_dedup(
     """One surviving row id per distinct text content: digest ->
     groupBy -> min(id) (deterministic survivor). Returns
     DF(digest, keep_id, n_dups)."""
+    if keep not in ("min", "max"):
+        raise ValueError(f"exact_dedup: keep must be 'min' or 'max', got {keep!r}")
     agg = F.min(id_col) if keep == "min" else F.max(id_col)
     return (
         df.select(F.md5(F.col(text_col)).alias("digest"), F.col(id_col))
@@ -111,7 +113,7 @@ def minhash_signatures(
     params = minhash_params(n_hashes, seed)
     acc0 = F.array_repeat(F.lit(HASH_PRIME).cast("long"), n_hashes)
     cand = lambda h: F.array(  # noqa: E731
-        *[(F.lit(a) * h + F.lit(b)) % F.lit(HASH_PRIME) for a, b in params]
+        *[universal_hash(h, a, b) for a, b in params]
     )
     mins = F.aggregate(
         hashes, acc0,
@@ -175,11 +177,16 @@ def simhash(
     df: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
-    bits: int = 32,
+    bits: int = 28,
 ) -> DataFrame:
     """SimHash over whitespace tokens: bit i of the fingerprint is the
     sign of sum over tokens of (+1 if bit i of h(token) else -1).
     Returns DF(id, simhash bigint).
+
+    bits defaults to 28 (not 32): portable_string_hash is 31-bit
+    (md5 mod 2^31-1), so bits above 30 would be constant-zero and the
+    top banding chunk would silently carry no information; 28 divides
+    evenly into the default 4 bands at 7 meaningful bits each.
 
     One explode + one groupBy with `bits` conditional sums - partial
     aggregation keeps the shuffle at one row per doc, and the 32
@@ -216,7 +223,7 @@ def simhash_near_dups(
     max_hamming: int = 3,
     text_col: str = "text",
     id_col: str = "doc_id",
-    bits: int = 32,
+    bits: int = 28,
     bands: int = 4,
 ) -> DataFrame:
     """Near-duplicate pairs by simhash hamming distance <= max_hamming.
@@ -225,6 +232,20 @@ def simhash_near_dups(
     pair within distance < bands must agree on >= 1 chunk, so the join
     is an equi-join on (chunk_idx, chunk_value), never all-pairs.
     Returns DF(id_a, id_b, hamming)."""
+    if max_hamming >= bands:
+        # the pigeonhole guarantee only covers distance < bands: a
+        # pair at distance == bands can differ in every chunk and
+        # would be SILENTLY dropped. Raise instead of losing recall.
+        raise ValueError(
+            f"simhash_near_dups: max_hamming={max_hamming} needs bands > "
+            f"max_hamming (got bands={bands}); raise bands to keep the "
+            "pigeonhole recall guarantee"
+        )
+    if bits % bands:
+        raise ValueError(
+            f"simhash_near_dups: bits={bits} must divide evenly into "
+            f"bands={bands} (chunking would drop the top {bits % bands} bits)"
+        )
     sh = simhash(df, text_col, id_col, bits)
     chunk = bits // bands
     mask = (1 << chunk) - 1

@@ -67,6 +67,13 @@ def decode_image_features(
     Arrow moves each batch of blobs to python once; the UDF is the
     only python in the pipeline. Set real_decode=True once codec libs
     exist (raises NotImplementedError here, by design)."""
+    if n_features > 8:
+        # the sha256-derived stand-in has exactly 8 four-byte words;
+        # fail at call time, not as a struct.error inside every task
+        raise ValueError(
+            f"decode_image_features: the stubbed decoder derives at most "
+            f"8 features (sha256 digest), got n_features={n_features}"
+        )
     if real_decode:
         raise NotImplementedError(
             "media codecs not available in this environment; "
@@ -156,10 +163,13 @@ def frame_sample_plan(
 ) -> DataFrame:
     """Video frame-sampling plumbing: one row per sampled frame index
     (decode stubbed). Pure explode - the frame index plan is exactly
-    what a real ffmpeg-backed extractor consumes."""
-    return df.select(
+    what a real ffmpeg-backed extractor consumes. Media with zero (or
+    NULL) frames contributes NO rows - without the filter,
+    greatest(n-1, 0) would fabricate a frame_idx=0 row telling the
+    extractor to decode a frame that does not exist."""
+    return df.filter(F.col(n_frames_col) >= 1).select(
         F.col(id_col),
         F.explode(
-            F.sequence(F.lit(0), F.greatest(F.col(n_frames_col) - 1, F.lit(0)), F.lit(every_n))
+            F.sequence(F.lit(0), F.col(n_frames_col) - 1, F.lit(every_n))
         ).alias("frame_idx"),
     )

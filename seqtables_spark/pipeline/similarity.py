@@ -102,7 +102,10 @@ def ivf_centroids(
     list itself is tiny and lives on the driver, exactly like a real
     IVF index build."""
     if dim is None:
-        dim = len(df.select(vec_col).first()[0])
+        first = df.select(vec_col).first()
+        if first is None:
+            raise ValueError("ivf_centroids: input has no rows")
+        dim = len(first[0])
     seeds = (
         df.orderBy(F.md5(F.col(id_col).cast("string")), F.col(id_col))
         .limit(k)
@@ -110,6 +113,11 @@ def ivf_centroids(
         .collect()
     )
     centroids = [[float(x) for x in r[0]] for r in seeds]
+    # fewer rows than k: every row is its own seed; k shrinks to match
+    # (the Lloyd update below indexes range(k))
+    k = len(centroids)
+    if k == 0:
+        raise ValueError("ivf_centroids: input has no rows")
     for _ in range(n_iters):
         assigned = df.select(
             _assign_expr(F.col(vec_col), centroids).alias("_c"),

@@ -166,13 +166,13 @@ def document_fingerprint(
     (An explode + distinct + groupBy formulation shuffles every
     exploded k-gram string; map-side dedup can't shrink it because
     grams are mostly unique within a doc.)"""
+    from .dedup import shingle_array
+
     t = F.lower(F.col(text_col))
-    grams = F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(1), F.length(t) - F.lit(k - 1)),
-            lambda i: t.substr(i, F.lit(k)),
-        )
-    )
+    # the one shared definition of "a k-gram" (lowercased, row-local
+    # distinct) - keeping it in dedup.shingle_array means fingerprints
+    # and minhash/jaccard can never silently disagree on gram shape
+    grams = shingle_array(text_col, k, lowercase=True, distinct=True)
     return df.filter(F.length(t) >= k).select(
         F.col(id_col),
         F.array_min(

@@ -69,12 +69,18 @@ def stream_to_parquet(
     process_fn=None,
 ) -> StreamingQuery:
     """foreachBatch sink: apply an arbitrary batch transform (any
-    operator in this package) per micro-batch and append to parquet -
-    the exactly-once incremental-ingest pattern."""
+    operator in this package) per micro-batch and write to parquet.
+
+    foreachBatch alone is only at-least-once (a crash between the
+    write and the checkpoint commit replays the epoch); writing each
+    epoch to its own partition directory with OVERWRITE makes the
+    replay idempotent - the re-run clobbers the half-written epoch
+    instead of appending it twice. Readers just read out_path (the
+    epoch column is an ordinary partition column)."""
 
     def _write(batch_df: DataFrame, epoch_id: int) -> None:
         out = process_fn(batch_df) if process_fn else batch_df
-        out.write.mode("append").parquet(out_path)
+        out.write.mode("overwrite").parquet(f"{out_path}/epoch={epoch_id}")
 
     return (
         reads_stream.writeStream.foreachBatch(_write)
@@ -159,9 +165,19 @@ def _consensus_update_fn(
         json.loads(state.get[0]) if state.exists else {}
     )
     for pdf in pdfs:
-        for seq in pdf["seq"]:
-            for i, base in enumerate(seq, start=1):
-                k = f"{i}:{base}"
+        # reference coordinates: position = pos_start + offset, the
+        # same frame explode_chars (model.py) uses batch-side - reads
+        # mapping at different offsets must stack on the REF axis,
+        # not all at read-local position 1
+        starts = (
+            pdf["pos_start"]
+            if "pos_start" in pdf.columns
+            else pd.Series([1] * len(pdf))
+        )
+        for seq, start in zip(pdf["seq"], starts):
+            s = 1 if pd.isna(start) else int(start)
+            for off, base in enumerate(seq):
+                k = f"{s + off}:{base}"
                 counts[k] = counts.get(k, 0) + 1
     state.update((json.dumps(counts),))
     per_pos: dict[int, dict[str, int]] = {}

@@ -98,3 +98,25 @@ def test_softclips(spark):
         cigar_event_total("cigar", "M").alias("m"),
     ).collect()
     assert [(r["n"], r["c"], r["m"]) for r in rows] == [(4, 2, 10), (0, 0, 10), (3, 0, 7)]
+
+
+def test_translate_and_codons_on_too_short_sequences(spark):
+    """No complete codon -> empty results, not the sequence(0,-1)
+    descending-array garbage (reviewed failure mode)."""
+    from seqtables_spark.functions.dna import get_codons_expr, translate_expr
+
+    df = spark.createDataFrame(
+        [("AG",), ("",), ("ACGT",), ("ACG",)], "seq string"
+    )
+    rows = df.select(
+        "seq",
+        get_codons_expr("seq").alias("codons"),
+        translate_expr("seq").alias("aa"),
+        get_codons_expr("seq", frame=3).alias("codons_f3"),
+    ).collect()
+    by = {r["seq"]: r for r in rows}
+    assert by["AG"]["codons"] == [] and by["AG"]["aa"] == ""
+    assert by[""]["codons"] == [] and by[""]["aa"] == ""
+    assert by["ACGT"]["codons"] == ["ACG"] and len(by["ACGT"]["aa"]) == 1
+    assert by["ACGT"]["codons_f3"] == []  # 'GT' after frame shift
+    assert by["ACG"]["codons"] == ["ACG"]

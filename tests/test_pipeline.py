@@ -77,7 +77,7 @@ def test_simhash_near_dups(docs):
     assert sh[1] == sh[2]
     pairs = {
         (r["id_a"], r["id_b"]): r["hamming"]
-        for r in simhash_near_dups(docs, max_hamming=10).collect()
+        for r in simhash_near_dups(docs, max_hamming=10, bands=14).collect()
     }
     assert pairs[(1, 2)] == 0
 
@@ -494,3 +494,19 @@ def test_curate_documents_stage_semantics(spark):
     assert set(got) == {1, 5}
     assert got[1]["pred_lang"] == "en" and got[5]["pred_lang"] == "fr"
     assert got[1]["n_tokens"] == len(good.split())
+
+
+def test_frame_sample_plan_zero_frames_yields_no_rows(spark):
+    """n_frames = 0 or NULL must not fabricate a frame_idx=0 row."""
+    from seqtables_spark.pipeline.multimodal import frame_sample_plan
+
+    df = spark.createDataFrame(
+        [(1, 100), (2, 0), (3, None), (4, 1)],
+        "media_id long, n_frames int",
+    )
+    got = {
+        (r["media_id"], r["frame_idx"])
+        for r in frame_sample_plan(df, every_n=30).collect()
+    }
+    assert {m for m, _ in got} == {1, 4}
+    assert (4, 0) in got and (2, 0) not in got

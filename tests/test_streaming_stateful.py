@@ -173,3 +173,34 @@ def test_streaming_running_consensus_accumulates_state(spark, tmp_path):
     # {T:1, A:1} -> 'A' (visible in the batch-1 emission)
     b1 = [r for r in rows if r["ref"] == "amp1" and r["position"] == 4 and r["n_reads"] == 2]
     assert b1 and b1[0]["consensus_base"] == "A"
+
+
+def test_streaming_running_consensus_honors_pos_start(spark, tmp_path):
+    """Reads mapping at different offsets stack on the REFERENCE
+    axis (pos_start + offset), matching explode_chars' frame - not
+    all at read-local position 1 (reviewed failure mode)."""
+    path = str(tmp_path / "consensus_offset_reads")
+    schema = "ref string, read_id string, seq string, pos_start long"
+    rows = [
+        ("amp", "r1", "ACG", 1),   # covers ref 1-3
+        ("amp", "r2", "CGT", 2),   # covers ref 2-4
+    ]
+    spark.createDataFrame(rows, schema).coalesce(1).write.parquet(path)
+    stream = spark.readStream.schema(schema).parquet(path)
+    out = streaming_running_consensus(stream, group_col="ref")
+    q = (
+        out.writeStream.outputMode("update")
+        .format("memory")
+        .queryName("t_run_consensus_off")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {
+        r["position"]: (r["consensus_base"], r["n_reads"])
+        for r in spark.table("t_run_consensus_off").collect()
+    }
+    # ref coords: pos1 {A}, pos2 {C,C}, pos3 {G,G}, pos4 {T}
+    assert got == {1: ("A", 1), 2: ("C", 2), 3: ("G", 2), 4: ("T", 1)}
