@@ -14,7 +14,11 @@ from __future__ import annotations
 NT_LETTERS = list("ACGT")
 NT_DEGENERATE = list("RYSWKMBDHVN")
 NT_ALPHABET = NT_LETTERS + NT_DEGENERATE
-AA_ALPHABET = list("ACDEFGHIKLMNPQRSTVWY") + ["X", "*"]
+# the 20 proper residues (reference aa_alphabet,
+# core/utils/alphabets.py:2) - what |alphabet| means in bit-height
+# math; AA_ALPHABET extends it with unknown/stop for letter VALIDATION
+AA_LETTERS = list("ACDEFGHIKLMNPQRSTVWY")
+AA_ALPHABET = AA_LETTERS + ["X", "*"]
 
 GAP = "-"
 INTRON = "."

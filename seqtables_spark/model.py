@@ -38,6 +38,7 @@ def explode_chars(
     qual_col: str | None = "qual",
     pos_start_col: str | None = "pos_start",
     keep_cols: tuple[str, ...] = (),
+    phred_adjust: int = PHRED_ADJUST,
 ) -> DataFrame:
     """Long/exploded per-character view of a string column.
 
@@ -65,7 +66,7 @@ def explode_chars(
             F.col("_cell.b").alias("base"),
             F.when(
                 F.col("_cell.q").isNotNull() & (F.col("_cell.q") != ""),
-                F.ascii("_cell.q") - F.lit(PHRED_ADJUST),
+                F.ascii("_cell.q") - F.lit(phred_adjust),
             ).alias("qual"),
         )
     else:
@@ -201,6 +202,7 @@ class SeqTable:
         return explode_chars(
             self.reads,
             qual_col="qual" if (with_qual and self.has_quality) else None,
+            phred_adjust=self.phred_adjust,
         )
 
     def get_sequences(self) -> DataFrame:
@@ -229,7 +231,14 @@ class SeqTable:
             reads = self.reads.orderBy(F.rand(seed)).limit(n)
         else:
             raise ValueError("pass fraction or n")
-        return SeqTable(reads, self._insertions, self.seq_type, self.phred_adjust, self.fillna_val)
+        # insertions must shrink WITH the reads (quality_filter does
+        # the same semi-join): carrying the full insertion table makes
+        # n_reads-normalized insertion stats on the sample nonsense
+        # (negative gap counts, freq > 1)
+        ins = self._insertions
+        if ins is not None:
+            ins = ins.join(reads.select("read_id"), "read_id", "left_semi")
+        return SeqTable(reads, ins, self.seq_type, self.phred_adjust, self.fillna_val)
 
     def filter_positions(self, min_pos: int | None = None, max_pos: int | None = None) -> DataFrame:
         """Position-window slice over cells == reference .loc position
@@ -385,12 +394,22 @@ class SeqTable:
             null_score=null_scores,
         )
 
-    def get_substrings(self, word_length, positions=None, weights=None) -> DataFrame:
-        """Reference get_substrings / gapped k-mers (seqtables.py:936-1034)."""
+    def get_substrings(self, word_length, positions=None, weights=None,
+                       include_insertions=False, min_ins_count=0,
+                       subsample_seqs=None) -> DataFrame:
+        """Reference get_substrings / gapped k-mers (seqtables.py:936-1034).
+        Forwards the table's reference-coordinate origin (pos_start) so
+        aligned tables (from_sam/from_pysam windows starting past 1)
+        slot positions correctly."""
         from .operators.kmers import get_substrings
 
+        ps_row = self.reads.agg(F.min("pos_start")).first() if "pos_start" in self.reads.columns else None
+        pos_start = int(ps_row[0]) if ps_row and ps_row[0] is not None else 1
         return get_substrings(
             self.reads, word_length, positions=positions, weights=weights,
+            pos_start=pos_start, include_insertions=include_insertions,
+            insertions=self._insertions if include_insertions else None,
+            min_ins_count=min_ins_count, subsample_seqs=subsample_seqs,
         )
 
     def slice_sequences(self, positions, name="seqs",
@@ -401,6 +420,7 @@ class SeqTable:
         return slice_sequences(
             self.cells(), positions, name=name, return_quality=return_quality,
             empty_char=empty_chars or self.fillna_val,
+            all_read_ids=self.reads,
         )
 
     def view_with_ins(self, positions=None, min_ins_count=0, ins_gap="-",
@@ -503,6 +523,7 @@ class SeqTable:
         base_dist = seq_dist(
             self.cells(with_qual=False), method, positions=positions,
             ignore_characters=ignore_characters, weights=weights,
+            seq_type=self.seq_type,  # bits heights need |alphabet|
         )
         has_ins = include_insertions and self.insertions is not None
         loc_ins_type = (

@@ -28,7 +28,7 @@ from collections.abc import Sequence
 
 from pyspark.sql import DataFrame, Window, functions as F
 
-from ..alphabets import AA_ALPHABET, NT_LETTERS
+from ..alphabets import AA_LETTERS, NT_LETTERS
 
 
 def _apply_position_filter(cells: DataFrame, positions: Sequence[int] | None) -> DataFrame:
@@ -75,7 +75,10 @@ def seq_dist(
     if method == "freq":
         return freq.drop("cnt")
     if method == "bits":
-        alphabet_n = len(AA_ALPHABET) if seq_type == "AA" else len(NT_LETTERS)
+        # 20 for AA, 4 for NT - the reference's aa_alphabet/dna_alphabet
+        # (seq_logo.py:303); the extended validation set (incl. X/*)
+        # must NOT inflate log2|alphabet| bit heights
+        alphabet_n = len(AA_LETTERS) if seq_type == "AA" else len(NT_LETTERS)
         n_reads = F.sum("cnt").over(w)
         entropy = F.sum(-F.col("freq") * F.log2("freq")).over(w)
         correction = (1.0 / math.log(2)) * (alphabet_n - 1) / (2.0 * n_reads)

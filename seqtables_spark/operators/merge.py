@@ -59,7 +59,20 @@ def _merge_axis0(
                 for i, t in enumerate(tables)
             ],
         )
-    ins_tables = [t._insertions for t in tables if t._insertions is not None]
+    # insertions must be renumbered in LOCKSTEP with reads: otherwise
+    # every insertion is orphaned (joins on the new 'i#id' match
+    # nothing) and same-raw-id insertions from different tables would
+    # collide in the duplicate check
+    if renumber_reads:
+        ins_tables = [
+            t._insertions.withColumn(
+                "read_id", F.concat_ws("#", F.lit(str(i)), F.col("read_id"))
+            )
+            for i, t in enumerate(tables)
+            if t._insertions is not None
+        ]
+    else:
+        ins_tables = [t._insertions for t in tables if t._insertions is not None]
     ins = None
     if ins_tables:
         ins = reduce(lambda a, b: a.unionByName(b), ins_tables)

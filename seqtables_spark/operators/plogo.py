@@ -59,6 +59,22 @@ def _binom_log_tails(ks, ns, ps):
         return out
 
     for n, p in {(int(n), float(p)) for n, p in zip(ns, ps)}:
+        if p <= 0.0 or p >= 1.0:
+            # degenerate background (a letter absent from / saturating
+            # the background set): the distribution is a point mass.
+            # math.log(0) would raise inside the executor; emit the
+            # exact limit instead.
+            mask = (ns == n) & (ps == p)
+            k = ks[mask]
+            if p <= 0.0:
+                # X == 0 surely: sf(k-1) = 0 unless k <= 0; cdf(k) = 1
+                log_sf[mask] = np.where(k <= 0, 0.0, -np.inf)
+                log_cdf[mask] = 0.0
+            else:
+                # X == n surely: sf(k-1) = 1; cdf(k) = 0 unless k >= n
+                log_sf[mask] = 0.0
+                log_cdf[mask] = np.where(k >= n, 0.0, -np.inf)
+            continue
         i = np.arange(n + 1, dtype=np.float64)
         logpmf = (
             lgamma(n + 1.0) - lgamma(i + 1.0) - lgamma(n - i + 1.0)

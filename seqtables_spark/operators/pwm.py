@@ -56,7 +56,14 @@ def calculate_pwm(
         F.coalesce(pwm_df["weight"], F.lit(float(null_score))).alias("w"),
     )
     if use_log_before_sum:
-        score = F.exp(F.sum(F.log("w")))
+        # Spark's log(w<=0) is NULL and sum() SKIPS nulls - a 0.0 PWM
+        # weight would silently drop out and leave a confidently wrong
+        # nonzero product. The reference's numpy path gives
+        # log(0) = -inf -> sum = -inf -> exp = 0; reproduce that.
+        log_w = F.when(F.col("w") > 0, F.log("w")).otherwise(
+            F.lit(float("-inf"))
+        )
+        score = F.exp(F.sum(log_w))
     else:
         score = F.sum("w")
     return joined.groupBy("read_id").agg(score.alias("pwm_score"))

@@ -27,11 +27,20 @@ def slice_sequences(
     name: str = "seqs",
     return_quality: bool = False,
     empty_char: str = "N",
+    all_read_ids: DataFrame | None = None,
 ) -> DataFrame:
     """Per read, the string formed by the requested positions in
     ascending position order. Positions absent for a read are padded
     with `empty_char` (the reference pads requested positions outside
     the table, seqtables.py:598-616).
+
+    all_read_ids: optional DF carrying a read_id column naming the full
+    read universe. With it, reads matching NONE of the requested
+    positions still come back (as the all-`empty_char` pad string) -
+    the reference returns every read even for fully out-of-range
+    position sets. Without it the filter-first plan can only see reads
+    that hit >= 1 position. The facade passes its reads table (one row
+    per read, far cheaper than shuffling all cells to keep empties).
 
     Returns DF(read_id, <name>[, quality]).
     """
@@ -56,6 +65,8 @@ def slice_sequences(
             else []
         ),
     )
+    if all_read_ids is not None:
+        grouped = all_read_ids.select("read_id").join(grouped, "read_id", "left")
     seq_expr = F.concat_ws(
         "",
         F.transform(

@@ -188,7 +188,8 @@ def align_sam_df(
             min_pos = int(bounds["mn"])
         if max_pos is None:
             max_pos = int(bounds["mx"])
-    assert min_pos < max_pos, "min_pos must be < max_pos"
+    # <= : a width-1 window (min_pos == max_pos) is legitimate
+    assert min_pos <= max_pos, "min_pos must be <= max_pos"
 
     mn, mx, gap = int(min_pos), int(max_pos), edge_gap
 
@@ -198,7 +199,12 @@ def align_sam_df(
             for rid, seq, qual, pos, cigar in zip(
                 pdf["_rid"], pdf["seq"], pdf["qual"], pdf["pos"], pdf["cigar"]
             ):
-                s, q, ins = align_read(seq, qual or "!" * len(seq), int(pos), cigar, mn, mx, gap)
+                # SAM's missing-quality sentinel is '*' (spec 1.4),
+                # not just empty/None - without this a '*' qual reads
+                # as a 1-char phred-9 string and desyncs widths
+                if not qual or qual == "*":
+                    qual = "!" * len(seq)
+                s, q, ins = align_read(seq, qual, int(pos), cigar, mn, mx, gap)
                 out["read_id"].append(str(rid))
                 out["pos_start"].append(mn)
                 out["seq"].append(s)

@@ -387,3 +387,85 @@ def test_chunk_rejoin_and_pack_conservation(spark):
     total = packed.agg(F.sum("total_tokens")).first()[0]
     corpus = token_count(docs).agg(F.sum("n_tokens")).first()[0]
     assert total == corpus
+
+
+def test_pwm_zero_weight_scores_zero(spark):
+    """A 0.0 PWM weight must zero the product (reference numpy:
+    exp(sum(log)) with log(0) = -inf), not silently drop out of the
+    log-sum."""
+    from seqtables_spark.operators.pwm import calculate_pwm
+
+    cells = spark.createDataFrame(
+        [("r1", 1, "A"), ("r1", 2, "C")],
+        "read_id string, position long, base string",
+    )
+    pwm = spark.createDataFrame(
+        [(1, "A", 0.0), (2, "C", 0.9)],
+        "position long, letter string, weight double",
+    )
+    [row] = calculate_pwm(cells, pwm).collect()
+    assert row["pwm_score"] == 0.0
+
+
+def test_slice_sequences_out_of_range_returns_all_reads_padded(spark):
+    """Reference behavior (seqtables.py:598-616): every read comes
+    back even when NO requested position exists - as the pad string."""
+    from seqtables_spark.constructors import from_list
+
+    st = from_list(spark, ["ACGT", "AAAA"])
+    out = {r["read_id"]: r["seqs"] for r in st.slice_sequences([500, 501]).collect()}
+    assert out == {"1": "NN", "2": "NN"}
+
+
+def test_subsample_filters_insertions_to_survivors(spark):
+    from seqtables_spark.model import SeqTable
+
+    reads = spark.createDataFrame(
+        [(str(i), "ACGT", 1) for i in range(20)],
+        "read_id string, seq string, pos_start long",
+    )
+    ins = spark.createDataFrame(
+        [(str(i), 2, -1, "T", 30) for i in range(20)],
+        "read_id string, position long, loc_ins int, base string, qual int",
+    )
+    st = SeqTable(reads, ins)
+    sub = st.subsample(n=5)
+    kept = {r["read_id"] for r in sub.reads.collect()}
+    ins_ids = {r["read_id"] for r in sub.insertions.collect()}
+    assert ins_ids <= kept and len(ins_ids) == 5
+
+
+def test_merge_renumber_keeps_insertions_attached(spark):
+    from seqtables_spark.model import SeqTable
+    from seqtables_spark.operators.merge import merge_seqtables
+
+    def mk():
+        reads = spark.createDataFrame(
+            [("r1", "ACGT", 1)], "read_id string, seq string, pos_start long"
+        )
+        ins = spark.createDataFrame(
+            [("r1", 2, -1, "G", 30)],
+            "read_id string, position long, loc_ins int, base string, qual int",
+        )
+        return SeqTable(reads, ins)
+
+    merged = merge_seqtables([mk(), mk()], renumber_reads=True)
+    read_ids = {r["read_id"] for r in merged.reads.collect()}
+    ins_ids = {r["read_id"] for r in merged.insertions.collect()}
+    assert read_ids == {"0#r1", "1#r1"}
+    assert ins_ids == read_ids  # renumbered in lockstep, not orphaned
+
+
+def test_cells_honors_phred_adjust(spark):
+    from seqtables_spark.model import SeqTable
+
+    reads = spark.createDataFrame(
+        [("r1", "AC", "AB", 1)],
+        "read_id string, seq string, qual string, pos_start long",
+    )
+    q33 = {r["position"]: r["qual"] for r in SeqTable(reads).cells().collect()}
+    q64 = {
+        r["position"]: r["qual"]
+        for r in SeqTable(reads, phred_adjust=64).cells().collect()
+    }
+    assert q33[1] == ord("A") - 33 and q64[1] == ord("A") - 64
