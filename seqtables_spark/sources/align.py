@@ -219,7 +219,10 @@ def align_sam_df(
         F.col("pos").cast("long").alias("pos"),
         F.col("cigar"),
     )
-    aligned = prepared.mapInPandas(_align_batches, ALIGNED_SCHEMA)
+    # both outputs derive from the one mapInPandas stage; persist so
+    # consuming reads AND insertions costs one CIGAR-realign pass,
+    # not two (MEMORY_AND_DISK default - spills, never recomputes)
+    aligned = prepared.mapInPandas(_align_batches, ALIGNED_SCHEMA).persist()
     reads = aligned.select("read_id", "seq", "qual", "pos_start")
     insertions = (
         aligned.select("read_id", F.explode("ins").alias("i"))

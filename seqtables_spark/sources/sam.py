@@ -176,7 +176,11 @@ def filter_reads(
         F.regexp_replace(F.regexp_replace(F.col("cigar"), r"[0-9]", ""), f"[{allowed_cigar_ops}]", "")
     ) > 0
     reason = (
-        F.when((F.col("rname").isNull()) | (F.col("rname") == "*") | (F.col("cigar") == "*"), "unmapped")
+        F.when(
+            (F.col("rname").isNull()) | (F.col("rname") == "*")
+            | (F.col("cigar").isNull()) | (F.col("cigar") == "*"),
+            "unmapped",
+        )
         .when(F.col("rname").isin(list(ignore_hits)) if ignore_hits else F.lit(False), "ignored_reference")
         .when(F.lower(F.col("rname")).contains("phix") if phix_filter else F.lit(False), "phix")
         .when((F.col("flag").bitwiseAND(F.lit(bad_bits))) != 0, "flag")
