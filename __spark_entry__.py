@@ -1494,6 +1494,16 @@ def q_json_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_perplexity_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-LM perplexity filter (CCNet shape): bigram MLE model
+    trained on the corpus, each doc scored by mean bigram ln-prob
+    (pipeline/text.bigram_logprob - fixed-point logs keep the per-doc
+    sum order-free and engine-exact)."""
+    from seqtables_spark.pipeline.text import bigram_logprob
+
+    return bigram_logprob(_t(spark, sf_dir, "documents"))
+
+
 def q_fastq_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S6+S7 through a REAL file: write the doc-derived reads with the
     seqs_to_fastq parity sink (sources/fastq.write_fastq), read them
@@ -1967,6 +1977,7 @@ _ORACLE_PRIORITY = [
     "running_revenue", "json_events", "duplicate_spans",
     "classifier_score", "curate_corpus", "seq_dist_dense",
     "fastq_roundtrip", "sam_roundtrip", "bam_roundtrip",
+    "perplexity_scores",
 ]
 
 
@@ -2071,6 +2082,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "classifier_score": q_classifier_score,
         "curate_corpus": q_curate_corpus,
         "fastq_roundtrip": q_fastq_roundtrip,
+        "perplexity_scores": q_perplexity_scores,
         "sam_roundtrip": q_sam_roundtrip,
         "bam_roundtrip": q_bam_roundtrip,
         "rollup_revenue": q_rollup_revenue,
@@ -3187,6 +3199,29 @@ WITH scored AS (
 )
 SELECT lang, {pred_chain} AS pred_lang, count(*) AS n
 FROM scored GROUP BY 1, 2
+"""
+
+    sqls["perplexity_scores"] = """
+WITH toks AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '\\S+') AS tk FROM documents
+),
+bi AS (
+  SELECT doc_id,
+         tk[CAST(i AS BIGINT)] AS w1, tk[CAST(i + 1 AS BIGINT)] AS w2
+  FROM (SELECT doc_id, tk, unnest(generate_series(1, len(tk) - 1)) AS i
+        FROM toks WHERE len(tk) >= 2)
+),
+bc AS (SELECT w1, w2, count(*) AS c12 FROM bi GROUP BY w1, w2),
+uc AS (SELECT w1, count(*) AS c1 FROM bi GROUP BY w1),
+lp AS (
+  SELECT bi.doc_id,
+         CAST(round(ln(CAST(c12 AS DOUBLE) / c1) * 1000000) AS BIGINT) AS lp_micro
+  FROM bi JOIN bc USING (w1, w2) JOIN uc USING (w1)
+)
+SELECT doc_id, count(*) AS n_bigrams,
+       round((CAST(sum(lp_micro) AS DOUBLE) / count(*)) / 1000000.0, 6)
+         AS avg_logprob
+FROM lp GROUP BY doc_id
 """
 
     sqls["fastq_roundtrip"] = f"""

@@ -358,3 +358,64 @@ def classifier_logit(
         n.cast("long").alias("n_tokens"),
         (s.cast("double") / n / F.lit(1000000.0)).alias("logit"),
     )
+
+
+def bigram_logprob(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Corpus-LM perplexity scoring (the CCNet-style quality filter
+    shape): train a bigram MLE model ON the corpus, then score each
+    document by its mean bigram log-probability ln(C(w1,w2)/C(w1)).
+    Low scores = improbable token sequences = filter candidates. Real
+    pipelines swap in a pretrained KenLM; the plan shape is identical.
+
+    Scale shape: two hash aggregations build the model (bigram counts,
+    unigram-as-first-token counts - both shuffle collapsed count rows,
+    never the corpus), then the per-doc score joins the exploded
+    bigram stream to the count tables on uniform token keys and
+    re-aggregates per doc. Nothing quadratic; model size is bounded
+    by distinct-bigram count, and a pretrained model would broadcast.
+
+    Determinism: each ln() lands in a fixed-point micro-unit long
+    BEFORE the per-doc sum, so the aggregation is order-free and the
+    result engine-exact (1e-6 quantization, far below any filtering
+    threshold).
+
+    Returns DF(id, n_bigrams, avg_logprob).
+    """
+    toks = F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(r"\S+"), 0)
+    pairs = F.filter(
+        F.zip_with(
+            toks,
+            F.slice(F.concat(toks, F.array(F.lit(None))), 2, F.size(toks)),
+            lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+        ),
+        lambda p: p["w2"].isNotNull(),
+    )
+    doc_bigrams = df.filter(F.size(toks) >= 2).select(
+        F.col(id_col), F.explode(pairs).alias("p")
+    ).select(id_col, F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+
+    big_counts = doc_bigrams.groupBy("w1", "w2").agg(
+        F.count(F.lit(1)).alias("c12")
+    )
+    uni_counts = doc_bigrams.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+
+    scored = (
+        doc_bigrams.join(big_counts, ["w1", "w2"])
+        .join(uni_counts, ["w1"])
+        .select(
+            id_col,
+            F.round(
+                F.log(F.col("c12").cast("double") / F.col("c1")) * 1_000_000
+            ).cast("long").alias("lp_micro"),
+        )
+    )
+    return scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.round(
+            (F.sum("lp_micro").cast("double") / F.count(F.lit(1))) / 1_000_000.0, 6
+        ).alias("avg_logprob"),
+    )

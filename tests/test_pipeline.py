@@ -510,3 +510,22 @@ def test_frame_sample_plan_zero_frames_yields_no_rows(spark):
     }
     assert {m for m, _ in got} == {1, 4}
     assert (4, 0) in got and (2, 0) not in got
+
+
+def test_bigram_logprob_mle_values(spark):
+    """Hand-checkable MLE: corpus 'a b', 'a b', 'a c' -> C(a)=3 as
+    first token, C(a,b)=2, C(a,c)=1; doc scores are ln(2/3) and
+    ln(1/3). Single-token docs are excluded (no bigrams)."""
+    import math
+
+    from seqtables_spark.pipeline.text import bigram_logprob
+
+    df = spark.createDataFrame(
+        [(1, "a b"), (2, "a b"), (3, "a c"), (4, "solo")],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in bigram_logprob(df).collect()}
+    assert 4 not in got
+    assert got[1]["n_bigrams"] == 1
+    assert abs(got[1]["avg_logprob"] - math.log(2 / 3)) < 1e-5
+    assert abs(got[3]["avg_logprob"] - math.log(1 / 3)) < 1e-5
