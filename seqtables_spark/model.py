@@ -554,6 +554,23 @@ class SeqTable:
 
         return merge_seqtables([self, *others], axis=axis)
 
+    def create_views(self, prefix: str = "seqtable") -> list[str]:
+        """Register the table's three relations as session temp views
+        (`<prefix>_reads`, `<prefix>_cells`, `<prefix>_insertions`) so
+        everything here is queryable straight from `spark.sql` - the
+        SQL face of the engine. The cells view stays a LAZY projection
+        over reads (no materialization); returns the view names."""
+        names = []
+        for name, df in (
+            ("reads", self.reads),
+            ("cells", self.cells()),
+            ("insertions", self.insertions),
+        ):
+            vname = f"{prefix}_{name}"
+            df.createOrReplaceTempView(vname)
+            names.append(vname)
+        return names
+
 
 def phred_char_to_num(col: Column | str, phred_adjust: int = PHRED_ADJUST) -> Column:
     """chr(q+33) -> numeric phred (reference seqtables.py:401)."""

@@ -189,3 +189,22 @@ def test_classmethod_constructor_surface(spark, tmp_path):
     )
     assert get(st_bam) == get(st_sam)
     assert st_bam.insertions.count() == st_sam.insertions.count() == 1
+
+
+def test_create_views_sql_surface(spark):
+    """spark.sql over the registered views reproduces an operator
+    result (seq_dist as plain GROUP BY) - the SQL face works."""
+    from seqtables_spark.constructors import from_list
+
+    st = from_list(spark, ["ACGT", "ACGA", "ACGT"])
+    views = st.create_views("t_sql")
+    assert views == ["t_sql_reads", "t_sql_cells", "t_sql_insertions"]
+    got = {
+        (r["position"], r["base"]): r["cnt"]
+        for r in spark.sql(
+            "SELECT position, base, count(*) AS cnt FROM t_sql_cells "
+            "GROUP BY position, base"
+        ).collect()
+    }
+    assert got[(4, "T")] == 2 and got[(4, "A")] == 1 and got[(1, "A")] == 3
+    assert spark.sql("SELECT count(*) n FROM t_sql_reads").first()["n"] == 3
