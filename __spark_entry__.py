@@ -254,17 +254,22 @@ def q_quality_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select(*sel)
 
 
-def q_pwm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A12 calculate_pwm (plain-sum scoring; weights are powers of two
-    so double sums are order-free and exact)."""
+def _pwm_df(spark: SparkSession) -> DataFrame:
+    """The shared 96-row literal PWM both scoring queries use (one
+    definition - the two queries must stay against the same matrix)."""
     rows = []
     for p in range(1, W + 1):
         for letter, w in PWM_WEIGHTS.items():
             rows.append((p, letter, w))
-    pwm_df = spark.createDataFrame(
-        spark.sparkContext.parallelize(rows, 1),
-        "position long, letter string, weight double",
+    return spark.createDataFrame(
+        rows, "position long, letter string, weight double"
     )
+
+
+def q_pwm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A12 calculate_pwm (plain-sum scoring; weights are powers of two
+    so double sums are order-free and exact)."""
+    pwm_df = _pwm_df(spark)
     scored = calculate_pwm(
         _doc_cells(spark, sf_dir), pwm_df, null_score=0.0, use_log_before_sum=False
     )
@@ -343,14 +348,7 @@ def q_mutation_by_position(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_pwm_log_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A12 calculate_pwm log path: exp(sum(log w)) product scoring."""
-    rows = []
-    for p in range(1, W + 1):
-        for letter, w in PWM_WEIGHTS.items():
-            rows.append((p, letter, w))
-    pwm_df = spark.createDataFrame(
-        spark.sparkContext.parallelize(rows, 1),
-        "position long, letter string, weight double",
-    )
+    pwm_df = _pwm_df(spark)
     scored = calculate_pwm(
         _doc_cells(spark, sf_dir), pwm_df, null_score=1.0, use_log_before_sum=True
     )
@@ -711,7 +709,7 @@ def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Dedup (SimHash): 32-bit fingerprint over whitespace tokens."""
+    """Dedup (SimHash): 28-bit fingerprint over whitespace tokens."""
     return simhash(_wide(spark, _t(spark, sf_dir, "documents")))
 
 
@@ -1058,6 +1056,34 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _drain_stream(spark: SparkSession, df: DataFrame, name: str,
+                  output_mode: str, shuffle_partitions: str = "4") -> DataFrame:
+    """Shared micro-batch drain: stop any prior query with this name,
+    pin spark.sql.shuffle.partitions for the stream (state-store
+    instances = shuffle partitions AT QUERY START; the streaming aggs
+    here hold a handful of rows, so 32 stores is pure per-batch task
+    overhead), run one availableNow drain into a memory sink, restore
+    the batch conf even when start() itself throws, and return the
+    sink table."""
+    for q in spark.streams.active:
+        if q.name == name:
+            q.stop()
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", shuffle_partitions)
+    try:
+        query = (
+            df.writeStream.outputMode(output_mode)
+            .format("memory")
+            .queryName(name)
+            .trigger(availableNow=True)
+            .start()
+        )
+        query.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    return spark.table(name)
+
+
 def q_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming stateful exact-dedup (dropDuplicates state machine):
     first-seen row per (lang, 8-char text prefix) over the document
@@ -1066,9 +1092,6 @@ def q_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from seqtables_spark.streaming.ingest import streaming_dedup
 
     schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
-    for q in spark.streams.active:
-        if q.name == "doc_dedup_stream":
-            q.stop()
     stream = (
         spark.readStream.schema(schema)
         .option("pathGlobFilter", "documents.parquet")
@@ -1076,22 +1099,8 @@ def q_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("lang", F.substring("text", 1, 8).alias("pfx"))
     )
     deduped = streaming_dedup(stream, ["lang", "pfx"])
-    prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "4")
-    try:
-        query = (
-            deduped.writeStream.outputMode("append")
-            .format("memory")
-            .queryName("doc_dedup_stream")
-            .trigger(availableNow=True)
-            .start()
-        )
-        query.awaitTermination()
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev)
-    return spark.table("doc_dedup_stream").groupBy("lang").agg(
-        F.count(F.lit(1)).alias("n_unique")
-    )
+    tbl = _drain_stream(spark, deduped, "doc_dedup_stream", "append")
+    return tbl.groupBy("lang").agg(F.count(F.lit(1)).alias("n_unique"))
 
 
 def q_streaming_events(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1101,9 +1110,6 @@ def q_streaming_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     (exactly what a continuous ingest would run, minus the tail)."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
-    for q in spark.streams.active:
-        if q.name == "events_agg_stream":
-            q.stop()
     stream = (
         spark.readStream.schema(schema)
         .option("pathGlobFilter", "events.parquet")  # file source needs a dir
@@ -1114,23 +1120,7 @@ def q_streaming_events(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.round(F.col("value") * 100).cast("long")).alias("value_cents"),
         )
     )
-    # state-store instances = shuffle partitions AT QUERY START; the
-    # final agg holds |event_type| rows, so 32 stores is pure per-batch
-    # task overhead — pin the stream to 4 and restore the batch conf
-    prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "4")
-    try:
-        query = (
-            stream.writeStream.outputMode("complete")
-            .format("memory")
-            .queryName("events_agg_stream")
-            .trigger(availableNow=True)
-            .start()
-        )
-        query.awaitTermination()
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev)
-    return spark.table("events_agg_stream")
+    return _drain_stream(spark, stream, "events_agg_stream", "complete")
 
 
 def q_streaming_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1143,31 +1133,13 @@ def q_streaming_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
-    for q in spark.streams.active:
-        if q.name == "events_windowed_stream":
-            q.stop()
     stream = (
         spark.readStream.schema(schema)
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
     win = windowed_event_counts(stream, window="1 hour", watermark="2 hours")
-    # see q_streaming_events: few thousand window-key state rows don't
-    # need 32 state stores; 4 cuts per-micro-batch task overhead
-    prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "4")
-    try:
-        query = (
-            win.writeStream.outputMode("update")
-            .format("memory")
-            .queryName("events_windowed_stream")
-            .trigger(availableNow=True)
-            .start()
-        )
-        query.awaitTermination()
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev)
-    tbl = spark.table("events_windowed_stream")
+    tbl = _drain_stream(spark, win, "events_windowed_stream", "update")
     # update mode re-emits a window each batch it changes: keep the
     # freshest emission (max n) per (window, key)
     return tbl.groupBy(
@@ -1520,7 +1492,7 @@ def q_fastq_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     reads = _doc_reads(spark, sf_dir).select("read_id", "seq", "qual")
     tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
-    path = os.path.join(tempfile.gettempdir(), f"seqtables_fastq_rt_{tag}")
+    path = os.path.join(tempfile.gettempdir(), f"seqtables_fastq_rt_{tag}_{os.getpid()}")
     write_fastq(reads, path)
     register_fastq_source(spark)
     return (
@@ -1558,7 +1530,7 @@ def q_sam_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat(F.lit("XM:i:"), (rid % 5).cast("string")),
     )
     tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
-    path = os.path.join(tempfile.gettempdir(), f"seqtables_sam_rt_{tag}")
+    path = os.path.join(tempfile.gettempdir(), f"seqtables_sam_rt_{tag}_{os.getpid()}")
     reads.select(line.alias("value")).write.mode("overwrite").text(path)
     df = read_sam(spark, os.path.join(path, "part-*"))
     return df.select(
@@ -1614,7 +1586,7 @@ def q_bam_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         for r in rows
     ]
     tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
-    path = os.path.join(tempfile.gettempdir(), f"seqtables_bam_rt_{tag}.bam")
+    path = os.path.join(tempfile.gettempdir(), f"seqtables_bam_rt_{tag}_{os.getpid()}.bam")
     with open(path, "wb") as fh:
         fh.write(encode_bam(records, [("ref1", 100)]))
     df = read_bam(spark, path, records_per_chunk=64)
@@ -1646,7 +1618,7 @@ def q_classifier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     from seqtables_spark.pipeline.text import classifier_logit
 
     return classifier_logit(_t(spark, sf_dir, "documents")).select(
-        "doc_id", "n_tokens", F.round("logit", 6).alias("logit")
+        "doc_id", "n_tokens", (F.round("logit", 6) + F.lit(0.0)).alias("logit")
     )
 
 
@@ -2146,7 +2118,7 @@ SELECT doc_id, {fp} AS simhash FROM bit_sums
 
 # NOTE: simhash_near_dups (pipeline/dedup.py) deliberately has no
 # queries() entry: the synthetic corpus is token-homogeneous, so a
-# 32-bit simhash puts thousands of unrelated docs within hamming 3 -
+# short simhash puts thousands of unrelated docs within hamming 3 -
 # a badly-conditioned input that would measure the data, not the
 # operator. Banding correctness is pinned by unit test instead
 # (tests/test_round2_ops.py::test_simhash_near_dups_banding_is_exact).
@@ -3219,7 +3191,7 @@ lp AS (
   FROM bi JOIN bc USING (w1, w2) JOIN uc USING (w1)
 )
 SELECT doc_id, count(*) AS n_bigrams,
-       round((CAST(sum(lp_micro) AS DOUBLE) / count(*)) / 1000000.0, 6)
+       round((CAST(sum(lp_micro) AS DOUBLE) / count(*)) / 1000000.0, 6) + 0.0
          AS avg_logprob
 FROM lp GROUP BY doc_id
 """
@@ -3312,7 +3284,7 @@ w AS (
   FROM toks WHERE len(tk) > 0
 )
 SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
-       round(CAST(s AS DOUBLE) / n_tokens / 1000000.0, 6) AS logit
+       round(CAST(s AS DOUBLE) / n_tokens / 1000000.0, 6) + 0.0 AS logit
 FROM w
 """
     sqls["duplicate_spans"] = f"""

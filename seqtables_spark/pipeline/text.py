@@ -415,7 +415,7 @@ def bigram_logprob(
     )
     return scored.groupBy(id_col).agg(
         F.count(F.lit(1)).alias("n_bigrams"),
-        F.round(
+        (F.round(
             (F.sum("lp_micro").cast("double") / F.count(F.lit(1))) / 1_000_000.0, 6
-        ).alias("avg_logprob"),
+        ) + F.lit(0.0)).alias("avg_logprob"),
     )

@@ -14,7 +14,9 @@ import sys
 import time
 import traceback
 
-sys.path.insert(0, ".")
+import os
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 TABLES = [
     "region", "nation", "customer", "supplier", "part",
@@ -39,7 +41,10 @@ def normalize(rows, colnames):
                 if math.isnan(v):
                     vals.append("NaN")
                 else:
-                    vals.append(round(v, 9))
+                    # + 0.0 canonicalizes -0.0 (Spark HALF_UP round
+                    # yields +0.0 where C round yields -0.0; str-sorting
+                    # '-0.0' vs '0.0' would misalign equal rows)
+                    vals.append(round(v, 9) + 0.0)
             elif isinstance(v, int):
                 vals.append(int(v))
             else:
@@ -47,7 +52,7 @@ def normalize(rows, colnames):
                     import decimal
 
                     if isinstance(v, decimal.Decimal):
-                        vals.append(round(float(v), 9))
+                        vals.append(round(float(v), 9) + 0.0)
                         continue
                 except Exception:
                     pass
@@ -76,6 +81,11 @@ def main():
 
     qs = entry.queries()
     oracles = entry.oracle_sql()
+    if only:
+        unknown = [n for n in only if n not in qs]
+        if unknown:
+            print(f"unknown query name(s): {unknown}; known: {sorted(qs)[:10]}...")
+            return 2
     results = {}
     for name, fn in qs.items():
         if only and name not in only:
