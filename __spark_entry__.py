@@ -1466,6 +1466,52 @@ def q_json_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relational core (Q17 shape): correlated per-part average as a
+    broadcast agg-join - avg quantity per part computed once, joined
+    back, rows under 20% of their part's average contribute revenue.
+    The correlated subquery decorrelates to one extra hash agg; no
+    per-row re-scan. Fixed-point cents keep the sum order-free."""
+    li = _t(spark, sf_dir, "lineitem")
+    avg_q = li.groupBy(F.col("l_partkey").alias("_pk")).agg(
+        (
+            F.sum(F.round(F.col("l_quantity") * 100).cast("long")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("avg_qty_cents")
+    )
+    return (
+        li.join(F.broadcast(avg_q), li.l_partkey == F.col("_pk"))
+        .filter(
+            F.round(F.col("l_quantity") * 100).cast("long").cast("double")
+            < F.lit(0.2) * F.col("avg_qty_cents")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.sum(
+                F.round(F.col("l_extendedprice") * 100).cast("long")
+            ).alias("revenue_cents"),
+        )
+    )
+
+
+def q_pending_orders_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relational core (Q4 shape): orders with at least one line item
+    shipped AFTER the order date, counted per priority - a LEFT SEMI
+    join (EXISTS): the probe streams, each order materializes at most
+    once however many line items match."""
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    late = orders.join(
+        li,
+        (orders.o_orderkey == li.l_orderkey)
+        & (li.l_shipdate > orders.o_orderdate),
+        "left_semi",
+    )
+    return late.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders")
+    )
+
+
 def q_perplexity_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-LM perplexity filter (CCNet shape): bigram MLE model
     trained on the corpus, each doc scored by mean bigram ln-prob
@@ -1949,7 +1995,8 @@ _ORACLE_PRIORITY = [
     "running_revenue", "json_events", "duplicate_spans",
     "classifier_score", "curate_corpus", "seq_dist_dense",
     "fastq_roundtrip", "sam_roundtrip", "bam_roundtrip",
-    "perplexity_scores",
+    "perplexity_scores", "small_quantity_revenue",
+    "pending_orders_priority",
 ]
 
 
@@ -2055,6 +2102,8 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curate_corpus": q_curate_corpus,
         "fastq_roundtrip": q_fastq_roundtrip,
         "perplexity_scores": q_perplexity_scores,
+        "small_quantity_revenue": q_small_quantity_revenue,
+        "pending_orders_priority": q_pending_orders_priority,
         "sam_roundtrip": q_sam_roundtrip,
         "bam_roundtrip": q_bam_roundtrip,
         "rollup_revenue": q_rollup_revenue,
@@ -3171,6 +3220,30 @@ WITH scored AS (
 )
 SELECT lang, {pred_chain} AS pred_lang, count(*) AS n
 FROM scored GROUP BY 1, 2
+"""
+
+    sqls["small_quantity_revenue"] = """
+WITH avg_q AS (
+  SELECT l_partkey AS pk,
+         CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS DOUBLE)
+           / count(*) AS avg_qty_cents
+  FROM lineitem GROUP BY l_partkey
+)
+SELECT count(*) AS n_items,
+       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+         AS revenue_cents
+FROM lineitem JOIN avg_q ON l_partkey = pk
+WHERE CAST(CAST(round(l_quantity * 100) AS BIGINT) AS DOUBLE)
+      < 0.2 * avg_qty_cents
+"""
+
+    sqls["pending_orders_priority"] = """
+SELECT o_orderpriority, count(*) AS n_orders
+FROM orders o
+WHERE EXISTS (SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey
+                AND l.l_shipdate > o.o_orderdate)
+GROUP BY o_orderpriority
 """
 
     sqls["perplexity_scores"] = """
