@@ -529,3 +529,54 @@ def test_bigram_logprob_mle_values(spark):
     assert got[1]["n_bigrams"] == 1
     assert abs(got[1]["avg_logprob"] - math.log(2 / 3)) < 1e-5
     assert abs(got[3]["avg_logprob"] - math.log(1 / 3)) < 1e-5
+
+
+def test_curate_documents_equals_stagewise_bruteforce(spark):
+    """Randomized: curate_documents output ids equal a pure-Python
+    stagewise recomputation (gate -> language -> min-id dedup) on
+    seeded word-soup corpora."""
+    import random
+    import re as _re
+
+    from seqtables_spark.pipeline.curate import curate_documents
+    from seqtables_spark.pipeline.text import LANG_MARKERS
+
+    rng = random.Random(99)
+    vocab = ["the", "and", "der", "le", "zzz", "word", "qqq", "data"]
+    for trial in range(3):
+        rows = []
+        for d in range(40):
+            n = rng.randint(0, 30)
+            text = " ".join(rng.choices(vocab, k=n))
+            if d % 7 == 0 and rows:
+                text = rows[rng.randrange(len(rows))][1]  # exact dup
+            rows.append((d, text, "s"))
+        df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+        got = sorted(
+            r["doc_id"] for r in curate_documents(df, min_tokens=5).collect()
+        )
+
+        # brute force
+        def n_alpha(t):
+            return len(_re.sub(r"[^A-Za-z]", "", t))
+
+        kept = []
+        for d, text, _ in rows:
+            toks = text.split()
+            if not (5 <= len(toks) <= 5000):
+                continue
+            if not text or n_alpha(text) / len(text) < 0.4:
+                continue
+            scores = {
+                lang: len(_re.findall(r"\b(" + "|".join(ws) + r")\b", text.lower()))
+                for lang, ws in LANG_MARKERS.items()
+            }
+            best = max(scores.values())
+            if best == 0:
+                continue
+            kept.append((d, text))
+        surv: dict[str, int] = {}
+        for d, text in kept:
+            surv.setdefault(text, d)
+        want = sorted(surv.values())
+        assert got == want, f"trial {trial}"
