@@ -1512,6 +1512,30 @@ def q_pending_orders_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_customer_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relational core: INTERSECT / EXCEPT set operators - high-
+    balance customers vs customers with 1999+ orders. Catalyst plans
+    both as distinct-aggregated joins (semi for intersect, anti for
+    except); the counts land in one row."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    hi = (
+        cust.filter(F.round(F.col("c_acctbal") * 100).cast("long") > 500000)
+        .select("c_custkey")
+    )
+    recent = (
+        orders.filter(F.year("o_orderdate") >= 1999)
+        .select(F.col("o_custkey").alias("c_custkey"))
+    )
+    inter = hi.intersect(recent)
+    diff = hi.exceptAll(recent.distinct())
+    return (
+        hi.agg(F.count_distinct("c_custkey").alias("n_high"))
+        .crossJoin(inter.agg(F.count(F.lit(1)).alias("n_both")))
+        .crossJoin(diff.agg(F.count(F.lit(1)).alias("n_only_high")))
+    )
+
+
 def q_perplexity_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-LM perplexity filter (CCNet shape): bigram MLE model
     trained on the corpus, each doc scored by mean bigram ln-prob
@@ -1996,7 +2020,7 @@ _ORACLE_PRIORITY = [
     "classifier_score", "curate_corpus", "seq_dist_dense",
     "fastq_roundtrip", "sam_roundtrip", "bam_roundtrip",
     "perplexity_scores", "small_quantity_revenue",
-    "pending_orders_priority",
+    "pending_orders_priority", "customer_setops",
 ]
 
 
@@ -2103,6 +2127,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fastq_roundtrip": q_fastq_roundtrip,
         "perplexity_scores": q_perplexity_scores,
         "small_quantity_revenue": q_small_quantity_revenue,
+        "customer_setops": q_customer_setops,
         "pending_orders_priority": q_pending_orders_priority,
         "sam_roundtrip": q_sam_roundtrip,
         "bam_roundtrip": q_bam_roundtrip,
@@ -3220,6 +3245,22 @@ WITH scored AS (
 )
 SELECT lang, {pred_chain} AS pred_lang, count(*) AS n
 FROM scored GROUP BY 1, 2
+"""
+
+    sqls["customer_setops"] = """
+WITH hi AS (
+  SELECT c_custkey FROM customer
+  WHERE CAST(round(c_acctbal * 100) AS BIGINT) > 500000
+),
+recent AS (
+  SELECT DISTINCT o_custkey AS c_custkey FROM orders
+  WHERE year(o_orderdate) >= 1999
+)
+SELECT (SELECT count(DISTINCT c_custkey) FROM hi) AS n_high,
+       (SELECT count(*) FROM (SELECT c_custkey FROM hi
+                              INTERSECT SELECT c_custkey FROM recent)) AS n_both,
+       (SELECT count(*) FROM (SELECT c_custkey FROM hi
+                              EXCEPT ALL SELECT c_custkey FROM recent)) AS n_only_high
 """
 
     sqls["small_quantity_revenue"] = """
