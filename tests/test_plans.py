@@ -315,3 +315,11 @@ def test_round3_relational_query_plan_shapes(spark):
     # dedup survivor semi-join + final stats agg; the gate predicates
     # appear as data filters on the documents scan
     assert "LeftSemi" in cur
+
+    q4 = _plan(raw["pending_orders_priority"](spark, sf))
+    assert "LeftSemi" in q4  # EXISTS decorrelates to a semi join
+
+    q17 = _plan(raw["small_quantity_revenue"](spark, sf))
+    # correlated avg decorrelates to ONE extra agg + a join, never a
+    # per-row re-scan of lineitem
+    assert q17.count("Scan parquet") == 2 and "Join" in q17
