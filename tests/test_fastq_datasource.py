@@ -97,3 +97,37 @@ def test_fastq_source_agrees_with_line_pivot_reader(spark, fastq_file):
         for r in read_fastq(spark, path).collect()
     )
     assert a == b == want
+
+
+def test_fastq_source_fuzz_random_corpora(spark):
+    """Seeded fuzz: random record counts, lengths and adversarial
+    quality strings across random split sizes always read exactly
+    once."""
+    import os
+    import random
+    import tempfile
+
+    from seqtables_spark.sources.fastq_datasource import register_fastq_source
+
+    register_fastq_source(spark)
+    rng = random.Random(123)
+    for trial in range(3):
+        recs = []
+        for i in range(rng.randint(1, 120)):
+            L = rng.randint(1, 80)
+            seq = "".join(rng.choice("ACGTN") for _ in range(L))
+            qual = "".join(
+                chr(33 + rng.randint(0, 60)) for _ in range(L)
+            )  # includes '@' (31) and '+' (10) and '"' (1) as qual chars
+            recs.append((f"t{trial}r{i}", seq, qual))
+        path = os.path.join(
+            tempfile.gettempdir(), f"fq_fuzz_{os.getpid()}_{trial}.fastq"
+        )
+        with open(path, "w") as fh:
+            for h, s_, q in recs:
+                fh.write(f"@{h}\n{s_}\n+\n{q}\n")
+        pb = rng.choice([37, 111, 409, 1009])
+        df = spark.read.format("fastq").option("partition_bytes", pb).load(path)
+        got = sorted((r["read_id"], r["seq"], r["qual"]) for r in df.collect())
+        assert got == sorted(recs), f"trial {trial} pb {pb}"
+        os.unlink(path)
