@@ -1057,7 +1057,7 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _drain_stream(spark: SparkSession, df: DataFrame, name: str,
-                  output_mode: str, shuffle_partitions: str = "4") -> DataFrame:
+                  output_mode: str) -> DataFrame:
     """Shared micro-batch drain: stop any prior query with this name,
     pin spark.sql.shuffle.partitions for the stream (state-store
     instances = shuffle partitions AT QUERY START; the streaming aggs
@@ -1069,7 +1069,7 @@ def _drain_stream(spark: SparkSession, df: DataFrame, name: str,
         if q.name == name:
             q.stop()
     prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", shuffle_partitions)
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
     try:
         query = (
             df.writeStream.outputMode(output_mode)
@@ -1468,7 +1468,7 @@ def q_json_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Relational core (Q17 shape): correlated per-part average as a
-    broadcast agg-join - avg quantity per part computed once, joined
+    agg-join - avg quantity per part computed once, joined
     back, rows under 20% of their part's average contribute revenue.
     The correlated subquery decorrelates to one extra hash agg; no
     per-row re-scan. Fixed-point cents keep the sum order-free."""
@@ -1479,8 +1479,11 @@ def q_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.count(F.lit(1))
         ).alias("avg_qty_cents")
     )
+    # no broadcast hint: avg_q has one row per part (scales with SF);
+    # AQE picks broadcast at bench scale and degrades to a shuffle
+    # join when the dimension outgrows the driver
     return (
-        li.join(F.broadcast(avg_q), li.l_partkey == F.col("_pk"))
+        li.join(avg_q, li.l_partkey == F.col("_pk"))
         .filter(
             F.round(F.col("l_quantity") * 100).cast("long").cast("double")
             < F.lit(0.2) * F.col("avg_qty_cents")
@@ -1546,6 +1549,38 @@ def q_perplexity_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bigram_logprob(_t(spark, sf_dir, "documents"))
 
 
+_RT_TMP_PATHS: list = []
+
+
+def _rt_tmp(prefix: str, sf_dir: str, suffix: str = "") -> str:
+    """PID-scoped roundtrip temp path, registered for atexit cleanup
+    (PID scoping prevents cross-process races; cleanup prevents /tmp
+    filling up across repeated bench/selfcheck runs)."""
+    import atexit
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    path = os.path.join(
+        tempfile.gettempdir(), f"{prefix}_{tag}_{os.getpid()}{suffix}"
+    )
+    if not _RT_TMP_PATHS:
+        def _cleanup():
+            for p in _RT_TMP_PATHS:
+                try:
+                    if os.path.isdir(p):
+                        shutil.rmtree(p, ignore_errors=True)
+                    elif os.path.exists(p):
+                        os.unlink(p)
+                except Exception:
+                    pass
+        atexit.register(_cleanup)
+    _RT_TMP_PATHS.append(path)
+    return path
+
+
 def q_fastq_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S6+S7 through a REAL file: write the doc-derived reads with the
     seqs_to_fastq parity sink (sources/fastq.write_fastq), read them
@@ -1561,8 +1596,7 @@ def q_fastq_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     from seqtables_spark.sources.fastq_datasource import register_fastq_source
 
     reads = _doc_reads(spark, sf_dir).select("read_id", "seq", "qual")
-    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
-    path = os.path.join(tempfile.gettempdir(), f"seqtables_fastq_rt_{tag}_{os.getpid()}")
+    path = _rt_tmp("seqtables_fastq_rt", sf_dir)
     write_fastq(reads, path)
     register_fastq_source(spark)
     return (
@@ -1599,8 +1633,7 @@ def q_sam_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("seq"), F.col("qual"),
         F.concat(F.lit("XM:i:"), (rid % 5).cast("string")),
     )
-    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
-    path = os.path.join(tempfile.gettempdir(), f"seqtables_sam_rt_{tag}_{os.getpid()}")
+    path = _rt_tmp("seqtables_sam_rt", sf_dir)
     reads.select(line.alias("value")).write.mode("overwrite").text(path)
     df = read_sam(spark, os.path.join(path, "part-*"))
     return df.select(
@@ -1655,8 +1688,7 @@ def q_bam_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
          r["seq"], r["qual"])
         for r in rows
     ]
-    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
-    path = os.path.join(tempfile.gettempdir(), f"seqtables_bam_rt_{tag}_{os.getpid()}.bam")
+    path = _rt_tmp("seqtables_bam_rt", sf_dir, ".bam")
     with open(path, "wb") as fh:
         fh.write(encode_bam(records, [("ref1", 100)]))
     df = read_bam(spark, path, records_per_chunk=64)

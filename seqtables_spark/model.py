@@ -109,6 +109,9 @@ class SeqTable:
         self.phred_adjust = phred_adjust
         self.fillna_val = fillna_val or FILL_CHAR.get(seq_type, "N")
         self._n_reads: int | None = None  # lazy, cached after first use
+        # persisted upstream stages this table owns (e.g. the CIGAR
+        # realignment output); released by unpersist()
+        self._cached_plans: list[DataFrame] = []
 
     # -- constructors (reference classmethod surface, seqtables.py:92,
     # 168, 214, 226): thin delegates so a reference user's
@@ -403,8 +406,20 @@ class SeqTable:
         slot positions correctly."""
         from .operators.kmers import get_substrings
 
-        ps_row = self.reads.agg(F.min("pos_start")).first() if "pos_start" in self.reads.columns else None
-        pos_start = int(ps_row[0]) if ps_row and ps_row[0] is not None else 1
+        if "pos_start" in self.reads.columns:
+            lo, hi = self.reads.agg(
+                F.min("pos_start"), F.max("pos_start")
+            ).first()
+            if lo is not None and lo != hi:
+                raise ValueError(
+                    "get_substrings: table has heterogeneous pos_start "
+                    f"({lo}..{hi}); kmer slot offsets assume one shared "
+                    "origin - re-align (from_sam window) or slice to a "
+                    "uniform window first"
+                )
+            pos_start = int(lo) if lo is not None else 1
+        else:
+            pos_start = 1
         return get_substrings(
             self.reads, word_length, positions=positions, weights=weights,
             pos_start=pos_start, include_insertions=include_insertions,
@@ -553,6 +568,18 @@ class SeqTable:
         from .operators.merge import merge_seqtables
 
         return merge_seqtables([self, *others], axis=axis)
+
+    def unpersist(self) -> None:
+        """Release any persisted upstream stages this table owns (the
+        realignment cache from from_sam/from_pysam/from_df-with-cigar).
+        Safe to call repeatedly; the table remains usable (stages
+        recompute lazily afterwards)."""
+        for df in self._cached_plans:
+            try:
+                df.unpersist()
+            except Exception:
+                pass
+        self._cached_plans = []
 
     def create_views(self, prefix: str = "seqtable") -> list[str]:
         """Register the table's three relations as session temp views

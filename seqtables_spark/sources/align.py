@@ -144,10 +144,16 @@ def align_sam_df(
     max_pos: int | None = None,
     edge_gap: str = "-",
     id_col: str = "header",
-) -> tuple[DataFrame, DataFrame]:
+    return_cached: bool = False,
+) -> tuple[DataFrame, DataFrame] | tuple[DataFrame, DataFrame, DataFrame]:
     """Align a SAM-shaped DataFrame (id, pos, seq, qual, cigar).
 
-    Returns (reads, insertions):
+    Returns (reads, insertions) - or, with return_cached=True,
+    (reads, insertions, cached_stage) where cached_stage is the
+    persisted mapInPandas output BOTH derive from: the owner must
+    eventually .unpersist() it (SeqTable.unpersist does), otherwise
+    the CacheManager entry lives for the whole session.
+
       reads(read_id, seq, qual, pos_start)  - fixed width, aligned
       insertions(read_id, position, loc_ins, base, qual)
     """
@@ -223,6 +229,9 @@ def align_sam_df(
     # consuming reads AND insertions costs one CIGAR-realign pass,
     # not two (MEMORY_AND_DISK default - spills, never recomputes)
     aligned = prepared.mapInPandas(_align_batches, ALIGNED_SCHEMA).persist()
+    # the persisted stage is handed back via return_cached so an OWNER
+    # (SeqTable.unpersist) can release it - persist without a release
+    # handle leaks CacheManager entries for the session lifetime
     reads = aligned.select("read_id", "seq", "qual", "pos_start")
     insertions = (
         aligned.select("read_id", F.explode("ins").alias("i"))
@@ -234,4 +243,6 @@ def align_sam_df(
             (F.ascii("i.qual_ch") - F.lit(33)).alias("qual"),
         )
     )
+    if return_cached:
+        return reads, insertions, aligned
     return reads, insertions

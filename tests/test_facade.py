@@ -208,3 +208,21 @@ def test_create_views_sql_surface(spark):
     }
     assert got[(4, "T")] == 2 and got[(4, "A")] == 1 and got[(1, "A")] == 3
     assert spark.sql("SELECT count(*) n FROM t_sql_reads").first()["n"] == 3
+
+
+def test_unpersist_releases_realignment_cache(spark):
+    """from_df(cigar) owns a persisted realignment stage; unpersist()
+    releases it and the table stays usable."""
+    from seqtables_spark.model import SeqTable
+
+    sam_df = spark.createDataFrame(
+        [("r1", "ref1", 3, "4M", "ACGT", "IIII")],
+        "header string, rname string, pos long, cigar string, seq string, qual string",
+    )
+    st = SeqTable.from_df(sam_df)
+    assert len(st._cached_plans) == 1
+    assert st.reads.count() == 1
+    st.unpersist()
+    assert st._cached_plans == []
+    assert st.reads.count() == 1  # recomputes lazily, still correct
+    st.unpersist()  # idempotent
