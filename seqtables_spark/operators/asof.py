@@ -1,0 +1,134 @@
+"""As-of (time-travel) join: for every left row, attach the single
+most recent right row with right_ts <= left_ts (backward direction),
+optionally within a tolerance, matching on equi-keys.
+
+Not part of the reference surface (the reference is a positional
+sequence engine); this is the temporal primitive a training-data /
+event pipeline needs (join each example to the latest config /
+checkpoint / price at its timestamp).
+
+Spark has no ASOF JOIN operator, and the naive formulations do not
+survive scale: a theta-join (`l.ts >= r.ts`) is O(N*M) per key with a
+BroadcastNestedLoopJoin plan, and a per-key `collect_list` +
+UDF-bisect ships whole partitions through Python. The scalable
+formulation used here is the union-merge trick (the same shape
+pandas' merge_asof uses, but expressed relationally so it
+distributes):
+
+  1. union left and right into one relation tagged with `side`
+     (right=0, left=1 - right sorts first at equal timestamps, so
+     "<=" semantics fall out of the sort order),
+  2. one window over (keys) ordered by (ts, side):
+     `last(right_payload, ignorenulls=True)` propagates the most
+     recent right row's payload forward onto every subsequent row,
+  3. keep the left rows, apply the optional tolerance.
+
+Cost: exactly ONE shuffle (hash partition by the equi-keys), then a
+per-partition sort - identical shape to a sort-merge join, no row
+amplification, no Python. Skewed keys split under AQE like any other
+sort/window stage. At 100 TB: both sides scan with their filters
+pushed down, partial projection prunes to (keys, ts, payload), and
+the single exchange is the only data movement.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window, functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: Sequence[str],
+    left_ts: str,
+    right_ts: str,
+    right_payload: Sequence[str] | None = None,
+    tolerance: int | None = None,
+    suffix: str = "_right",
+) -> DataFrame:
+    """Backward as-of join (DuckDB `ASOF JOIN ... ON l.ts >= r.ts`
+    semantics): each left row gains the payload of the latest right
+    row with ``right[right_ts] <= left[left_ts]`` and equal `on`
+    keys, or NULLs if none exists (left-outer flavor).
+
+    Timestamps must share one orderable type (use integer
+    epoch-ns for cross-engine exactness). ``tolerance`` (same unit)
+    drops matches older than ``left_ts - tolerance``.
+
+    Ambiguity: if several right rows share the maximal ``right_ts``
+    for a key, the one last in the union sort order wins — pre-
+    aggregate the right side to one row per (keys..., ts) when exact
+    cross-engine parity matters (the oracle does the same).
+
+    Output: all left columns, plus ``right_ts + suffix`` and each
+    payload column (suffixed on name collision with the left).
+    """
+    on = list(on)
+    if right_payload is None:
+        right_payload = [
+            c for c in right.columns if c not in on and c != right_ts
+        ]
+    right_payload = list(right_payload)
+
+    ts = "__asof_ts__"
+    side = "__asof_side__"
+    matched_ts = right_ts + suffix
+
+    def _out(col: str) -> str:
+        return col + suffix if col in left.columns else col
+
+    pack = "__asof_pack__"
+    # the right row travels as ONE struct so a NULL inside a payload
+    # column can never splice values from two different right rows
+    # (per-column last(ignorenulls) would)
+    r = right.select(
+        *[F.col(k) for k in on],
+        F.col(right_ts).alias(ts),
+        F.lit(0).alias(side),
+        F.struct(
+            F.col(right_ts).alias(matched_ts),
+            *[F.col(c).alias(_out(c)) for c in right_payload],
+        ).alias(pack),
+        *[
+            F.lit(None).alias(c)
+            for c in left.columns
+            if c not in on and c != left_ts
+        ],
+    )
+    l = left.select(
+        *[F.col(k) for k in on],
+        F.col(left_ts).alias(ts),
+        F.lit(1).alias(side),
+        F.lit(None).cast(r.schema[pack].dataType).alias(pack),
+        *[F.col(c) for c in left.columns if c not in on and c != left_ts],
+    )
+    # column order must agree for unionByName; r first so its schema
+    # (concrete struct type for the packed payload) wins the merge
+    u = r.unionByName(l.select(*r.columns))
+
+    w = (
+        Window.partitionBy(*on)
+        .orderBy(F.col(ts).asc(), F.col(side).asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = F.last(pack, ignorenulls=True).over(w)
+    if tolerance is not None:
+        carried = F.when(
+            F.col(ts) - carried[matched_ts] > F.lit(tolerance), F.lit(None)
+        ).otherwise(carried)
+    kept = [c for c in u.columns if c not in {pack, side}]
+    res = (
+        u.select(*kept, F.col(side).alias(side), carried.alias(pack))
+        .filter(F.col(side) == 1)
+    )
+
+    # restore the left frame's column names/order + appended match cols
+    left_cols = [F.col(ts).alias(left_ts) if c == left_ts else F.col(c)
+                 for c in left.columns]
+    return res.select(
+        *left_cols,
+        F.col(pack)[matched_ts].alias(matched_ts),
+        *[F.col(pack)[_out(c)].alias(_out(c)) for c in right_payload],
+    )

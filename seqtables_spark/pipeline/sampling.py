@@ -57,3 +57,80 @@ def mix_sources(
     for src, wgt in sorted(weights.items()):
         rate = F.when(F.col(source_col) == src, F.lit(float(wgt))).otherwise(rate)
     return df.filter(h < rate * 1_000_000)
+
+
+def dsir_weights(
+    df: DataFrame,
+    target_pred,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 1024,
+    token_pattern: str = "[a-z]{2,}",
+) -> DataFrame:
+    """DSIR importance weights (Xie et al. 2023, "Data Selection for
+    Language Models via Importance Resampling"): score every document
+    by how target-like its hashed-unigram distribution is, so a raw
+    corpus can be resampled toward a target domain without training a
+    classifier.
+
+    Two multinomials over `n_buckets` hashed token buckets are
+    estimated from the SAME frame - the target slice (rows where
+    `target_pred` holds) and the full raw corpus - with add-one
+    smoothing; each document's log importance weight is
+
+        logw(d) = sum_{tokens t in d} [ log p_target(b(t)) - log p_raw(b(t)) ]
+
+    Arithmetic is fixed-point (per-bucket log-ratio rounded to 1e-6
+    and carried as int64) so the per-doc sum is order-free: exact
+    under any partitioning, any engine.
+
+    Shape at scale: the bucket table is <= n_buckets rows - two
+    hash-aggs over the token stream (map-side partials collapse each
+    partition to <= n_buckets rows) and a BROADCAST join back onto
+    the exploded tokens; the only real shuffle is the final
+    groupBy(id). Returns DF(id, n_tokens, logw) - resample by e.g.
+    keeping the top fraction by (logw, id).
+    """
+    toks = df.select(
+        F.col(id_col),
+        target_pred.alias("__is_target__"),
+        F.explode(
+            F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(token_pattern), 0)
+        ).alias("__tok__"),
+    ).withColumn(
+        "__bucket__",
+        portable_string_hash(F.col("__tok__")) % F.lit(int(n_buckets)),
+    )
+    bucket_counts = toks.groupBy("__bucket__").agg(
+        F.count(F.lit(1)).alias("n_raw"),
+        F.sum(F.when(F.col("__is_target__"), 1).otherwise(0)).alias("n_tgt"),
+    )
+    totals = toks.agg(
+        F.count(F.lit(1)).alias("t_raw"),
+        F.sum(F.when(F.col("__is_target__"), 1).otherwise(0)).alias("t_tgt"),
+    )
+    B = float(n_buckets)
+    # log ((n_tgt+1)/(t_tgt+B)) - log ((n_raw+1)/(t_raw+B)), fixed-point
+    ratio = (
+        bucket_counts.crossJoin(F.broadcast(totals))
+        .select(
+            "__bucket__",
+            F.round(
+                (
+                    F.log((F.col("n_tgt") + 1) / (F.col("t_tgt") + F.lit(B)))
+                    - F.log((F.col("n_raw") + 1) / (F.col("t_raw") + F.lit(B)))
+                )
+                * 1_000_000
+            )
+            .cast("long")
+            .alias("lr_micro"),
+        )
+    )
+    return (
+        toks.join(F.broadcast(ratio), "__bucket__")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.round(F.sum("lr_micro") / 1_000_000.0, 6).alias("logw"),
+        )
+    )

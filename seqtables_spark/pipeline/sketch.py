@@ -1,0 +1,172 @@
+"""Mergeable sketches over the portable hash family: KMV distinct
+count and a Bloom membership filter.
+
+Why not Spark's built-ins: `approx_count_distinct` (HLL++) and
+`DataFrameStatFunctions.bloomFilter` hash with Spark-private seeds -
+no external engine reproduces them, so they cannot carry a value
+oracle, and the bloom builder collects to the driver. These versions
+are built from `pipeline.hashing.portable_string_hash` (md5-derived
+31-bit ints), so DuckDB replays them bit-for-bit, and both stay fully
+distributed.
+
+KMV (k minimum values, Bar-Yossef et al. 2002): keep the k smallest
+distinct hash values of a set; with the k-th smallest = R on a hash
+space of size P, |distinct| ~= (k-1) * P / R. The sketch is a
+k-element sorted array - MERGEABLE: union of sets = k smallest of
+the concatenated sketches, so per-partition / per-day sketches roll
+up without touching raw data again (the property that matters when
+the raw data is 100 TB).
+
+Bloom: m-bit filter as the DISTINCT SET of bit positions lit by j
+universal hashes per key. Build = explode j positions per key ->
+distinct (bounded by m, not by corpus size); probe = all-j-present
+semi-probe against the broadcast position set. False positives are
+the real Bloom semantics (position collisions), false negatives are
+impossible - same guarantees, engine-reproducible.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from .hashing import HASH_PRIME, minhash_params, portable_string_hash
+
+
+# --------------------------------------------------------------- KMV
+
+def kmv_sketch(
+    df: DataFrame,
+    col: str,
+    k: int = 64,
+    group_by: Sequence[str] = (),
+) -> DataFrame:
+    """Per-group KMV sketch: DF(group..., kmv: array<long>) holding
+    the k smallest distinct portable hashes of `col`.
+
+    Shape: distinct (group, hash) - a partial-aggregated shuffle on
+    uniform keys - then one more partial agg folding each partition's
+    candidates into a k-array before the final merge, so the wide
+    exploded set never crosses the wire unreduced."""
+    gb = list(group_by)
+    h = portable_string_hash(F.col(col).cast("string"))
+    hashes = df.select(*gb, h.alias("__h__")).dropDuplicates([*gb, "__h__"])
+    # collect_set is bounded: values are already distinct per group in
+    # this relation, and slice(sort) keeps only k - the agg's partial
+    # (map-side) step already folds each partition to <= its distinct
+    # count; for tight bounds at extreme cardinality swap in the
+    # window-rank variant (kmv_sketch_ranked below).
+    return hashes.groupBy(*gb).agg(
+        F.slice(F.array_sort(F.collect_set("__h__")), 1, int(k)).alias("kmv")
+    )
+
+
+def kmv_sketch_ranked(
+    df: DataFrame,
+    col: str,
+    k: int = 64,
+    group_by: Sequence[str] = (),
+) -> DataFrame:
+    """Cardinality-safe variant: rank hashes per group and keep k
+    before any array materializes - the per-group state is never
+    larger than the partition's distinct slice. Same output."""
+    from pyspark.sql import Window
+
+    gb = list(group_by)
+    h = portable_string_hash(F.col(col).cast("string"))
+    hashes = df.select(*gb, h.alias("__h__")).dropDuplicates([*gb, "__h__"])
+    w = Window.partitionBy(*gb).orderBy(F.col("__h__").asc())
+    ranked = hashes.withColumn("__rk__", F.row_number().over(w)).filter(
+        F.col("__rk__") <= int(k)
+    )
+    return ranked.groupBy(*gb).agg(
+        F.array_sort(F.collect_list("__h__")).alias("kmv")
+    )
+
+
+def kmv_merge(sketches: DataFrame, k: int, group_by: Sequence[str] = ()) -> DataFrame:
+    """Merge KMV sketches (column `kmv`) across rows into one sketch
+    per `group_by` (global when empty) WITHOUT revisiting raw data:
+    distinct-union the arrays, keep the k smallest."""
+    gb = list(group_by)
+    exploded = sketches.select(*gb, F.explode("kmv").alias("__h__")).dropDuplicates(
+        [*gb, "__h__"]
+    )
+    return exploded.groupBy(*gb).agg(
+        F.slice(F.array_sort(F.collect_set("__h__")), 1, int(k)).alias("kmv")
+    )
+
+
+def kmv_estimate(kmv: Column | str, k: int, prime: int = HASH_PRIME) -> Column:
+    """Distinct-count estimate from a KMV array: exact size when the
+    set had < k distinct hashes (the sketch IS the set), else
+    (k-1) * P / R_k."""
+    c = F.col(kmv) if isinstance(kmv, str) else kmv
+    n = F.size(c)
+    return F.when(n < int(k), n.cast("double")).otherwise(
+        F.lit(float(k - 1)) * F.lit(float(prime)) / F.element_at(c, int(k))
+    )
+
+
+# -------------------------------------------------------------- Bloom
+
+def bloom_build(
+    df: DataFrame,
+    col: str,
+    m_bits: int = 1 << 16,
+    n_hashes: int = 4,
+    seed: int = 97,
+) -> DataFrame:
+    """Build: DF(pos: int) - the distinct lit bit positions. Size is
+    bounded by m_bits regardless of corpus size, so the result always
+    broadcasts. Positions come from j Carter-Wegman hashes of the
+    portable 31-bit key hash, mod m."""
+    h = portable_string_hash(F.col(col).cast("string"))
+    params = minhash_params(n_hashes, seed=seed)
+    pos = F.explode(
+        F.array(
+            *[
+                ((F.lit(a) * h + F.lit(b)) % F.lit(HASH_PRIME) % F.lit(int(m_bits)))
+                for a, b in params
+            ]
+        )
+    ).alias("pos")
+    return df.select(pos).distinct()
+
+
+def bloom_probe(
+    df: DataFrame,
+    col: str,
+    bloom: DataFrame,
+    id_col: str,
+    m_bits: int = 1 << 16,
+    n_hashes: int = 4,
+    seed: int = 97,
+) -> DataFrame:
+    """Probe: adds `bloom_hit` (true = maybe-member, with the usual
+    false-positive rate; false = definitely absent). `id_col` must
+    uniquely key `df` (a deterministic id - NOT
+    monotonically_increasing_id, which changes under task retry).
+
+    The filter (<= m_bits rows) broadcasts; the probe is j broadcast
+    lookups per row (explode -> broadcast left join -> all-j-present),
+    re-attached on the unique id; the only shuffle is that final
+    equi-join on `id_col`."""
+    h = portable_string_hash(F.col(col).cast("string"))
+    params = minhash_params(n_hashes, seed=seed)
+    pos = F.explode(
+        F.array(
+            *[
+                ((F.lit(a) * h + F.lit(b)) % F.lit(HASH_PRIME) % F.lit(int(m_bits)))
+                for a, b in params
+            ]
+        )
+    ).alias("pos")
+    cand = df.select(id_col, pos)
+    hits = (
+        cand.join(F.broadcast(bloom.withColumn("__in__", F.lit(1))), "pos", "left")
+        .groupBy(id_col)
+        .agg((F.count("__in__") == F.lit(n_hashes)).alias("bloom_hit"))
+    )
+    return df.join(hits, id_col, "left")
