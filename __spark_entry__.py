@@ -2012,6 +2012,230 @@ def q_tfidf_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
 # NOT cached: their work happens inside the builder (running the
 # micro-batch drain), so reuse would skip real execution.
 _plan_cache: dict = {}
+ASOF_TOLERANCE_NS = 3_600_000_000_000  # 1 hour
+
+
+def _events_cents_ns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events with ts as epoch-ns bigint and value as exact cents —
+    the integer-domain frame the temporal operators run on (both
+    testdata vintages: TIMESTAMP(NANOS)-as-long or native ts)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    ev = _t(spark, sf_dir, "events")
+    ts = F.col("ts")
+    if dict(ev.dtypes).get("ts") not in ("bigint", "int", "long"):
+        ts = F.unix_micros(F.col("ts").cast("timestamp")) * 1000
+    return ev.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        ts.alias("ts_ns"),
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+
+
+def q_asof_purchase_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (operators/asof.py): each purchase event fetches
+    the latest click by the same user at-or-before its timestamp,
+    nulled beyond a 1 h tolerance. One shuffle on user_id (the
+    union-merge window) — never a per-key nested loop."""
+    from seqtables_spark.operators.asof import asof_join
+
+    ev = _events_cents_ns(spark, sf_dir)
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts_ns", "cents"
+    )
+    # pre-aggregate clicks to one row per (user, ts): as-of ties are
+    # otherwise ambiguous (oracle does the same)
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .groupBy("user_id", F.col("ts_ns").alias("click_ts"))
+        .agg(F.max("cents").alias("click_cents"))
+    )
+    return asof_join(
+        purchases,
+        clicks,
+        on=["user_id"],
+        left_ts="ts_ns",
+        right_ts="click_ts",
+        tolerance=ASOF_TOLERANCE_NS,
+        suffix="",
+    )
+
+
+def q_click_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bin-bucketed range join (operators/ranges.py): count the
+    clicks landing in the hour AFTER each purchase by the same user.
+    Purchases become [ts, ts+1h) intervals, clicks are points; the
+    join is an equi-join on (user_id, hour-bin) + exact containment,
+    so cost tracks match density, not clicks x purchases."""
+    from seqtables_spark.operators.ranges import point_in_interval_join
+
+    ev = _events_cents_ns(spark, sf_dir)
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.col("ts_ns").alias("lo"),
+        (F.col("ts_ns") + ASOF_TOLERANCE_NS).alias("hi"),
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("ts_ns").alias("p"), "cents"
+    )
+    hits = point_in_interval_join(
+        clicks, purchases, ["user_id"], "p", "lo", "hi",
+        bin_width=ASOF_TOLERANCE_NS,
+    )
+    agg = hits.groupBy("purchase_id").agg(
+        F.count(F.lit(1)).alias("n_clicks"),
+        F.sum("cents").alias("click_cents"),
+    )
+    return (
+        purchases.select("purchase_id", "user_id")
+        .join(agg, "purchase_id", "left")
+        .select(
+            "purchase_id",
+            "user_id",
+            F.coalesce("n_clicks", F.lit(0)).alias("n_clicks"),
+            F.coalesce("click_cents", F.lit(0)).alias("click_cents"),
+        )
+    )
+
+
+KMV_K = 64
+
+
+def q_kmv_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV distinct sketch (pipeline/sketch.py): per-event-type
+    distinct-user estimates from k-minimum portable hashes, plus the
+    '__all__' row MERGED FROM THE SKETCHES (not from raw data) — the
+    mergeability that lets 100 TB shards roll up. `exact` rides along
+    to expose the estimation error."""
+    from seqtables_spark.pipeline.sketch import (
+        kmv_estimate, kmv_merge, kmv_sketch,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    per_type = kmv_sketch(ev, "user_id", k=KMV_K, group_by=["event_type"])
+    merged = kmv_merge(per_type, k=KMV_K).withColumn(
+        "event_type", F.lit("__all__")
+    )
+    sketches = per_type.unionByName(merged.select(*per_type.columns))
+    exact = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("exact")
+    )
+    exact_all = ev.agg(
+        F.countDistinct("user_id").alias("exact")
+    ).withColumn("event_type", F.lit("__all__"))
+    return (
+        sketches.join(
+            exact.unionByName(exact_all.select(*exact.columns)), "event_type"
+        )
+        .select(
+            "event_type",
+            "exact",
+            F.size("kmv").alias("sketch_size"),
+            F.round(kmv_estimate("kmv", KMV_K), 6).alias("est"),
+        )
+    )
+
+
+BLOOM_M = 1 << 16
+BLOOM_J = 4
+BLOOM_SEED = 97
+BLOOM_KEY_LEN = 32
+
+
+def q_bloom_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom membership probe (pipeline/sketch.py): build an m-bit
+    filter over the English docs' 32-char prefixes, probe every doc.
+    `bloom_hit` carries real Bloom semantics (false positives
+    possible, false negatives impossible); `exact_member` rides along
+    so the oracle pins both."""
+    from seqtables_spark.pipeline.sketch import bloom_build, bloom_probe
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        "lang",
+        F.substring("text", 1, BLOOM_KEY_LEN).alias("k"),
+    )
+    members = docs.filter(F.col("lang") == "en")
+    bloom = bloom_build(
+        members, "k", m_bits=BLOOM_M, n_hashes=BLOOM_J, seed=BLOOM_SEED
+    )
+    probed = bloom_probe(
+        docs, "k", bloom, "doc_id",
+        m_bits=BLOOM_M, n_hashes=BLOOM_J, seed=BLOOM_SEED,
+    )
+    member_keys = members.select("k").distinct().withColumn(
+        "__m__", F.lit(1)
+    )
+    return (
+        probed.join(F.broadcast(member_keys), "k", "left")
+        .select(
+            "doc_id",
+            "bloom_hit",
+            F.col("__m__").isNotNull().alias("exact_member"),
+        )
+    )
+
+
+DSIR_BUCKETS = 1024
+
+
+def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance weights (pipeline/sampling.py): score every
+    doc by hashed-unigram target-likeness (target = lang='en'),
+    fixed-point log arithmetic so the sum is order-free."""
+    from seqtables_spark.pipeline.sampling import dsir_weights
+
+    docs = _wide(spark, _t(spark, sf_dir, "documents"))
+    return dsir_weights(
+        docs, F.col("lang") == "en", n_buckets=DSIR_BUCKETS
+    )
+
+
+QUANTILE_PS = (0.25, 0.5, 0.75, 0.9)
+
+
+def q_event_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact linear-interpolation percentiles per event_type (the
+    sort-based `percentile`, not approx_percentile — value parity
+    with quantile_cont). At scale swap in approx_percentile; this
+    query pins the exact path's distributed correctness."""
+    ev = _t(spark, sf_dir, "events")
+    ps = ", ".join(f"{p}D" for p in QUANTILE_PS)
+    q = F.expr(f"percentile(value, array({ps}))")
+    return ev.groupBy("event_type").agg(
+        *[
+            F.round(F.element_at(q, i + 1), 6).alias(f"p{int(p * 100)}")
+            for i, p in enumerate(QUANTILE_PS)
+        ]
+    )
+
+
+def q_customer_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ntile decile cut of customers by order revenue (exact cents),
+    fully-ordered (revenue desc, custkey) so the cut is deterministic
+    across engines and partitionings."""
+    from pyspark.sql import Window
+
+    orders = _t(spark, sf_dir, "orders")
+    rev = orders.groupBy("o_custkey").agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias(
+            "rev_cents"
+        )
+    )
+    w = Window.orderBy(F.col("rev_cents").desc(), F.col("o_custkey").asc())
+    return (
+        rev.withColumn("decile", F.ntile(10).over(w))
+        .groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).alias("n_cust"),
+            F.sum("rev_cents").alias("revenue_cents"),
+        )
+    )
+
+
 _PLAN_CACHE_EXCLUDE = {"streaming_events", "streaming_windowed", "streaming_dedup"}
 
 
@@ -2036,6 +2260,9 @@ def _prepared(name: str, fn: Callable) -> Callable:
 # the remainder were all driver-verified in round 2 and stay covered
 # by tools/selfcheck.py either way.
 _ORACLE_PRIORITY = [
+    "asof_purchase_click", "click_attribution", "kmv_users",
+    "bloom_contamination", "dsir_weights", "event_quantiles",
+    "customer_deciles",
     "kmers_gapped_ins", "library_alignment", "ann_lsh", "ann_ivf",
     "insilico_library", "pairwise_hamming", "seq_dist_ins",
     "insertion_events", "codon_usage", "motif_search",
@@ -2168,6 +2395,13 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "running_revenue": q_running_revenue,
         "json_events": q_json_events,
         "salted_brand_revenue": q_salted_brand_revenue,
+        "asof_purchase_click": q_asof_purchase_click,
+        "click_attribution": q_click_attribution,
+        "kmv_users": q_kmv_users,
+        "bloom_contamination": q_bloom_contamination,
+        "dsir_weights": q_dsir_weights,
+        "event_quantiles": q_event_quantiles,
+        "customer_deciles": q_customer_deciles,
     }
 
 
@@ -3982,6 +4216,157 @@ SELECT term, df, tf_total AS tf,
 FROM per_term, n
 ORDER BY tf_total * ln((n_docs + 1.0) / (df + 1.0)) DESC, term ASC
 LIMIT 50
+"""
+
+    _sql_ev_cents_ns = """
+ev AS (
+  SELECT event_id, user_id, event_type, epoch_ns(ts) AS ts_ns,
+         CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events
+)"""
+
+    sqls["asof_purchase_click"] = f"""
+WITH {_sql_ev_cents_ns},
+p AS (SELECT event_id, user_id, ts_ns, cents FROM ev WHERE event_type = 'purchase'),
+c AS (SELECT user_id, ts_ns AS click_ts, max(cents) AS click_cents
+      FROM ev WHERE event_type = 'click' GROUP BY 1, 2)
+SELECT p.event_id, p.user_id, p.ts_ns, p.cents,
+       CASE WHEN p.ts_ns - c.click_ts <= {ASOF_TOLERANCE_NS} THEN c.click_ts END AS click_ts,
+       CASE WHEN p.ts_ns - c.click_ts <= {ASOF_TOLERANCE_NS} THEN c.click_cents END AS click_cents
+FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts_ns >= c.click_ts
+"""
+
+    sqls["click_attribution"] = f"""
+WITH {_sql_ev_cents_ns},
+p AS (SELECT event_id AS purchase_id, user_id, ts_ns FROM ev WHERE event_type = 'purchase'),
+c AS (SELECT user_id, ts_ns, cents FROM ev WHERE event_type = 'click')
+SELECT p.purchase_id, p.user_id,
+       count(c.ts_ns) AS n_clicks,
+       CAST(coalesce(sum(c.cents), 0) AS BIGINT) AS click_cents
+FROM p LEFT JOIN c
+  ON c.user_id = p.user_id
+ AND c.ts_ns >= p.ts_ns AND c.ts_ns < p.ts_ns + {ASOF_TOLERANCE_NS}
+GROUP BY 1, 2
+"""
+
+    ph_uid = _SQL_PORTABLE_HASH.format(x="CAST(user_id AS VARCHAR)")
+    sqls["kmv_users"] = f"""
+WITH h AS (
+  SELECT DISTINCT event_type, {ph_uid} AS h FROM events
+),
+ranked AS (
+  SELECT event_type, h,
+         row_number() OVER (PARTITION BY event_type ORDER BY h ASC) AS rk
+  FROM h
+),
+kept AS (SELECT event_type, h, rk FROM ranked WHERE rk <= {KMV_K}),
+merged AS (
+  SELECT '__all__' AS event_type, h,
+         row_number() OVER (ORDER BY h ASC) AS rk
+  FROM (SELECT DISTINCT h FROM kept)
+),
+allkept AS (
+  SELECT * FROM kept
+  UNION ALL SELECT * FROM merged WHERE rk <= {KMV_K}
+),
+stats AS (
+  SELECT event_type, count(*) AS sketch_size,
+         max(CASE WHEN rk = {KMV_K} THEN h END) AS r_k
+  FROM allkept GROUP BY event_type
+),
+exact AS (
+  SELECT event_type, count(DISTINCT user_id) AS exact FROM events GROUP BY 1
+  UNION ALL
+  SELECT '__all__', count(DISTINCT user_id) FROM events
+)
+SELECT s.event_type, e.exact,
+       CAST(s.sketch_size AS INTEGER) AS sketch_size,
+       round(CASE WHEN s.sketch_size < {KMV_K}
+                  THEN CAST(s.sketch_size AS DOUBLE)
+                  ELSE {float(KMV_K - 1)} * {float(HASH_PRIME)} / s.r_k END,
+             6) AS est
+FROM stats s JOIN exact e ON s.event_type = e.event_type
+"""
+
+    bloom_params = minhash_params(BLOOM_J, seed=BLOOM_SEED)
+    bloom_pos = ", ".join(
+        f"(({a} * h + {b}) % {HASH_PRIME}) % {BLOOM_M}"
+        for a, b in bloom_params
+    )
+    ph_k = _SQL_PORTABLE_HASH.format(x="k")
+    sqls["bloom_contamination"] = f"""
+WITH keys AS (
+  SELECT doc_id, lang, substring(text, 1, {BLOOM_KEY_LEN}) AS k FROM documents
+),
+hk AS (SELECT doc_id, lang, k, {ph_k} AS h FROM keys),
+bloom AS (
+  SELECT DISTINCT pos FROM (
+    SELECT unnest([{bloom_pos}]) AS pos FROM hk WHERE lang = 'en'
+  )
+),
+probe AS (SELECT doc_id, unnest([{bloom_pos}]) AS pos FROM hk),
+hits AS (
+  SELECT p.doc_id, count(b.pos) = {BLOOM_J} AS bloom_hit
+  FROM probe p LEFT JOIN bloom b ON p.pos = b.pos
+  GROUP BY p.doc_id
+)
+SELECT hk.doc_id, hits.bloom_hit,
+       (hk.k IN (SELECT k FROM keys WHERE lang = 'en')) AS exact_member
+FROM hk JOIN hits ON hk.doc_id = hits.doc_id
+"""
+
+    ph_tok = _SQL_PORTABLE_HASH.format(x="tok")
+    sqls["dsir_weights"] = f"""
+WITH toks AS (
+  SELECT doc_id, (lang = 'en') AS is_t,
+         unnest(regexp_extract_all(lower(text), '[a-z]{{2,}}')) AS tok
+  FROM documents
+),
+b AS (SELECT doc_id, is_t, {ph_tok} % {DSIR_BUCKETS} AS bucket FROM toks),
+bc AS (
+  SELECT bucket, count(*) AS n_raw,
+         sum(CASE WHEN is_t THEN 1 ELSE 0 END) AS n_tgt
+  FROM b GROUP BY bucket
+),
+tot AS (
+  SELECT count(*) AS t_raw,
+         sum(CASE WHEN is_t THEN 1 ELSE 0 END) AS t_tgt
+  FROM b
+),
+lr AS (
+  SELECT bucket,
+         CAST(round((ln((n_tgt + 1) / (t_tgt + {float(DSIR_BUCKETS)}))
+                     - ln((n_raw + 1) / (t_raw + {float(DSIR_BUCKETS)})))
+                    * 1000000) AS BIGINT) AS lr_micro
+  FROM bc, tot
+)
+SELECT b.doc_id, count(*) AS n_tokens,
+       round(CAST(sum(lr.lr_micro) AS DOUBLE) / 1000000.0, 6) AS logw
+FROM b JOIN lr ON b.bucket = lr.bucket GROUP BY b.doc_id
+"""
+
+    q_cols = ", ".join(
+        f"round(quantile_cont(value, {p}), 6) AS p{int(p * 100)}"
+        for p in QUANTILE_PS
+    )
+    sqls["event_quantiles"] = f"""
+SELECT event_type, {q_cols} FROM events GROUP BY event_type
+"""
+
+    sqls["customer_deciles"] = """
+WITH rev AS (
+  SELECT o_custkey,
+         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS rev_cents
+  FROM orders GROUP BY 1
+),
+cut AS (
+  SELECT o_custkey, rev_cents,
+         CAST(ntile(10) OVER (ORDER BY rev_cents DESC, o_custkey ASC) AS INTEGER) AS decile
+  FROM rev
+)
+SELECT decile, count(*) AS n_cust,
+       CAST(sum(rev_cents) AS BIGINT) AS revenue_cents
+FROM cut GROUP BY 1
 """
 
     return sqls
