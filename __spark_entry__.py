@@ -50,6 +50,12 @@ from seqtables_spark.pipeline.text import (
 # ---------------------------------------------------------------- constants
 
 W = 24  # document prefix width used as the aligned-read window
+# hard bound on the BAM roundtrip fixture size: the fixture build is
+# the one driver-side collect in queries(), and this cap keeps it a
+# fixed-size oracle artifact no matter how large sf grows (sf0.01 has
+# ~500 docs, so the cap is a no-op at test scales; mirrored in the
+# oracle's WHERE doc_id < cap)
+_BAM_RT_CAP = 100_000
 DOC_REF = "TABLE VALUE DATA ROW SCAN"[:W]  # literal reference sequence
 SLICE_POSITIONS = [2, 3, 5, 7, 11, 13, 17, 19]
 PWM_WEIGHTS = {  # exact powers of two -> order-free double sums
@@ -1672,8 +1678,14 @@ def q_bam_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         ),
     )
+    # ORACLE-FIXTURE construction, the one full-table collect in
+    # queries(): bounded with an explicit limit so no sf scale-up can
+    # ever turn it into a driver OOM (the oracle SQL mirrors the same
+    # `read_id < _BAM_RT_CAP` bound). A production BAM sink would be a
+    # distributed writer, not this.
     rows = (
-        reads.select(
+        reads.filter(rid < _BAM_RT_CAP)
+        .select(
             "read_id",
             (rid % 2 * 16).cast("int").alias("flag"),
             (rid % 8 + 1).cast("int").alias("pos"),
@@ -1681,6 +1693,7 @@ def q_bam_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             "qual",
         )
         .orderBy(rid)
+        .limit(_BAM_RT_CAP)
         .collect()
     )
     records = [
@@ -2114,6 +2127,10 @@ def q_kmv_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         kmv_estimate, kmv_merge, kmv_sketch,
     )
 
+    # _t contract: events readers set nanosAsLong BEFORE their first
+    # _t call (the TIMESTAMP(NANOS) vintage fails schema resolution
+    # otherwise, and the cached plan must be built under the conf)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     ev = _t(spark, sf_dir, "events")
     per_type = kmv_sketch(ev, "user_id", k=KMV_K, group_by=["event_type"])
     merged = kmv_merge(per_type, k=KMV_K).withColumn(
@@ -2153,10 +2170,14 @@ def q_bloom_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     so the oracle pins both."""
     from seqtables_spark.pipeline.sketch import bloom_build, bloom_probe
 
+    # coalesce('') so a NULL text can never diverge from the oracle:
+    # Spark's __m__ IS NOT NULL would say false while SQL's IN yields
+    # NULL — guarding the key identically on both sides removes the
+    # three-valued-logic edge entirely
     docs = _t(spark, sf_dir, "documents").select(
         "doc_id",
         "lang",
-        F.substring("text", 1, BLOOM_KEY_LEN).alias("k"),
+        F.coalesce(F.substring("text", 1, BLOOM_KEY_LEN), F.lit("")).alias("k"),
     )
     members = docs.filter(F.col("lang") == "en")
     bloom = bloom_build(
@@ -2202,6 +2223,9 @@ def q_event_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     sort-based `percentile`, not approx_percentile — value parity
     with quantile_cont). At scale swap in approx_percentile; this
     query pins the exact path's distributed correctness."""
+    # _t contract: events readers set nanosAsLong BEFORE their first
+    # _t call (TIMESTAMP(NANOS) vintage; see _events_cents_ns)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     ev = _t(spark, sf_dir, "events")
     ps = ", ".join(f"{p}D" for p in QUANTILE_PS)
     q = F.expr(f"percentile(value, array({ps}))")
@@ -3618,6 +3642,7 @@ SELECT CAST(doc_id AS VARCHAR) AS header,
        '{W}M' AS cigar,
        seq, qual
 FROM per_doc
+WHERE doc_id < {_BAM_RT_CAP}
 """
 
     # curate_corpus reuses the language-id scoring chain over the
@@ -4296,7 +4321,9 @@ FROM stats s JOIN exact e ON s.event_type = e.event_type
     ph_k = _SQL_PORTABLE_HASH.format(x="k")
     sqls["bloom_contamination"] = f"""
 WITH keys AS (
-  SELECT doc_id, lang, substring(text, 1, {BLOOM_KEY_LEN}) AS k FROM documents
+  SELECT doc_id, lang,
+         coalesce(substring(text, 1, {BLOOM_KEY_LEN}), '') AS k
+  FROM documents
 ),
 hk AS (SELECT doc_id, lang, k, {ph_k} AS h FROM keys),
 bloom AS (

@@ -79,6 +79,17 @@ def asof_join(
     def _out(col: str) -> str:
         return col + suffix if col in left.columns else col
 
+    # with an empty suffix the collision renaming above is a no-op,
+    # which would silently emit DUPLICATE output column names - fail
+    # loudly instead (the caller must pick distinct names or a suffix)
+    if not suffix:
+        clash = [c for c in [right_ts, *right_payload] if c in left.columns]
+        if clash:
+            raise ValueError(
+                f"asof_join: suffix='' but right columns {clash} collide "
+                "with left columns - pass a non-empty suffix or rename"
+            )
+
     pack = "__asof_pack__"
     # the right row travels as ONE struct so a NULL inside a payload
     # column can never splice values from two different right rows

@@ -36,6 +36,24 @@ from .hashing import HASH_PRIME, minhash_params, portable_string_hash
 
 # --------------------------------------------------------------- KMV
 
+def _kmv_top_k(hashes: DataFrame, k: int, gb: list[str]) -> DataFrame:
+    """Bounded fold: (group, __h__) distinct rows -> k smallest per
+    group as a sorted array. Window row_number + filter, THEN the
+    array agg - the sort spills through the external sorter and the
+    collect_list buffer never holds more than k values per group, so
+    per-group state is O(k) regardless of group cardinality (the
+    property the collect_set formulation lacked at 100 TB)."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*gb).orderBy(F.col("__h__").asc())
+    ranked = hashes.withColumn("__rk__", F.row_number().over(w)).filter(
+        F.col("__rk__") <= int(k)
+    )
+    return ranked.groupBy(*gb).agg(
+        F.array_sort(F.collect_list("__h__")).alias("kmv")
+    )
+
+
 def kmv_sketch(
     df: DataFrame,
     col: str,
@@ -46,56 +64,48 @@ def kmv_sketch(
     the k smallest distinct portable hashes of `col`.
 
     Shape: distinct (group, hash) - a partial-aggregated shuffle on
-    uniform keys - then one more partial agg folding each partition's
-    candidates into a k-array before the final merge, so the wide
-    exploded set never crosses the wire unreduced."""
+    uniform keys - then a window-rank top-k whose per-group state is
+    bounded by k (see _kmv_top_k), so an arbitrarily-high-cardinality
+    group can never blow an agg buffer."""
     gb = list(group_by)
     h = portable_string_hash(F.col(col).cast("string"))
     hashes = df.select(*gb, h.alias("__h__")).dropDuplicates([*gb, "__h__"])
-    # collect_set is bounded: values are already distinct per group in
-    # this relation, and slice(sort) keeps only k - the agg's partial
-    # (map-side) step already folds each partition to <= its distinct
-    # count; for tight bounds at extreme cardinality swap in the
-    # window-rank variant (kmv_sketch_ranked below).
-    return hashes.groupBy(*gb).agg(
-        F.slice(F.array_sort(F.collect_set("__h__")), 1, int(k)).alias("kmv")
-    )
+    return _kmv_top_k(hashes, k, gb)
 
 
-def kmv_sketch_ranked(
+# back-compat alias: the ranked formulation IS the default now
+kmv_sketch_ranked = kmv_sketch
+
+
+def kmv_sketch_collect(
     df: DataFrame,
     col: str,
     k: int = 64,
     group_by: Sequence[str] = (),
 ) -> DataFrame:
-    """Cardinality-safe variant: rank hashes per group and keep k
-    before any array materializes - the per-group state is never
-    larger than the partition's distinct slice. Same output."""
-    from pyspark.sql import Window
-
+    """Small-cardinality variant: one agg, no window sort - but the
+    collect_set buffer holds ALL distinct hashes of a group before
+    slicing to k, so use ONLY when per-group distinct counts are known
+    to be modest (e.g. already-sketched shards). Same output."""
     gb = list(group_by)
     h = portable_string_hash(F.col(col).cast("string"))
     hashes = df.select(*gb, h.alias("__h__")).dropDuplicates([*gb, "__h__"])
-    w = Window.partitionBy(*gb).orderBy(F.col("__h__").asc())
-    ranked = hashes.withColumn("__rk__", F.row_number().over(w)).filter(
-        F.col("__rk__") <= int(k)
-    )
-    return ranked.groupBy(*gb).agg(
-        F.array_sort(F.collect_list("__h__")).alias("kmv")
+    return hashes.groupBy(*gb).agg(
+        F.slice(F.array_sort(F.collect_set("__h__")), 1, int(k)).alias("kmv")
     )
 
 
 def kmv_merge(sketches: DataFrame, k: int, group_by: Sequence[str] = ()) -> DataFrame:
     """Merge KMV sketches (column `kmv`) across rows into one sketch
     per `group_by` (global when empty) WITHOUT revisiting raw data:
-    distinct-union the arrays, keep the k smallest."""
+    distinct-union the arrays, keep the k smallest. Bounded the same
+    way as kmv_sketch: with S shards per group the exploded relation
+    is S*k rows, and the rank-then-fold keeps agg state at O(k)."""
     gb = list(group_by)
     exploded = sketches.select(*gb, F.explode("kmv").alias("__h__")).dropDuplicates(
         [*gb, "__h__"]
     )
-    return exploded.groupBy(*gb).agg(
-        F.slice(F.array_sort(F.collect_set("__h__")), 1, int(k)).alias("kmv")
-    )
+    return _kmv_top_k(exploded, k, gb)
 
 
 def kmv_estimate(kmv: Column | str, k: int, prime: int = HASH_PRIME) -> Column:

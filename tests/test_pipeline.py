@@ -91,6 +91,57 @@ def test_ngram_jaccard_exact_value(spark):
     assert len(rows) == 1 and abs(rows[0]["jaccard"] - 0.6) < 1e-12
 
 
+def test_ngram_jaccard_hot_shingle_cap(spark):
+    """max_doc_freq drops stop-grams from the posting-list self-join:
+    a gram shared by every doc would otherwise fan out n^2 join rows
+    AND glue unrelated docs together. With the cap, (a) a pair whose
+    only overlap is the hot gram disappears, (b) a real near-dup pair
+    scores exact Jaccard over the kept-shingle universe."""
+    hot = "qqq"  # one 3-gram present in every doc
+    rows = [
+        (1, hot + "abcdef"),
+        (2, hot + "abcdeX"),   # near-dup of 1
+        (3, hot + "uvwxyz"),   # shares ONLY the hot gram with 1/2
+        (4, hot + "mnopqr"),
+    ]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(
+            d, k=3, min_jaccard=0.01, max_doc_freq=3
+        ).collect()
+    }
+    # python truth over shingles with df <= 3
+    import itertools
+
+    def grams(t):
+        return {t[i : i + 3] for i in range(len(t) - 2)}
+
+    sets = {i: grams(t) for i, t in rows}
+    dfreq: dict[str, int] = {}
+    for s in sets.values():
+        for g in s:
+            dfreq[g] = dfreq.get(g, 0) + 1
+    kept = {i: {g for g in s if dfreq[g] <= 3} for i, s in sets.items()}
+    truth = {}
+    for a, b in itertools.combinations(sorted(kept), 2):
+        inter = len(kept[a] & kept[b])
+        if inter:
+            truth[(a, b)] = inter / len(kept[a] | kept[b])
+    truth = {p: j for p, j in truth.items() if j >= 0.01}
+    assert set(got) == set(truth)
+    for p in truth:
+        assert abs(got[p] - truth[p]) < 1e-12, p
+    # the hot gram alone no longer creates pairs
+    assert (1, 3) not in got and (3, 4) not in got
+    # without the cap, every pair exists (the hot key glues them)
+    uncapped = {
+        (r["id_a"], r["id_b"])
+        for r in ngram_jaccard_pairs(d, k=3, min_jaccard=0.01).collect()
+    }
+    assert (1, 3) in uncapped and (3, 4) in uncapped
+
+
 def test_ngram_jaccard_candidates_path(spark, docs):
     cand = spark.createDataFrame([(1, 3)], "id_a long, id_b long")
     rows = ngram_jaccard_pairs(docs, k=3, min_jaccard=0.1, candidates=cand).collect()
