@@ -87,3 +87,83 @@ def test_align_no_window_equals_full_span(data, pos):
     s, q, ins = align_read(seq, qual, pos, cigar, pos, pos + ref_span - 1)
     n_m = sum(int(n) for n, op in events if op == "M")
     assert sum(1 for c in s if c in BASES) == n_m
+
+
+# ------------------------- batch kernels == single-read reference ---
+
+@st.composite
+def read_batches(draw):
+    n = draw(st.integers(1, 25))
+    return [
+        (
+            draw(cigar_and_read()),
+            draw(st.integers(1, 20)),
+        )
+        for _ in range(n)
+    ]
+
+
+@given(batch=read_batches(), win_lo=st.integers(1, 8), win_width=st.integers(0, 30))
+@settings(max_examples=120, deadline=None)
+def test_align_batch_np_matches_align_read(batch, win_lo, win_width):
+    """The vectorized numpy kernel is value- AND order-identical to
+    align_read on arbitrary batches (including '*' cigars)."""
+    import numpy as np
+
+    from seqtables_spark.sources.align import align_batch_np
+
+    rows = [(s, q, p, c) for ((s, q, c), p) in batch]
+    rows.append(("ACG", "III", 5, "*"))  # unmapped sentinel row
+    mn, mx = win_lo, win_lo + win_width
+    gs, gq, gi = align_batch_np(
+        [r[0] for r in rows],
+        [r[1] for r in rows],
+        np.array([r[2] for r in rows]),
+        [r[3] for r in rows],
+        mn,
+        mx,
+    )
+    for i, (s, q, p, c) in enumerate(rows):
+        es, eq, ei = align_read(s, q, p, c, mn, mx)
+        assert (gs[i], gq[i]) == (es, eq)
+        assert list(map(tuple, gi[i])) == list(map(tuple, ei))
+
+
+@given(batch=read_batches(), win_lo=st.integers(1, 8), win_width=st.integers(0, 30))
+@settings(max_examples=60, deadline=None)
+def test_align_record_batch_matches_align_read(batch, win_lo, win_width):
+    """The Arrow operator path (zero-copy buffers in and out, the one
+    mapInArrow kernel) matches align_read value-for-value, including
+    the '*' qual sentinel and a sliced RecordBatch."""
+    import pyarrow as pa
+
+    from seqtables_spark.sources.align import _align_record_batch
+
+    rows = [(s, q, p, c) for ((s, q, c), p) in batch]
+    rows.append((rows[0][0], "*", 3, rows[0][3]))  # '*' qual sentinel
+    rb = pa.RecordBatch.from_arrays(
+        [
+            pa.array([str(i) for i in range(len(rows))]),
+            pa.array([r[0] for r in rows]),
+            pa.array([r[1] for r in rows]),
+            pa.array([r[2] for r in rows], pa.int64()),
+            pa.array([r[3] for r in rows]),
+        ],
+        names=["_rid", "seq", "qual", "pos", "cigar"],
+    )
+    mn, mx = win_lo, win_lo + win_width
+    for sliced in (rb, rb.slice(1, len(rows) - 1)):
+        base = 0 if sliced is rb else 1
+        d = _align_record_batch(sliced, mn, mx, "-").to_pydict()
+        for i in range(sliced.num_rows):
+            s, q, p, c = rows[base + i]
+            if not q or q == "*":
+                q = "!" * len(s)
+            es, eq, ei = align_read(s, q, p, c, mn, mx)
+            assert d["seq"][i] == es and d["qual"][i] == eq
+            got = sorted(
+                (x["position"], x["loc_ins"], x["base"], x["qual_ch"])
+                for x in d["ins"][i]
+            )
+            assert got == sorted(map(tuple, ei))
+            assert d["pos_start"][i] == mn and d["read_id"][i] == str(base + i)
