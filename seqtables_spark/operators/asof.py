@@ -47,15 +47,24 @@ def asof_join(
     right_payload: Sequence[str] | None = None,
     tolerance: int | None = None,
     suffix: str = "_right",
+    direction: str = "backward",
 ) -> DataFrame:
-    """Backward as-of join (DuckDB `ASOF JOIN ... ON l.ts >= r.ts`
-    semantics): each left row gains the payload of the latest right
-    row with ``right[right_ts] <= left[left_ts]`` and equal `on`
-    keys, or NULLs if none exists (left-outer flavor).
+    """As-of join with pandas-merge_asof direction parity. Each left
+    row gains the payload of ONE matching right row with equal `on`
+    keys, or NULLs if none exists (left-outer flavor):
+
+      - ``backward`` (default; DuckDB `ASOF JOIN ... ON l.ts >= r.ts`
+        semantics): the latest right row with right_ts <= left_ts;
+      - ``forward``: the earliest right row with right_ts >= left_ts;
+      - ``nearest``: whichever of the two is closer in time, ties
+        going to the backward match. Both candidates come from TWO
+        window frames over ONE sort of the same union relation -
+        still exactly one shuffle.
 
     Timestamps must share one orderable type (use integer
     epoch-ns for cross-engine exactness). ``tolerance`` (same unit)
-    drops matches older than ``left_ts - tolerance``.
+    drops matches further than ``tolerance`` from ``left_ts`` in the
+    direction's sense (each side separately for ``nearest``).
 
     Ambiguity: if several right rows share the maximal ``right_ts``
     for a key, the one last in the union sort order wins — pre-
@@ -65,6 +74,10 @@ def asof_join(
     Output: all left columns, plus ``right_ts + suffix`` and each
     payload column (suffixed on name collision with the left).
     """
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError(
+            f"direction must be backward|forward|nearest, got {direction!r}"
+        )
     on = list(on)
     if right_payload is None:
         right_payload = [
@@ -119,16 +132,45 @@ def asof_join(
     # (concrete struct type for the packed payload) wins the merge
     u = r.unionByName(l.select(*r.columns))
 
-    w = (
-        Window.partitionBy(*on)
-        .orderBy(F.col(ts).asc(), F.col(side).asc())
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    # sort-order trick per direction: right rows carry side=0, left
+    # side=1. backward/nearest sort right FIRST at equal ts (so the
+    # preceding frame's last() sees an equal-ts right row -> '<='
+    # semantics); forward sorts right AFTER left (so the following
+    # frame's first() sees it -> '>='). For nearest, the forward
+    # candidate missing an equal-ts right under right-first ordering
+    # is harmless: the backward candidate captures it at distance 0,
+    # which always wins.
+    side_order = (
+        F.col(side).desc() if direction == "forward" else F.col(side).asc()
     )
-    carried = F.last(pack, ignorenulls=True).over(w)
-    if tolerance is not None:
-        carried = F.when(
-            F.col(ts) - carried[matched_ts] > F.lit(tolerance), F.lit(None)
-        ).otherwise(carried)
+    w = Window.partitionBy(*on).orderBy(F.col(ts).asc(), side_order)
+    wb = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    wf = w.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+
+    def _tol(c, delta):
+        if tolerance is None:
+            return c
+        return F.when(delta > F.lit(tolerance), F.lit(None)).otherwise(c)
+
+    if direction == "backward":
+        carried = F.last(pack, ignorenulls=True).over(wb)
+        carried = _tol(carried, F.col(ts) - carried[matched_ts])
+    elif direction == "forward":
+        carried = F.first(pack, ignorenulls=True).over(wf)
+        carried = _tol(carried, carried[matched_ts] - F.col(ts))
+    else:  # nearest: both frames over the SAME sort - one shuffle
+        cb = F.last(pack, ignorenulls=True).over(wb)
+        cb = _tol(cb, F.col(ts) - cb[matched_ts])
+        cf = F.first(pack, ignorenulls=True).over(wf)
+        cf = _tol(cf, cf[matched_ts] - F.col(ts))
+        d_b = F.col(ts) - cb[matched_ts]
+        d_f = cf[matched_ts] - F.col(ts)
+        carried = (
+            F.when(cb.isNull(), cf)
+            .when(cf.isNull(), cb)
+            .when(d_f < d_b, cf)
+            .otherwise(cb)  # ties -> backward (documented)
+        )
     kept = [c for c in u.columns if c not in {pack, side}]
     res = (
         u.select(*kept, F.col(side).alias(side), carried.alias(pack))

@@ -81,16 +81,32 @@ def decode_image_features(
         )
 
     def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import binascii
+
+        import numpy as np
+
         for pdf in batches:
-            feats = [
-                _fake_decode_image(bytes(p), n_features) for p in pdf[payload_col]
-            ]
+            blobs = [bytes(p) for p in pdf[payload_col]]
+            n = len(blobs)
+            # ---- SPLICE POINT for a real codec ---------------------
+            # this digest loop is the decode stand-in: a production
+            # build replaces it with the batched model/codec call
+            # (PIL/torchvision: decode each blob -> one stacked
+            # (n, H, W, C) array -> one batched embed). Everything
+            # below it is already batch array ops and stays unchanged.
+            digests = b"".join(hashlib.sha256(b).digest() for b in blobs)
+            # --------------------------------------------------------
+            dg = np.frombuffer(digests, dtype=">u4").reshape(n, 8)
+            feats_mat = (dg[:, :n_features] % 10_000) / 10_000.0
+            hex_all = binascii.hexlify(digests).decode("ascii")
             yield pd.DataFrame(
                 {
                     "media_id": pdf[id_col].astype("int64"),
-                    "n_bytes": pdf[payload_col].map(len).astype("int64"),
-                    "sha256": [hashlib.sha256(bytes(p)).hexdigest() for p in pdf[payload_col]],
-                    "features": feats,
+                    "n_bytes": np.fromiter(
+                        (len(b) for b in blobs), np.int64, n
+                    ),
+                    "sha256": [hex_all[i * 64 : (i + 1) * 64] for i in range(n)],
+                    "features": list(feats_mat.astype(np.float32)),
                 }
             )
 
@@ -129,23 +145,52 @@ def decode_audio_features(
     win = max(1, int(sample_rate * window_s))
 
     def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
         for pdf in batches:
-            n_bytes, durs, n_wins, energies = [], [], [], []
-            for p in pdf[payload_col]:
-                b = bytes(p)
-                n_bytes.append(len(b))
-                durs.append(len(b) / float(sample_rate))
-                wins = [b[i : i + win] for i in range(0, len(b), win)] or [b""]
-                n_wins.append(len(wins))
-                energies.append(
-                    [(sum(w) / (255.0 * len(w)) if w else 0.0) for w in wins]
+            blobs = [bytes(p) for p in pdf[payload_col]]
+            n = len(blobs)
+            lens = np.fromiter((len(b) for b in blobs), np.int64, n)
+            # ---- SPLICE POINT for a real codec ---------------------
+            # bytes-as-PCM is the decode stand-in; a production build
+            # replaces this concat with soundfile/ffmpeg decoding each
+            # blob into one concatenated float PCM buffer. The window
+            # fold below is already batch array ops and is exactly
+            # what real PCM would flow through.
+            samples = np.frombuffer(b"".join(blobs), np.uint8)
+            # --------------------------------------------------------
+            # per-row window starts, all rows at once: reduceat over
+            # the concatenated buffer (rows are adjacent, so each
+            # row's last window ends where the next row starts)
+            n_wins = np.maximum((lens + win - 1) // win, 1).astype(np.int64)
+            row_off = np.zeros(n + 1, np.int64)
+            np.cumsum(lens, out=row_off[1:])
+            nonempty = lens > 0
+            starts_per_row = [
+                np.arange(row_off[i], row_off[i + 1], win)
+                for i in np.flatnonzero(nonempty)
+            ]
+            energies: list = [[0.0] for _ in range(n)]
+            if starts_per_row:
+                starts = np.concatenate(starts_per_row)
+                sums = np.add.reduceat(samples.astype(np.int64), starts)
+                # window lengths: win except each row's last remainder
+                wlens = np.minimum(
+                    np.repeat(row_off[1:][nonempty], n_wins[nonempty]) - starts,
+                    win,
                 )
+                flat_e = sums / (255.0 * wlens)
+                k = 0
+                for i in np.flatnonzero(nonempty):
+                    m = int(n_wins[i])
+                    energies[i] = flat_e[k : k + m].astype(np.float32)
+                    k += m
             yield pd.DataFrame(
                 {
                     "media_id": pdf[id_col].astype("int64"),
-                    "n_bytes": pd.Series(n_bytes, dtype="int64"),
-                    "duration_s": pd.Series(durs, dtype="float64"),
-                    "n_windows": pd.Series(n_wins, dtype="int32"),
+                    "n_bytes": lens,
+                    "duration_s": lens / float(sample_rate),
+                    "n_windows": n_wins.astype(np.int32),
                     "window_energy": energies,
                 }
             )

@@ -195,13 +195,24 @@ def test_contamination_broadcasts_eval_grams_and_partial_aggs(spark):
     )
     c = contamination_check(docs.filter("doc_id % 5 != 0"), docs.filter("doc_id % 5 = 0"))
     plan = _plan(c)
-    # the eval-gram side broadcasts; the corpus side is never exchanged
-    # for the join
+    # small eval set: the count-guard picks the broadcast fast path;
+    # the corpus side is never exchanged for the join
     assert "BroadcastExchange" in plan
     # the per-doc re-aggregation is partial+final (explode preserves
     # row locality, so the partial collapses to one row per doc)
     pre, _, post = plan.partition("Exchange hashpartitioning(doc_id")
     assert "HashAggregate" in pre and "HashAggregate" in post
+    # above the guard the SAME call must force a non-broadcast join
+    # (static estimates after the distinct cannot be trusted - see
+    # contamination_check docstring); the corpus never OOMs a driver
+    big = contamination_check(
+        docs.filter("doc_id % 5 != 0"),
+        docs.filter("doc_id % 5 = 0"),
+        max_broadcast_grams=3,
+    )
+    bplan = _plan(big)
+    assert "SortMergeJoin" in bplan
+    assert "BroadcastExchange" not in bplan
 
 
 def test_tfidf_topk_is_take_ordered(spark):

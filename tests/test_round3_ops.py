@@ -76,6 +76,59 @@ def test_asof_join_equal_ts_matches(spark):
     assert res == {5: 5, 4: None}  # <= matches at equality; 4 has no match
 
 
+@pytest.mark.parametrize("direction", ["backward", "forward", "nearest"])
+@pytest.mark.parametrize("tolerance", [None, 50])
+def test_asof_join_directions_match_pandas(spark, direction, tolerance):
+    """pandas.merge_asof is the canonical semantics for all three
+    directions - value parity on random data plus an exact-midpoint
+    tie (nearest must break ties backward, like pandas)."""
+    import pandas as pd
+
+    from seqtables_spark.operators.asof import asof_join
+
+    rng = random.Random(13)
+    lrows = [(k, t, rng.randint(0, 99))
+             for k in "abc" for t in rng.sample(range(500), 35)]
+    rrows = [(k, t, rng.randint(0, 99))
+             for k in "abcd" for t in rng.sample(range(500), 25)]
+    # deterministic exact-midpoint tie for nearest
+    lrows.append(("z", 20, 1))
+    rrows += [("z", 10, 111), ("z", 30, 333)]
+    left = spark.createDataFrame(lrows, "key string, ts long, lval long")
+    right = spark.createDataFrame(rrows, "key string, rts long, rval long")
+    got = asof_join(
+        left, right, ["key"], "ts", "rts",
+        tolerance=tolerance, direction=direction,
+    )
+    res = {(r.key, r.ts): (r.rts_right, r.rval) for r in got.collect()}
+
+    lp = pd.DataFrame(lrows, columns=["key", "ts", "lval"]).sort_values("ts")
+    rp = pd.DataFrame(rrows, columns=["key", "ts", "rval"]).sort_values("ts")
+    rp["rts_m"] = rp["ts"]
+    m = pd.merge_asof(
+        lp, rp, on="ts", by="key", direction=direction, tolerance=tolerance
+    )
+    assert len(res) == len(lrows)
+    for _, row in m.iterrows():
+        want = (
+            (None, None)
+            if pd.isna(row["rts_m"])
+            else (int(row["rts_m"]), int(row["rval"]))
+        )
+        assert res[(row["key"], int(row["ts"]))] == want, (
+            row["key"], row["ts"], direction, tolerance,
+        )
+
+
+def test_asof_join_empty_suffix_collision_raises(spark):
+    from seqtables_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame([("a", 1, 5)], "key string, ts long, v long")
+    right = spark.createDataFrame([("a", 1, 6)], "key string, rts long, v long")
+    with pytest.raises(ValueError, match="collide"):
+        asof_join(left, right, ["key"], "ts", "rts", suffix="")
+
+
 # ------------------------------------------------------- range join
 
 def test_point_in_interval_join_matches_bruteforce(spark):
