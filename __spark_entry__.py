@@ -1648,6 +1648,23 @@ def q_sam_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _acgt24():
+    """The W-char ACGT projection of a doc-derived `seq` column: BAM's
+    4-bit nibble alphabet (and any aligner fixture) is IUPAC-only, so
+    map each document char onto ACGT deterministically (ascii % 4) -
+    the oracles derive the same mapping in SQL."""
+    return F.concat_ws(
+        "",
+        F.transform(
+            F.sequence(F.lit(1), F.lit(W)),
+            lambda i: F.element_at(
+                F.array(F.lit("A"), F.lit("C"), F.lit("G"), F.lit("T")),
+                (F.ascii(F.col("seq").substr(i, F.lit(1))) % 4 + 1).cast("int"),
+            ),
+        ),
+    )
+
+
 def q_bam_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S4 through a REAL file: encode the doc-derived alignments as
     BGZF/BAM bytes (the pure-Python codec; encoding is the test-grade
@@ -1665,19 +1682,7 @@ def q_bam_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     reads = _doc_reads(spark, sf_dir)
     rid = F.col("read_id").cast("long")
-    # BAM's 4-bit nibble alphabet is IUPAC-only: map each document
-    # char onto ACGT deterministically (ascii % 4) - the oracle
-    # derives the same mapping in SQL
-    nt = F.concat_ws(
-        "",
-        F.transform(
-            F.sequence(F.lit(1), F.lit(W)),
-            lambda i: F.element_at(
-                F.array(F.lit("A"), F.lit("C"), F.lit("G"), F.lit("T")),
-                (F.ascii(F.col("seq").substr(i, F.lit(1))) % 4 + 1).cast("int"),
-            ),
-        ),
-    )
+    nt = _acgt24()
     # ORACLE-FIXTURE construction, the one full-table collect in
     # queries(): bounded with an explicit limit so no sf scale-up can
     # ever turn it into a driver OOM (the oracle SQL mirrors the same
@@ -1706,6 +1711,63 @@ def q_bam_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         fh.write(encode_bam(records, [("ref1", 100)]))
     df = read_bam(spark, path, records_per_chunk=64)
     return df.select("header", "flag", "pos", "cigar", "seq", "qual")
+
+
+BOWTIE_REF_DOCS = 16  # first N docs' ACGT seqs concatenate into the reference
+
+
+def q_bowtie_align(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S10 bowtie2 wrapper through its REAL orchestration path
+    (sources/bowtie.py): stage fastq + reference fasta, run
+    bowtie2-build and bowtie2 as subprocesses, ingest the emitted SAM
+    distributed via read_sam. The aligner binary is the documented
+    deterministic stand-in (install_stub_aligner: exact first-
+    occurrence substring alignment), so the oracle can replay the
+    alignment decision with strpos while every wrapper mechanism -
+    command assembly, index build, file staging, SAM parsing - runs
+    for real. Reference = concatenation of the first 16 docs' ACGT
+    projections; reads = every doc's ACGT projection, so the first 16
+    self-align (or hit an earlier duplicate) and the rest align only
+    on a true 24-mer repeat."""
+    import os
+
+    from seqtables_spark.sources.bowtie import bowtie2_align, install_stub_aligner
+
+    reads = _doc_reads(spark, sf_dir)
+    rid = F.col("read_id").cast("long")
+    # fixture staging is driver-side and capped exactly like the BAM
+    # roundtrip fixture (fastq is a local-file aligner input)
+    rows = (
+        reads.filter(rid < _BAM_RT_CAP)
+        .select("read_id", _acgt24().alias("seq"), "qual")
+        .orderBy(rid)
+        .limit(_BAM_RT_CAP)
+        .collect()
+    )
+    ref_seq = "".join(
+        r["seq"] for r in rows if int(r["read_id"]) < BOWTIE_REF_DOCS
+    )
+    wd = _rt_tmp("seqtables_bowtie_rt", sf_dir)
+    os.makedirs(wd, exist_ok=True)
+    fastq = os.path.join(wd, "reads.fastq")
+    with open(fastq, "w") as fh:
+        for r in rows:
+            fh.write(f"@{r['read_id']}\n{r['seq']}\n+\n{r['qual']}\n")
+    stub = install_stub_aligner(os.path.join(wd, "bin"))
+    df = bowtie2_align(
+        spark,
+        [fastq],
+        [("ref0", ref_seq)],
+        working_directory=wd,
+        bowtie_ref_name="docref",
+        sam_file="aligned.sam",
+        bowtie_path=stub,
+        opt_fields_keep=("XM",),
+    )
+    return df.select(
+        "header", "flag", "rname", "pos", "cigar", "seq", "qual",
+        F.col("XM").cast("int").alias("xm"),
+    )
 
 
 def q_curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2328,6 +2390,7 @@ _ORACLE_PRIORITY = [
     "sam_roundtrip", "bam_roundtrip", "fastq_roundtrip",
     "perplexity_scores", "small_quantity_revenue",
     "pending_orders_priority", "customer_setops",
+    "bowtie_align",
     "asof_forward", "asof_nearest", "asof_purchase_click",
     "kmv_users", "bloom_contamination", "contamination",
     "customer_deciles", "event_quantiles", "ngram_jaccard",
@@ -2458,6 +2521,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pending_orders_priority": q_pending_orders_priority,
         "sam_roundtrip": q_sam_roundtrip,
         "bam_roundtrip": q_bam_roundtrip,
+        "bowtie_align": q_bowtie_align,
         "rollup_revenue": q_rollup_revenue,
         "customers_without_orders": q_customers_without_orders,
         "running_revenue": q_running_revenue,
@@ -3689,6 +3753,37 @@ SELECT CAST(doc_id AS VARCHAR) AS header,
        seq, qual
 FROM per_doc
 WHERE doc_id < {_BAM_RT_CAP}
+"""
+
+    # bowtie_align: the stub aligner's decision rule is exact
+    # first-occurrence substring search against the concatenated
+    # reference, so strpos replays it bit-for-bit
+    sqls["bowtie_align"] = f"""
+WITH {_SQL_DOC_QCELLS},
+per_doc AS (
+  SELECT doc_id,
+         string_agg(substring('ACGT', ascii(base) % 4 + 1, 1),
+                    '' ORDER BY position) AS seq,
+         string_agg(chr(ascii(base) % 40 + 33), '' ORDER BY position) AS qual
+  FROM doc_cells GROUP BY doc_id
+),
+ref AS (
+  SELECT string_agg(seq, '' ORDER BY doc_id) AS rseq
+  FROM per_doc WHERE doc_id < {BOWTIE_REF_DOCS}
+),
+hit AS (
+  SELECT p.doc_id, p.seq, p.qual, strpos(r.rseq, p.seq) AS hp
+  FROM per_doc p CROSS JOIN ref r
+  WHERE p.doc_id < {_BAM_RT_CAP}
+)
+SELECT CAST(doc_id AS VARCHAR) AS header,
+       CAST(CASE WHEN hp > 0 THEN 0 ELSE 4 END AS INTEGER) AS flag,
+       CASE WHEN hp > 0 THEN 'ref0' ELSE '*' END AS rname,
+       CAST(CASE WHEN hp > 0 THEN hp ELSE 0 END AS BIGINT) AS pos,
+       CASE WHEN hp > 0 THEN '{W}M' ELSE '*' END AS cigar,
+       seq, qual,
+       CAST(CASE WHEN hp > 0 THEN 0 ELSE 1 END AS INTEGER) AS xm
+FROM hit
 """
 
     # curate_corpus reuses the language-id scoring chain over the
