@@ -30,9 +30,15 @@ def main() -> int:
 
     spark = get_spark(app_name="bench")
 
-    # warm-up: JVM, codegen, parquet footer reads
+    # warm-up: JVM, codegen, parquet footer reads, and the Python
+    # worker pool (otherwise the daemon spin-up lands on whichever
+    # UDF-bearing query happens to run first and reads as a per-query
+    # regression)
     spark.range(1000).selectExpr("sum(id)").collect()
     spark.read.parquet(f"{sf_dir}/lineitem.parquet").limit(1).collect()
+    spark.range(32).repartition(32).mapInPandas(
+        lambda it: it, "id long"
+    ).collect()
 
     # min of two executions per query: the host is a shared sandbox
     # with multi-second scheduling stalls unrelated to the plan, so a

@@ -29,15 +29,23 @@ from collections.abc import Sequence
 from pyspark.sql import Column, DataFrame, Window, functions as F
 
 
-def global_row_number(
+def _ranked_parts(
     df: DataFrame,
     order_by: Sequence[Column],
-    out_col: str = "rn",
-    num_partitions: int | None = None,
-) -> DataFrame:
-    """Exact 1-based global row_number over `order_by` (list of Column
-    expressions, e.g. [F.col('x').desc(), F.col('id')]), computed with
-    bounded per-task state (see module docstring)."""
+    num_partitions: int | None,
+) -> tuple[DataFrame, DataFrame]:
+    """Shared 2-phase core: (local, offsets).
+
+    local   = ranged rows + __pid__ + per-partition __lrn__;
+    offsets = P rows of (__pid__, __cnt__, __off__ = exclusive
+              running count).
+
+    The offsets branch aggregates the PRE-window `rp` relation, not
+    the windowed one: both branches then share the identical
+    scan->range-exchange subplan (AQE reuses the shuffle stage), and
+    the offsets side adds only a map-side-partial count - the window
+    sort never runs twice. (First formulation counted the windowed
+    relation and re-executed the whole rank pipeline per branch.)"""
     order_by = list(order_by)
     parts = int(
         num_partitions
@@ -54,13 +62,25 @@ def global_row_number(
         Window.unboundedPreceding, -1
     )
     offsets = (
-        local.groupBy("__pid__")
+        rp.groupBy("__pid__")
         .agg(F.count(F.lit(1)).alias("__cnt__"))
         .withColumn("__off__", F.coalesce(F.sum("__cnt__").over(wo), F.lit(0)))
-        .select("__pid__", "__off__")
     )
+    return local, offsets
+
+
+def global_row_number(
+    df: DataFrame,
+    order_by: Sequence[Column],
+    out_col: str = "rn",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Exact 1-based global row_number over `order_by` (list of Column
+    expressions, e.g. [F.col('x').desc(), F.col('id')]), computed with
+    bounded per-task state (see module docstring)."""
+    local, offsets = _ranked_parts(df, order_by, num_partitions)
     return (
-        local.join(F.broadcast(offsets), "__pid__")
+        local.join(F.broadcast(offsets.select("__pid__", "__off__")), "__pid__")
         .withColumn(out_col, (F.col("__lrn__") + F.col("__off__")).cast("int"))
         .drop("__pid__", "__lrn__")
     )
@@ -76,12 +96,12 @@ def global_ntile(
     """Exact `ntile(n) OVER (ORDER BY ...)` semantics, distributed:
     the first (N mod n) tiles hold ceil(N/n) rows, the rest floor(N/n)
     - identical to Spark's/ANSI ntile, derived arithmetically from the
-    2-phase global row number plus one broadcast total count."""
-    ranked = global_row_number(
-        df, order_by, out_col="__grn__", num_partitions=num_partitions
-    )
-    total = ranked.agg(F.count(F.lit(1)).alias("__n__"))
-    r = F.col("__grn__").cast("long")
+    2-phase global row number. The total count comes from the SAME
+    P-row offsets relation (sum of partition counts), so no extra
+    pass over the data is ever planned."""
+    local, offsets = _ranked_parts(df, order_by, num_partitions)
+    total = offsets.agg(F.sum("__cnt__").alias("__n__"))
+    r = (F.col("__lrn__") + F.col("__off__")).cast("long")
     big = F.floor(F.col("__n__") / n) + 1          # ceil size, first rem tiles
     rem = F.col("__n__") % n
     cut = big * rem                                 # rows covered by big tiles
@@ -89,7 +109,8 @@ def global_ntile(
         rem + F.floor((r - 1 - cut) / (big - 1)) + 1
     )
     return (
-        ranked.crossJoin(F.broadcast(total))
+        local.join(F.broadcast(offsets.select("__pid__", "__off__")), "__pid__")
+        .crossJoin(F.broadcast(total))
         .withColumn(out_col, tile.cast("int"))
-        .drop("__grn__", "__n__")
+        .drop("__pid__", "__lrn__", "__off__", "__n__")
     )
