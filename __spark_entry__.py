@@ -1109,6 +1109,41 @@ def q_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tbl.groupBy("lang").agg(F.count(F.lit(1)).alias("n_unique"))
 
 
+def q_streaming_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming MinHash-LSH near-dup detection at ingest
+    (streaming/ingest.streaming_near_dup_buckets): the planted corpus
+    (docs + truncated twins, the same deterministic transform the
+    batch dedup queries use - streaming DataFrames take identical
+    transformations) flows through the row-local signature/banding
+    stage and an incremental bucket-occupancy aggregation; buckets
+    holding >= 2 docs are the candidate-duplicate sets. The batch LSH
+    oracle replays the same buckets, so the stateful streaming path
+    is VALUE-exact against SQL."""
+    from seqtables_spark.streaming.ingest import streaming_near_dup_buckets
+
+    schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
+    docs = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+        .select("doc_id", "text")
+    )
+    twins = docs.filter(F.col("doc_id") % 50 == 0).select(
+        (F.col("doc_id") + 10_000_000).alias("doc_id"),
+        F.substring(
+            "text", 1, F.greatest(F.length("text") - 5, F.lit(10))
+        ).alias("text"),
+    )
+    stream = docs.unionByName(twins)
+    buckets = streaming_near_dup_buckets(
+        stream, n_hashes=MINHASH_N, bands=LSH_BANDS, k=LSH_K
+    )
+    tbl = _drain_stream(spark, buckets, "near_dup_stream", "complete")
+    return tbl.filter(F.col("n_docs") >= 2).select(
+        "band_idx", "band_hash", "n_docs", "first_doc"
+    )
+
+
 def q_streaming_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SURVEY 2.8: the chunked-iterator pattern as Structured
     Streaming - file-source stream over the events parquet, complete-
@@ -2361,7 +2396,10 @@ def q_customer_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_PLAN_CACHE_EXCLUDE = {"streaming_events", "streaming_windowed", "streaming_dedup"}
+_PLAN_CACHE_EXCLUDE = {
+    "streaming_events", "streaming_windowed", "streaming_dedup",
+    "streaming_near_dup",
+}
 
 
 def _prepared(name: str, fn: Callable) -> Callable:
@@ -2390,7 +2428,7 @@ _ORACLE_PRIORITY = [
     "sam_roundtrip", "bam_roundtrip", "fastq_roundtrip",
     "perplexity_scores", "small_quantity_revenue",
     "pending_orders_priority", "customer_setops",
-    "bowtie_align",
+    "bowtie_align", "streaming_near_dup",
     "asof_forward", "asof_nearest", "asof_purchase_click",
     "kmv_users", "bloom_contamination", "contamination",
     "customer_deciles", "event_quantiles", "ngram_jaccard",
@@ -2505,6 +2543,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_events": q_streaming_events,
         "streaming_windowed": q_streaming_windowed,
         "streaming_dedup": q_streaming_dedup,
+        "streaming_near_dup": q_streaming_near_dup,
         "events_hourly": q_events_hourly,
         "event_sessions": q_event_sessions,
         "pricing_summary": q_pricing_summary,
@@ -2922,6 +2961,19 @@ cand AS (
 
 def _sql_lsh_pairs() -> str:
     return f"WITH {_sql_lsh_cte()} SELECT id_a, id_b FROM cand"
+
+
+def _sql_streaming_near_dup() -> str:
+    """The streaming bucket-occupancy detector's oracle: the batch LSH
+    chain's `banded` relation aggregated per bucket - a complete-mode
+    availableNow drain must converge to exactly this."""
+    return f"""WITH {_sql_lsh_cte()}
+SELECT CAST(band_idx AS INTEGER) AS band_idx, band_hash,
+       count(*) AS n_docs, min(doc_id) AS first_doc
+FROM banded
+GROUP BY 1, 2
+HAVING count(*) >= 2
+"""
 
 
 def _sql_ngram_verified_cte(k: int = 12, min_j: float = 0.4) -> str:
@@ -3818,6 +3870,7 @@ GROUP BY source, pred_lang
 
     sqls["minhash_lsh_pairs"] = _sql_lsh_pairs()
     sqls["ngram_jaccard"] = _sql_ngram_jaccard()
+    sqls["streaming_near_dup"] = _sql_streaming_near_dup()
     _ph_tok = _SQL_PORTABLE_HASH.format(x="t")
     sqls["classifier_score"] = f"""
 WITH toks AS (

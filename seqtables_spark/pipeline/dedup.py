@@ -125,7 +125,7 @@ def minhash_signatures(
     )
 
 
-def minhash_candidate_pairs(
+def minhash_band_keys(
     df: DataFrame,
     n_hashes: int = 16,
     bands: int = 4,
@@ -134,9 +134,13 @@ def minhash_candidate_pairs(
     id_col: str = "doc_id",
     seed: int = 42,
 ) -> DataFrame:
-    """Banded-LSH candidate near-duplicate pairs: docs agreeing on ALL
-    rows of at least one band. Returns DF(id_a, id_b) with id_a < id_b.
-    """
+    """Banded LSH keys per document: DF(id, band_idx, band_hash) with
+    one row per (doc, band); band_hash = md5 of the band's signature
+    rows. Entirely ROW-LOCAL (signature fold + band struct explode, no
+    shuffle), which is what lets the same stage run unchanged on a
+    STREAMING DataFrame - the streaming near-dup detector
+    (streaming/ingest.streaming_near_dup_buckets) feeds its stateful
+    bucket aggregation from exactly this relation."""
     assert n_hashes % bands == 0
     rows = n_hashes // bands
     sigs = minhash_signatures(df, n_hashes, k, text_col, id_col, seed)
@@ -153,9 +157,24 @@ def minhash_candidate_pairs(
             for b in range(bands)
         ]
     )
-    banded = sigs.select(F.col(id_col), F.explode(band_structs).alias("b")).select(
+    return sigs.select(F.col(id_col), F.explode(band_structs).alias("b")).select(
         F.col(id_col), F.col("b.band_idx"), F.col("b.band_hash")
     )
+
+
+def minhash_candidate_pairs(
+    df: DataFrame,
+    n_hashes: int = 16,
+    bands: int = 4,
+    k: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    seed: int = 42,
+) -> DataFrame:
+    """Banded-LSH candidate near-duplicate pairs: docs agreeing on ALL
+    rows of at least one band. Returns DF(id_a, id_b) with id_a < id_b.
+    """
+    banded = minhash_band_keys(df, n_hashes, bands, k, text_col, id_col, seed)
     left = banded.alias("l")
     right = banded.alias("r")
     pairs = (

@@ -147,6 +147,42 @@ def streaming_dedup(
     return stream.dropDuplicates(list(keys))
 
 
+def streaming_near_dup_buckets(
+    stream: DataFrame,
+    n_hashes: int = 8,
+    bands: int = 2,
+    k: int = 12,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    seed: int = 42,
+) -> DataFrame:
+    """Near-dup detection AT INGEST: the batch MinHash-LSH pipeline's
+    row-local stage (pipeline/dedup.minhash_band_keys: shingle ->
+    signature fold -> band keys, zero shuffle) runs unchanged on the
+    document STREAM; a streaming aggregation then maintains LSH
+    bucket occupancy incrementally - n_docs and the first (minimum)
+    doc id per (band_idx, band_hash). Buckets with n_docs >= 2 are
+    the live candidate-duplicate sets; every new arrival updates its
+    buckets in the micro-batch it lands in, so a training-data ingest
+    can divert suspected duplicates before they reach the corpus.
+
+    State size = |distinct band buckets| x one counter row - the same
+    order as the batch pipeline's shuffle, held incrementally. The
+    caller drains in update/complete mode and filters n_docs >= 2
+    (kept un-filtered here so the same relation also answers 'is this
+    bucket known')."""
+    from ..pipeline.dedup import minhash_band_keys
+
+    banded = minhash_band_keys(
+        stream, n_hashes=n_hashes, bands=bands, k=k,
+        text_col=text_col, id_col=id_col, seed=seed,
+    )
+    return banded.groupBy("band_idx", "band_hash").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.min(id_col).alias("first_doc"),
+    )
+
+
 CONSENSUS_OUTPUT_SCHEMA = (
     "ref string, position int, consensus_base string, n_reads long"
 )

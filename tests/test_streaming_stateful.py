@@ -204,3 +204,49 @@ def test_streaming_running_consensus_honors_pos_start(spark, tmp_path):
     }
     # ref coords: pos1 {A}, pos2 {C,C}, pos3 {G,G}, pos4 {T}
     assert got == {1: ("A", 1), 2: ("C", 2), 3: ("G", 2), 4: ("T", 1)}
+
+
+def test_streaming_near_dup_buckets_matches_batch(spark, tmp_path):
+    """The streaming bucket-occupancy detector must converge (one
+    availableNow drain) to exactly the batch minhash_band_keys
+    aggregation over the same corpus - including catching a planted
+    near-duplicate pair."""
+    from seqtables_spark.pipeline.dedup import minhash_band_keys
+    from seqtables_spark.streaming.ingest import streaming_near_dup_buckets
+
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    rows = [(1, base), (2, base + "!!"), (3, "completely unrelated text here")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    df.write.mode("overwrite").parquet(str(tmp_path / "docs"))
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .parquet(str(tmp_path / "docs"))
+    )
+    q = (
+        streaming_near_dup_buckets(stream, n_hashes=8, bands=2, k=12)
+        .writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("near_dup_test")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        (r.band_idx, r.band_hash): (r.n_docs, r.first_doc)
+        for r in spark.table("near_dup_test").collect()
+    }
+    want = {
+        (r.band_idx, r.band_hash): (r.n_docs, r.first_doc)
+        for r in minhash_band_keys(df, n_hashes=8, bands=2, k=12)
+        .groupBy("band_idx", "band_hash")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("doc_id").alias("first_doc"),
+        )
+        .collect()
+    }
+    assert got == want
+    # the planted twins share at least one bucket; doc 3 shares none
+    dup_buckets = {k: v for k, v in got.items() if v[0] >= 2}
+    assert dup_buckets and all(v[1] == 1 for v in dup_buckets.values())
