@@ -334,3 +334,48 @@ def test_round3_relational_query_plan_shapes(spark):
     # correlated avg decorrelates to ONE extra agg + a join, never a
     # per-row re-scan of lineitem
     assert q17.count("Scan parquet") == 2 and "Join" in q17
+
+
+def test_asof_join_is_one_exchange_per_side_union(spark):
+    """The union-merge as-of join must plan exactly ONE hash exchange
+    on the keys feeding one Window (sort-merge-join shape) - never a
+    nested-loop theta join, for any direction."""
+    from seqtables_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame([("a", 10, 1)], "k string, ts long, v long")
+    right = spark.createDataFrame([("a", 5, 2)], "k string, rts long, w long")
+    for direction in ("backward", "forward", "nearest"):
+        plan = _plan(
+            asof_join(left, right, ["k"], "ts", "rts", direction=direction)
+        )
+        assert "NestedLoop" not in plan and "CartesianProduct" not in plan
+        assert plan.count("Window [") == 1, direction
+        # one exchange partitions the union by the equi-keys
+        assert plan.count("Exchange hashpartitioning(k#") == 1, direction
+
+
+def test_global_ntile_single_rank_window_and_range_shuffle(spark):
+    """global_ntile's auxiliary branches (offsets, total) must reuse
+    the range shuffle rather than re-running the rank pipeline: one
+    row_number window in the plan, and the P-row offset window sorts
+    only the tiny counts relation."""
+    from seqtables_spark.operators.ranks import global_ntile
+
+    df = spark.range(1000).selectExpr("id", "id % 37 AS v")
+    plan = _plan(
+        global_ntile(df, [F.col("v").desc(), F.col("id")], 10, num_partitions=4)
+    )
+    assert plan.count("Window [row_number") == 1
+    assert "rangepartitioning" in plan.lower()
+
+
+def test_minhash_band_keys_is_shuffle_free(spark):
+    """The signature/banding stage must stay a pure projection (the
+    property that lets it run unchanged on a stream)."""
+    from seqtables_spark.pipeline.dedup import minhash_band_keys
+
+    docs = spark.createDataFrame(
+        [(1, "some text to shingle here")], "doc_id long, text string"
+    )
+    plan = _plan(minhash_band_keys(docs, n_hashes=8, bands=2, k=5))
+    assert "Exchange" not in plan
