@@ -1134,7 +1134,14 @@ def q_streaming_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
             "text", 1, F.greatest(F.length("text") - 5, F.lit(10))
         ).alias("text"),
     )
-    stream = docs.unionByName(twins)
+    # single-file stream source = ONE input split: without this
+    # exchange the md5-per-shingle signature stage (the whole cost)
+    # runs on one task regardless of cores - the streaming twin of
+    # _wide. A real continuous ingest gets its map parallelism from
+    # many source files and drops this.
+    stream = docs.unionByName(twins).repartition(
+        spark.sparkContext.defaultParallelism
+    )
     buckets = streaming_near_dup_buckets(
         stream, n_hashes=MINHASH_N, bands=LSH_BANDS, k=LSH_K
     )
