@@ -48,6 +48,7 @@ def asof_join(
     tolerance: int | None = None,
     suffix: str = "_right",
     direction: str = "backward",
+    allow_exact_matches: bool = True,
 ) -> DataFrame:
     """As-of join with pandas-merge_asof direction parity. Each left
     row gains the payload of ONE matching right row with equal `on`
@@ -60,6 +61,13 @@ def asof_join(
         going to the backward match. Both candidates come from TWO
         window frames over ONE sort of the same union relation -
         still exactly one shuffle.
+
+    ``allow_exact_matches=False`` makes the comparisons strict
+    (< / >), pandas-style. Equal-timestamp rights are hidden from a
+    frame purely by flipping which side sorts first at ties - except
+    strict ``nearest``, where the two candidates need OPPOSITE tie
+    orders and therefore two sorts (still one exchange: identical
+    partitioning, two in-partition Sort nodes).
 
     Timestamps must share one orderable type (use integer
     epoch-ns for cross-engine exactness). ``tolerance`` (same unit)
@@ -133,19 +141,30 @@ def asof_join(
     u = r.unionByName(l.select(*r.columns))
 
     # sort-order trick per direction: right rows carry side=0, left
-    # side=1. backward/nearest sort right FIRST at equal ts (so the
-    # preceding frame's last() sees an equal-ts right row -> '<='
-    # semantics); forward sorts right AFTER left (so the following
-    # frame's first() sees it -> '>='). For nearest, the forward
-    # candidate missing an equal-ts right under right-first ordering
-    # is harmless: the backward candidate captures it at distance 0,
-    # which always wins.
-    side_order = (
-        F.col(side).desc() if direction == "forward" else F.col(side).asc()
+    # side=1, and whether an equal-ts right row is VISIBLE to a frame
+    # is decided purely by which side sorts first at timestamp ties:
+    #   right-first (side asc): the preceding frame's last() sees an
+    #     equal-ts right ('<='), the following frame's first() does
+    #     NOT ('>');
+    #   left-first (side desc): mirror image ('<' / '>=').
+    # For allow-mode nearest, the forward candidate missing an
+    # equal-ts right under right-first ordering is harmless: the
+    # backward candidate captures it at distance 0, which always
+    # wins - so allow-mode nearest needs only ONE sort. Strict
+    # nearest needs the two opposite tie orders, hence two Sort nodes
+    # over the same exchange.
+    right_first = Window.partitionBy(*on).orderBy(
+        F.col(ts).asc(), F.col(side).asc()
     )
-    w = Window.partitionBy(*on).orderBy(F.col(ts).asc(), side_order)
-    wb = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    wf = w.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    left_first = Window.partitionBy(*on).orderBy(
+        F.col(ts).asc(), F.col(side).desc()
+    )
+
+    def _preceding(w):
+        return w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+
+    def _following(w):
+        return w.rowsBetween(Window.currentRow, Window.unboundedFollowing)
 
     def _tol(c, delta):
         if tolerance is None:
@@ -153,15 +172,18 @@ def asof_join(
         return F.when(delta > F.lit(tolerance), F.lit(None)).otherwise(c)
 
     if direction == "backward":
-        carried = F.last(pack, ignorenulls=True).over(wb)
+        w = right_first if allow_exact_matches else left_first
+        carried = F.last(pack, ignorenulls=True).over(_preceding(w))
         carried = _tol(carried, F.col(ts) - carried[matched_ts])
     elif direction == "forward":
-        carried = F.first(pack, ignorenulls=True).over(wf)
+        w = left_first if allow_exact_matches else right_first
+        carried = F.first(pack, ignorenulls=True).over(_following(w))
         carried = _tol(carried, carried[matched_ts] - F.col(ts))
-    else:  # nearest: both frames over the SAME sort - one shuffle
-        cb = F.last(pack, ignorenulls=True).over(wb)
+    else:  # nearest
+        w_back = right_first if allow_exact_matches else left_first
+        cb = F.last(pack, ignorenulls=True).over(_preceding(w_back))
         cb = _tol(cb, F.col(ts) - cb[matched_ts])
-        cf = F.first(pack, ignorenulls=True).over(wf)
+        cf = F.first(pack, ignorenulls=True).over(_following(right_first))
         cf = _tol(cf, cf[matched_ts] - F.col(ts))
         d_b = F.col(ts) - cb[matched_ts]
         d_f = cf[matched_ts] - F.col(ts)

@@ -78,10 +78,13 @@ def test_asof_join_equal_ts_matches(spark):
 
 @pytest.mark.parametrize("direction", ["backward", "forward", "nearest"])
 @pytest.mark.parametrize("tolerance", [None, 50])
-def test_asof_join_directions_match_pandas(spark, direction, tolerance):
+@pytest.mark.parametrize("allow_exact", [True, False])
+def test_asof_join_directions_match_pandas(spark, direction, tolerance, allow_exact):
     """pandas.merge_asof is the canonical semantics for all three
-    directions - value parity on random data plus an exact-midpoint
-    tie (nearest must break ties backward, like pandas)."""
+    directions x exact-match modes - value parity on random data plus
+    an exact-midpoint tie (nearest must break ties backward, like
+    pandas) and exact-timestamp collisions (the allow_exact_matches
+    boundary)."""
     import pandas as pd
 
     from seqtables_spark.operators.asof import asof_join
@@ -94,11 +97,15 @@ def test_asof_join_directions_match_pandas(spark, direction, tolerance):
     # deterministic exact-midpoint tie for nearest
     lrows.append(("z", 20, 1))
     rrows += [("z", 10, 111), ("z", 30, 333)]
+    # deterministic exact-timestamp collision (allow_exact boundary)
+    lrows.append(("y", 40, 2))
+    rrows += [("y", 40, 444), ("y", 35, 355), ("y", 45, 455)]
     left = spark.createDataFrame(lrows, "key string, ts long, lval long")
     right = spark.createDataFrame(rrows, "key string, rts long, rval long")
     got = asof_join(
         left, right, ["key"], "ts", "rts",
         tolerance=tolerance, direction=direction,
+        allow_exact_matches=allow_exact,
     )
     res = {(r.key, r.ts): (r.rts_right, r.rval) for r in got.collect()}
 
@@ -106,7 +113,8 @@ def test_asof_join_directions_match_pandas(spark, direction, tolerance):
     rp = pd.DataFrame(rrows, columns=["key", "ts", "rval"]).sort_values("ts")
     rp["rts_m"] = rp["ts"]
     m = pd.merge_asof(
-        lp, rp, on="ts", by="key", direction=direction, tolerance=tolerance
+        lp, rp, on="ts", by="key", direction=direction, tolerance=tolerance,
+        allow_exact_matches=allow_exact,
     )
     assert len(res) == len(lrows)
     for _, row in m.iterrows():
