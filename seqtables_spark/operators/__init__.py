@@ -32,6 +32,9 @@ from .insertions import (
 )
 from .plogo import get_plogo
 from .skew import salted_join
+from .asof import asof_join
+from .ranges import point_in_interval_join
+from .ranks import global_ntile, global_row_number
 
 __all__ = [
     "seq_dist", "seq_dist_with_insertions", "consensus", "consensus_string", "pos_entropy", "seq_bits",
@@ -44,4 +47,6 @@ __all__ = [
     "get_average_insertion_quality", "get_insertion_expectations",
     "get_insertion_seq_dist", "view_with_insertions",
     "consensus_with_insertions", "get_plogo", "salted_join",
+    "asof_join", "point_in_interval_join", "global_row_number",
+    "global_ntile",
 ]
