@@ -1828,6 +1828,40 @@ def q_curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_curate_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The WHOLE curation pipeline composed
+    (pipeline/curate.curate_documents_full): quality gate -> language
+    filter -> exact dedup -> LSH near-dup removal (greedy pairwise
+    survivors) -> benchmark decontamination vs the held-out slice ->
+    DSIR weights toward pred_lang='en'. One lazy plan per stage
+    family, per-doc output, VALUE-exact against the equivalent
+    composed SQL."""
+    from seqtables_spark.pipeline.curate import curate_documents_full
+
+    docs = _wide(spark, _t(spark, sf_dir, "documents"))
+    corpus = docs.filter(F.col("doc_id") % 100 != 0)
+    eval_set = docs.filter(F.col("doc_id") % 100 == 0)
+    cur = curate_documents_full(
+        corpus,
+        eval_set=eval_set,
+        lsh_hashes=MINHASH_N,
+        lsh_bands=LSH_BANDS,
+        shingle_k=LSH_K,
+        min_jaccard=0.4,
+        max_contamination=0.5,
+        dsir_target=F.col("pred_lang") == "en",
+        dsir_buckets=DSIR_BUCKETS,
+        materialize_stages=True,
+    )
+    return cur.select(
+        "doc_id",
+        "source",
+        "pred_lang",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        (F.round("logw", 6) + F.lit(0.0)).alias("logw"),
+    )
+
+
 def q_classifier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """fastText-shape quality classifier: hashed-token linear model,
     zero-shuffle row-local projection (pipeline/text.classifier_logit).
@@ -2435,7 +2469,7 @@ _ORACLE_PRIORITY = [
     "sam_roundtrip", "bam_roundtrip", "fastq_roundtrip",
     "perplexity_scores", "small_quantity_revenue",
     "pending_orders_priority", "customer_setops",
-    "bowtie_align", "streaming_near_dup",
+    "bowtie_align", "streaming_near_dup", "curate_full",
     "asof_forward", "asof_nearest", "asof_purchase_click",
     "kmv_users", "bloom_contamination", "contamination",
     "customer_deciles", "event_quantiles", "ngram_jaccard",
@@ -2560,6 +2594,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "duplicate_spans": q_duplicate_spans,
         "classifier_score": q_classifier_score,
         "curate_corpus": q_curate_corpus,
+        "curate_full": q_curate_full,
         "fastq_roundtrip": q_fastq_roundtrip,
         "perplexity_scores": q_perplexity_scores,
         "small_quantity_revenue": q_small_quantity_revenue,
@@ -2926,10 +2961,10 @@ _SQL_CORPUS = """corpus AS (
 )"""
 
 
-def _sql_lsh_cte() -> str:
-    """The corpus -> shingle -> minhash -> banded -> candidate-pair
-    CTE chain, shared by the LSH-pairs oracle and the jaccard-verify
-    oracle."""
+def _sql_lsh_chain(src: str, prefix: str = "") -> str:
+    """shingle -> minhash -> banded -> candidate-pair CTE bodies over
+    relation `src` (no leading WITH/corpus). `prefix` namespaces the
+    CTE names so two chains can coexist in one statement."""
     params = minhash_params(MINHASH_N)
     rows_per_band = MINHASH_N // LSH_BANDS
     mh_cols = ",\n    ".join(
@@ -2937,33 +2972,41 @@ def _sql_lsh_cte() -> str:
         for j, (a, b) in enumerate(params)
     )
     ph = _SQL_PORTABLE_HASH.format(x="shingle")
+    p = prefix
     band_selects = " UNION ALL ".join(
         f"SELECT doc_id, {b} AS band_idx, md5("
         + " || ',' || ".join(
             f"CAST(mh_{b * rows_per_band + r} AS VARCHAR)"
             for r in range(rows_per_band)
         )
-        + ") AS band_hash FROM sigs"
+        + f") AS band_hash FROM {p}sigs"
         for b in range(LSH_BANDS)
     )
-    return f"""{_SQL_CORPUS},
-sh AS (
+    return f"""{p}sh AS (
   SELECT DISTINCT doc_id, substring(t, CAST(i AS INTEGER), {LSH_K}) AS shingle
   FROM (
     SELECT doc_id, lower(text) AS t,
            unnest(generate_series(1, greatest(length(text) - {LSH_K - 1}, 1))) AS i
-    FROM corpus WHERE length(text) >= {LSH_K}
+    FROM {src} WHERE length(text) >= {LSH_K}
   )
   WHERE length(substring(t, CAST(i AS INTEGER), {LSH_K})) = {LSH_K}
 ),
-hashed AS (SELECT doc_id, {ph} AS h FROM sh),
-sigs AS (SELECT doc_id, {mh_cols} FROM hashed GROUP BY doc_id),
-banded AS ({band_selects}),
-cand AS (
+{p}hashed AS (SELECT doc_id, {ph} AS h FROM {p}sh),
+{p}sigs AS (SELECT doc_id, {mh_cols} FROM {p}hashed GROUP BY doc_id),
+{p}banded AS ({band_selects}),
+{p}cand AS (
   SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
-  FROM banded l JOIN banded r
+  FROM {p}banded l JOIN {p}banded r
     ON l.band_idx = r.band_idx AND l.band_hash = r.band_hash AND l.doc_id < r.doc_id
 )"""
+
+
+def _sql_lsh_cte() -> str:
+    """The corpus -> shingle -> minhash -> banded -> candidate-pair
+    CTE chain, shared by the LSH-pairs oracle and the jaccard-verify
+    oracle."""
+    return f"""{_SQL_CORPUS},
+{_sql_lsh_chain("corpus")}"""
 
 
 def _sql_lsh_pairs() -> str:
@@ -2983,36 +3026,45 @@ HAVING count(*) >= 2
 """
 
 
+def _sql_verified_chain(
+    src: str, k: int = 12, min_j: float = 0.4, prefix: str = ""
+) -> str:
+    """grams/sizes/inter/verified CTE bodies over relation `src`,
+    consuming the candidate pairs of `{prefix}cand`."""
+    p = prefix
+    return f"""{p}grams AS (
+  SELECT DISTINCT doc_id, substring(t, CAST(i AS INTEGER), {k}) AS shingle
+  FROM (
+    SELECT doc_id, lower(text) AS t,
+           unnest(generate_series(1, greatest(length(text) - {k - 1}, 1))) AS i
+    FROM {src} WHERE length(lower(text)) >= {k}
+  )
+  WHERE length(substring(t, CAST(i AS INTEGER), {k})) = {k}
+),
+{p}sizes AS (SELECT doc_id, count(*) AS n FROM {p}grams GROUP BY doc_id),
+{p}inter AS (
+  SELECT c.id_a, c.id_b, count(*) AS n_common
+  FROM {p}cand c
+  JOIN {p}grams l ON l.doc_id = c.id_a
+  JOIN {p}grams r ON r.doc_id = c.id_b AND r.shingle = l.shingle
+  GROUP BY c.id_a, c.id_b
+),
+{p}verified AS (
+  SELECT id_a, id_b,
+         round(CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common), 6) AS jaccard
+  FROM {p}inter
+  JOIN {p}sizes sa ON sa.doc_id = id_a
+  JOIN {p}sizes sb ON sb.doc_id = id_b
+  WHERE CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common) >= {min_j}
+)"""
+
+
 def _sql_ngram_verified_cte(k: int = 12, min_j: float = 0.4) -> str:
     """CTE chain ending in `verified(id_a, id_b, jaccard)` - the
     LSH-then-verify pair list, shared by the jaccard query and the
     cluster/survivor oracles."""
     return f"""{_sql_lsh_cte()},
-grams AS (
-  SELECT DISTINCT doc_id, substring(t, CAST(i AS INTEGER), {k}) AS shingle
-  FROM (
-    SELECT doc_id, lower(text) AS t,
-           unnest(generate_series(1, greatest(length(text) - {k - 1}, 1))) AS i
-    FROM corpus WHERE length(lower(text)) >= {k}
-  )
-  WHERE length(substring(t, CAST(i AS INTEGER), {k})) = {k}
-),
-sizes AS (SELECT doc_id, count(*) AS n FROM grams GROUP BY doc_id),
-inter AS (
-  SELECT c.id_a, c.id_b, count(*) AS n_common
-  FROM cand c
-  JOIN grams l ON l.doc_id = c.id_a
-  JOIN grams r ON r.doc_id = c.id_b AND r.shingle = l.shingle
-  GROUP BY c.id_a, c.id_b
-),
-verified AS (
-  SELECT id_a, id_b,
-         round(CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common), 6) AS jaccard
-  FROM inter
-  JOIN sizes sa ON sa.doc_id = id_a
-  JOIN sizes sb ON sb.doc_id = id_b
-  WHERE CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common) >= {min_j}
-)"""
+{_sql_verified_chain("corpus", k, min_j)}"""
 
 
 def _sql_ngram_jaccard(k: int = 12, min_j: float = 0.4) -> str:
@@ -3873,6 +3925,97 @@ SELECT source, pred_lang, count(*) AS n_docs,
        CAST(min(doc_id) AS BIGINT) AS first_doc
 FROM kept WHERE doc_id IN (SELECT keep_id FROM surv)
 GROUP BY source, pred_lang
+"""
+
+    # the composed pipeline: curate -> LSH-verify near-dup removal ->
+    # decontamination vs the held-out slice -> DSIR weights; every
+    # fragment mirrors its standalone oracle exactly
+    _ph_dtok = _SQL_PORTABLE_HASH.format(x="tok")
+    sqls["curate_full"] = f"""
+WITH gated AS (
+  SELECT doc_id, source, text,
+         len(regexp_extract_all(text, '\\S+')) AS n_tokens
+  FROM documents
+  WHERE doc_id % 100 <> 0
+    AND len(regexp_extract_all(text, '\\S+')) BETWEEN 10 AND 5000
+    AND CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE)
+        / length(text) >= 0.4
+),
+scored AS (
+  SELECT doc_id, source, text, n_tokens,
+       {lang_scores}
+  FROM gated
+),
+langed AS (
+  SELECT doc_id, source, text, n_tokens, {pred_chain} AS pred_lang
+  FROM scored
+),
+kept AS (SELECT * FROM langed WHERE pred_lang <> 'und'),
+surv AS (SELECT md5(text) AS digest, min(doc_id) AS keep_id FROM kept GROUP BY 1),
+cur AS (SELECT * FROM kept WHERE doc_id IN (SELECT keep_id FROM surv)),
+{_sql_lsh_chain("cur", prefix="cf_")},
+{_sql_verified_chain("cur", k=LSH_K, min_j=0.4, prefix="cf_")},
+cur2 AS (
+  SELECT * FROM cur WHERE doc_id NOT IN (SELECT id_b FROM cf_verified)
+),
+eval_grams AS (
+  SELECT DISTINCT substring(t, CAST(i AS INTEGER), 13) AS gram
+  FROM (
+    SELECT lower(text) AS t,
+           unnest(generate_series(1, length(text) - 12)) AS i
+    FROM documents WHERE doc_id % 100 = 0 AND length(text) >= 13
+  )
+),
+doc_grams AS (
+  SELECT DISTINCT doc_id, substring(t, CAST(i AS INTEGER), 13) AS gram
+  FROM (
+    SELECT doc_id, lower(text) AS t,
+           unnest(generate_series(1, length(text) - 12)) AS i
+    FROM cur2 WHERE length(text) >= 13
+  )
+),
+cont AS (
+  SELECT d.doc_id, count(*) AS n_grams,
+         sum(CASE WHEN e.gram IS NOT NULL THEN 1 ELSE 0 END) AS n_cont
+  FROM doc_grams d LEFT JOIN eval_grams e ON d.gram = e.gram
+  GROUP BY d.doc_id
+),
+dirty AS (
+  SELECT doc_id FROM cont WHERE n_cont / CAST(n_grams AS DOUBLE) > 0.5
+),
+cur3 AS (SELECT * FROM cur2 WHERE doc_id NOT IN (SELECT doc_id FROM dirty)),
+dtoks AS (
+  SELECT doc_id, (pred_lang = 'en') AS is_t,
+         unnest(regexp_extract_all(lower(text), '[a-z]{{2,}}')) AS tok
+  FROM cur3
+),
+db AS (SELECT doc_id, is_t, {_ph_dtok} % {DSIR_BUCKETS} AS bucket FROM dtoks),
+dbc AS (
+  SELECT bucket, count(*) AS n_raw,
+         sum(CASE WHEN is_t THEN 1 ELSE 0 END) AS n_tgt
+  FROM db GROUP BY bucket
+),
+dtot AS (
+  SELECT count(*) AS t_raw,
+         sum(CASE WHEN is_t THEN 1 ELSE 0 END) AS t_tgt
+  FROM db
+),
+dlr AS (
+  SELECT bucket,
+         CAST(round((ln((n_tgt + 1) / (t_tgt + {float(DSIR_BUCKETS)}))
+                     - ln((n_raw + 1) / (t_raw + {float(DSIR_BUCKETS)})))
+                    * 1000000) AS BIGINT) AS lr_micro
+  FROM dbc, dtot
+),
+w AS (
+  SELECT db.doc_id,
+         round(CAST(sum(dlr.lr_micro) AS DOUBLE) / 1000000.0, 6) AS logw
+  FROM db JOIN dlr ON db.bucket = dlr.bucket GROUP BY db.doc_id
+)
+SELECT c.doc_id, c.source, c.pred_lang,
+       CAST(c.n_tokens AS BIGINT) AS n_tokens,
+       round(coalesce(w.logw, 0.0), 6) + 0.0 AS logw
+FROM cur3 c LEFT JOIN w ON c.doc_id = w.doc_id
 """
 
     sqls["minhash_lsh_pairs"] = _sql_lsh_pairs()

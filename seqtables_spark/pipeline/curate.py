@@ -13,9 +13,15 @@ group-by on the content digest).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, functions as F
 
-from .dedup import exact_dedup
+from .dedup import (
+    contamination_check,
+    exact_dedup,
+    minhash_candidate_pairs,
+    ngram_jaccard_pairs,
+)
+from .sampling import dsir_weights
 from .text import language_id
 
 
@@ -54,3 +60,102 @@ def curate_documents(
         F.col("keep_id").alias(id_col)
     )
     return langed.join(survivors, id_col, "left_semi")
+
+
+def curate_documents_full(
+    df: DataFrame,
+    eval_set: DataFrame | None = None,
+    near_dup: bool = True,
+    lsh_hashes: int = 8,
+    lsh_bands: int = 2,
+    shingle_k: int = 12,
+    min_jaccard: float = 0.4,
+    contamination_k: int = 13,
+    max_contamination: float = 0.05,
+    dsir_target: Column | None = None,
+    dsir_buckets: int = 1024,
+    min_tokens: int = 10,
+    max_tokens: int = 5000,
+    min_alpha_ratio: float = 0.4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    materialize_stages: bool = False,
+) -> DataFrame:
+    """The WHOLE pre-training curation pipeline composed end to end:
+
+      quality gate -> language filter -> exact dedup
+        -> near-dup removal (MinHash-LSH candidates, exact-Jaccard
+           verify, greedy pairwise survivor policy: a doc is dropped
+           iff a verified near-duplicate with a SMALLER id exists -
+           deterministic, no recursion, engine-portable)
+        -> benchmark decontamination (docs whose `contamination_k`-
+           gram overlap with `eval_set` exceeds `max_contamination`
+           are dropped; docs too short to produce grams are kept)
+        -> DSIR importance weights toward `dsir_target` (a boolean
+           Column over the curated columns, e.g. pred_lang == 'en'),
+           attached as `logw` (0.0 for docs with no scoring tokens).
+
+    Every stage is an existing operator; the composition stays lazy
+    DataFrame plans, so the scan-side gate predicates still push down
+    and each successive stage only touches survivors. Cost order at
+    100 TB: the row-local gates run in the scan, the exact-dedup
+    digest shuffle sees only gated rows, the quadratic-risk stages
+    (LSH verify) see only exact-unique rows, and the gram explosion
+    for decontamination sees only near-dup survivors. The one
+    eager action is the contamination count-guard on the EVAL side
+    (see contamination_check).
+
+    ``materialize_stages=True`` localCheckpoints the curated relation
+    (and the near-dup survivors) - the downstream stages fan out over
+    the SAME curated rows up to seven times (LSH signatures, verify
+    grams, anti-joins, contamination grams, DSIR tokens, final
+    projection), and without a materialization boundary Catalyst
+    re-analyzes the whole curation subtree (a large language-ID
+    expression forest) per branch and the executor re-computes it per
+    consumer. Measured: ~30 s cold -> a few seconds with boundaries.
+    At 100 TB this is exactly where a pipeline writes its curated
+    corpus to storage anyway; localCheckpoint is the in-session
+    stand-in (blocks are reclaimed by the ContextCleaner when the
+    DataFrame is garbage-collected).
+    """
+    cur = curate_documents(
+        df,
+        min_tokens=min_tokens,
+        max_tokens=max_tokens,
+        min_alpha_ratio=min_alpha_ratio,
+        text_col=text_col,
+        id_col=id_col,
+    )
+    if materialize_stages:
+        cur = cur.localCheckpoint(eager=True)
+    if near_dup:
+        cand = minhash_candidate_pairs(
+            cur, n_hashes=lsh_hashes, bands=lsh_bands, k=shingle_k,
+            text_col=text_col, id_col=id_col,
+        )
+        pairs = ngram_jaccard_pairs(
+            cur, k=shingle_k, min_jaccard=min_jaccard,
+            text_col=text_col, id_col=id_col, candidates=cand,
+        )
+        losers = pairs.select(F.col("id_b").alias(id_col)).distinct()
+        cur = cur.join(losers, id_col, "left_anti")
+        if materialize_stages:
+            cur = cur.localCheckpoint(eager=True)
+    if eval_set is not None:
+        cont = contamination_check(
+            cur, eval_set, k=contamination_k,
+            text_col=text_col, id_col=id_col,
+        )
+        dirty = cont.filter(
+            F.col("contamination") > max_contamination
+        ).select(id_col)
+        cur = cur.join(dirty, id_col, "left_anti")
+    if dsir_target is not None:
+        w = dsir_weights(
+            cur, dsir_target, text_col=text_col, id_col=id_col,
+            n_buckets=dsir_buckets,
+        )
+        cur = cur.join(
+            w.select(id_col, F.col("logw")), id_col, "left"
+        ).withColumn("logw", F.coalesce(F.col("logw"), F.lit(0.0)))
+    return cur

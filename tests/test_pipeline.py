@@ -631,3 +631,51 @@ def test_curate_documents_equals_stagewise_bruteforce(spark):
             surv.setdefault(text, d)
         want = sorted(surv.values())
         assert got == want, f"trial {trial}"
+
+
+def test_curate_documents_full_every_stage_fires(spark):
+    """One synthetic corpus where each pipeline stage has a designated
+    victim: gate (too short), exact dup, near-dup (truncated twin),
+    contamination (verbatim eval copy), plus a clean survivor that
+    must come out the other end carrying a DSIR weight."""
+    from pyspark.sql import functions as F
+
+    from seqtables_spark.pipeline.curate import curate_documents_full
+
+    base = (
+        "the quick brown fox jumps over the lazy dog while the rain "
+        "in spain falls mainly on the plain and the cat sat on the mat"
+    )
+    other = (
+        "completely different subject matter here with many woodland "
+        "animals wandering forests and rivers beneath ancient trees"
+    )
+    eval_text = (
+        "held out benchmark prompt that must never leak into the "
+        "training corpus under any circumstances at all ever"
+    )
+    rows = [
+        (1, base),                      # survivor
+        (2, "too short"),               # gate victim
+        (3, base),                      # exact-dup victim (same digest as 1)
+        (4, base[:-6]),                 # near-dup victim (truncated twin of 1)
+        (5, eval_text + " " + eval_text),  # contamination victim
+        (6, other),                     # second survivor
+    ]
+    corpus = spark.createDataFrame(rows, "doc_id long, text string")
+    eval_set = spark.createDataFrame([(100, eval_text)], "doc_id long, text string")
+    out = curate_documents_full(
+        corpus,
+        eval_set=eval_set,
+        lsh_hashes=8,
+        lsh_bands=2,
+        shingle_k=12,
+        min_jaccard=0.4,
+        max_contamination=0.5,
+        dsir_target=F.col("pred_lang") == "en",
+        min_tokens=5,
+    ).collect()
+    got = {r.doc_id: r for r in out}
+    assert set(got) == {1, 6}
+    for r in got.values():
+        assert r.logw is not None
