@@ -530,8 +530,17 @@ def ngram_jaccard_pairs(
     id_col: str = "doc_id",
     candidates: DataFrame | None = None,
     max_doc_freq: int | None = None,
+    with_containment: bool = False,
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity for candidate pairs.
+
+    ``with_containment=True`` (candidates path only) adds
+    `containment_a` = |A∩B|/|A| and `containment_b` = |A∩B|/|B| -
+    the asymmetric scores that catch a document EMBEDDED in another
+    (quote-expansion, boilerplate wrapping), which symmetric Jaccard
+    under-scores: a 100-gram doc fully contained in a 10000-gram doc
+    has J≈0.01 but containment_a = 1.0. Rows pass the filter when
+    jaccard OR either containment clears `min_jaccard`.
 
     Without `candidates`: inverted-index join - docs sharing an n-gram
     meet in that n-gram's posting list; |intersection| falls out of a
@@ -583,13 +592,22 @@ def ngram_jaccard_pairs(
                 F.size("sh_b").alias("n_b"),
             )
         )
+        jac = (
+            F.col("n_common")
+            / (F.col("n_a") + F.col("n_b") - F.col("n_common"))
+        ).alias("jaccard")
+        if with_containment:
+            ca = (F.col("n_common") / F.col("n_a")).alias("containment_a")
+            cb = (F.col("n_common") / F.col("n_b")).alias("containment_b")
+            return inter.select("id_a", "id_b", jac, ca, cb).filter(
+                (F.col("jaccard") >= min_jaccard)
+                | (F.col("containment_a") >= min_jaccard)
+                | (F.col("containment_b") >= min_jaccard)
+            )
         return inter.select(
             "id_a",
             "id_b",
-            (
-                F.col("n_common")
-                / (F.col("n_a") + F.col("n_b") - F.col("n_common"))
-            ).alias("jaccard"),
+            jac,
         ).filter(F.col("jaccard") >= min_jaccard)
     sh = shingles(df, k=k, text_col=text_col, id_col=id_col)
     if block_cols:

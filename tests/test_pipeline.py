@@ -679,3 +679,27 @@ def test_curate_documents_full_every_stage_fires(spark):
     assert set(got) == {1, 6}
     for r in got.values():
         assert r.logw is not None
+
+
+def test_ngram_jaccard_containment_catches_embedded_doc(spark):
+    """A short doc fully embedded in a long one: symmetric Jaccard is
+    tiny, containment_a is 1.0 - the asymmetric mode must surface the
+    pair the symmetric filter misses."""
+    short = "abcdefghij"
+    filler = " ".join(f"word{i}token" for i in range(60))
+    long_ = "zz " + short + " " + filler
+    d = spark.createDataFrame(
+        [(1, short), (2, long_)], "doc_id long, text string"
+    )
+    cand = spark.createDataFrame([(1, 2)], "id_a long, id_b long")
+    sym = ngram_jaccard_pairs(
+        d, k=3, min_jaccard=0.5, candidates=cand
+    ).collect()
+    assert sym == []  # symmetric jaccard misses it
+    rows = ngram_jaccard_pairs(
+        d, k=3, min_jaccard=0.5, candidates=cand, with_containment=True
+    ).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["containment_a"] == 1.0  # every short-doc gram is in long
+    assert r["jaccard"] < 0.5 and r["containment_b"] < 0.5
