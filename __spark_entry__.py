@@ -2117,6 +2117,22 @@ def q_source_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kept.groupBy("source").agg(F.count(F.lit(1)).alias("n_kept"))
 
 
+TRAINING_ORDER_SEED = 7
+
+
+def q_training_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training prep: seeded deterministic global corpus shuffle
+    (pipeline/sampling.training_order) - a value-exact pseudo-random
+    permutation ranked by the DISTRIBUTED 2-phase row number, the
+    step that orders documents before writing training shards."""
+    from seqtables_spark.pipeline.sampling import training_order
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    return training_order(docs, seed=TRAINING_ORDER_SEED).select(
+        "doc_id", "position"
+    )
+
+
 def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Training prep: offset-pack documents into ~2048-token bins per
     lang shard (deterministic doc_id order); straddle counts size the
@@ -2470,6 +2486,7 @@ _ORACLE_PRIORITY = [
     "perplexity_scores", "small_quantity_revenue",
     "pending_orders_priority", "customer_setops",
     "bowtie_align", "streaming_near_dup", "curate_full",
+    "training_order",
     "asof_forward", "asof_nearest", "asof_purchase_click",
     "kmv_users", "bloom_contamination", "contamination",
     "customer_deciles", "event_quantiles", "ngram_jaccard",
@@ -2577,6 +2594,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition": q_repetition,
         "pii_scan": q_pii_scan,
         "pack_sequences": q_pack_sequences,
+        "training_order": q_training_order,
         "chunk_documents": q_chunk_documents,
         "stratified_sample": q_stratified_sample,
         "source_mix": q_source_mix,
@@ -4517,6 +4535,16 @@ SELECT source, count(*) AS n_kept
 FROM documents
 WHERE ({ph_doc}) % 1000000 < (CASE source {mix_cases} ELSE 0.1 END) * 1000000
 GROUP BY source
+"""
+
+    _ph_shuf = _SQL_PORTABLE_HASH.format(
+        x=f"concat_ws(':', '{TRAINING_ORDER_SEED}', CAST(doc_id AS VARCHAR))"
+    )
+    sqls["training_order"] = f"""
+WITH k AS (SELECT doc_id, {_ph_shuf} AS h FROM documents)
+SELECT doc_id,
+       CAST(row_number() OVER (ORDER BY h, doc_id) AS INTEGER) AS position
+FROM k
 """
 
     sqls["pack_sequences"] = """

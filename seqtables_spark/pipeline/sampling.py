@@ -134,3 +134,34 @@ def dsir_weights(
             F.round(F.sum("lr_micro") / 1_000_000.0, 6).alias("logw"),
         )
     )
+
+
+def training_order(
+    df: DataFrame,
+    seed: int = 0,
+    id_col: str = "doc_id",
+    out_col: str = "position",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Seeded deterministic global training order: every row gets a
+    1-based `position` in a pseudo-random permutation - the "shuffle
+    the corpus before writing training shards" step.
+
+    Order key = portable hash of (seed, id), tie-broken by id, ranked
+    with the 2-phase distributed global_row_number (operators/ranks) -
+    never a single-task sort, never rand() (stable under task retry,
+    reproducible by any engine with md5, so the permutation itself
+    carries a value-exact oracle). Re-seeding re-shuffles; the same
+    seed always yields the same order on any cluster."""
+    from ..operators.ranks import global_row_number
+
+    key = portable_string_hash(
+        F.concat_ws(":", F.lit(str(seed)), F.col(id_col).cast("string"))
+    )
+    ranked = global_row_number(
+        df.withColumn("__shuffle_key__", key),
+        [F.col("__shuffle_key__").asc(), F.col(id_col).asc()],
+        out_col=out_col,
+        num_partitions=num_partitions,
+    )
+    return ranked.drop("__shuffle_key__")
