@@ -250,3 +250,60 @@ def test_streaming_near_dup_buckets_matches_batch(spark, tmp_path):
     # the planted twins share at least one bucket; doc 3 shares none
     dup_buckets = {k: v for k, v in got.items() if v[0] >= 2}
     assert dup_buckets and all(v[1] == 1 for v in dup_buckets.values())
+
+
+def test_streaming_near_dup_incremental_micro_batches(spark, tmp_path):
+    """True incrementality: three separate files drained one per
+    micro-batch (maxFilesPerTrigger=1) must converge to the same
+    bucket occupancy as one batch over everything - including a
+    near-dup pair SPLIT ACROSS different micro-batches (the state
+    store carries the first doc's buckets until its twin arrives)."""
+    from seqtables_spark.pipeline.dedup import minhash_band_keys
+    from seqtables_spark.streaming.ingest import streaming_near_dup_buckets
+
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    files = [
+        [(1, base)],
+        [(2, "a completely different document about rivers and trees")],
+        [(3, base + "!!")],  # twin of doc 1, arrives two batches later
+    ]
+    d = tmp_path / "docs"
+    d.mkdir()
+    for i, rows in enumerate(files):
+        spark.createDataFrame(rows, "doc_id long, text string").coalesce(
+            1
+        ).write.parquet(str(d / f"part{i}"))
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(d / "part*"))
+    )
+    q = (
+        streaming_near_dup_buckets(stream, n_hashes=8, bands=2, k=12)
+        .writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("near_dup_incr")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    assert len(q.recentProgress) >= 3  # genuinely several micro-batches
+    got = {
+        (r.band_idx, r.band_hash): (r.n_docs, r.first_doc)
+        for r in spark.table("near_dup_incr").collect()
+    }
+    all_rows = [r for f in files for r in f]
+    df = spark.createDataFrame(all_rows, "doc_id long, text string")
+    want = {
+        (r.band_idx, r.band_hash): (r.n_docs, r.first_doc)
+        for r in minhash_band_keys(df, n_hashes=8, bands=2, k=12)
+        .groupBy("band_idx", "band_hash")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("doc_id").alias("first_doc"),
+        )
+        .collect()
+    }
+    assert got == want
+    # the cross-batch twin pair was detected
+    assert any(v[0] >= 2 and v[1] == 1 for v in got.values())
