@@ -55,6 +55,90 @@ def _fake_decode_image(payload: bytes, n_features: int = 8) -> list[float]:
     return out
 
 
+MEDIA_MAGIC = {
+    b"\x89PNG\r\n\x1a\n": "png",
+    b"\xff\xd8\xff": "jpeg",
+    b"GIF8": "gif",
+    b"P6": "ppm",
+    b"P5": "pgm",
+    b"RIFF": "riff",  # wav/avi/webp container; bytes 8-11 disambiguate
+    b"fLaC": "flac",
+    b"OggS": "ogg",
+}
+
+
+def detect_media_type(payload_col: str = "payload"):
+    """Column expr: media type from MAGIC BYTES (no decode, pure
+    built-ins) - the first triage step over an opaque binary column
+    at corpus scale. Unknown signatures -> 'unknown'."""
+    c = F.col(payload_col)
+    expr = F.lit("unknown")
+    for magic, name in reversed(list(MEDIA_MAGIC.items())):
+        expr = F.when(
+            F.substring(c, 1, len(magic)) == F.lit(magic), F.lit(name)
+        ).otherwise(expr)
+    return expr
+
+
+def decode_ppm(payload: bytes) -> "tuple":
+    """REAL decode of binary PPM (P6, RGB) / PGM (P5, gray) - the one
+    raster format that needs no codec library, parsed with numpy.
+    Returns (width, height, channels, pixel_matrix float32 in [0,1]
+    shaped (h, w, c)). Raises ValueError on anything else."""
+    import numpy as np
+
+    if payload[:2] not in (b"P6", b"P5"):
+        raise ValueError("not a binary PPM/PGM payload")
+    # header = magic, width, height, maxval as ASCII tokens; '#'
+    # comments run to end-of-line; header ends after ONE whitespace
+    # char following maxval
+    toks, i, tok = [], 2, b""
+    while len(toks) < 3 and i < len(payload):
+        ch = payload[i : i + 1]
+        if ch == b"#":
+            while i < len(payload) and payload[i : i + 1] != b"\n":
+                i += 1
+        elif ch.isspace():
+            if tok:
+                toks.append(int(tok))
+                tok = b""
+        else:
+            tok += ch
+        i += 1
+    if len(toks) < 3:
+        raise ValueError("truncated PPM header")
+    w, h, maxval = toks
+    ch = 3 if payload[:2] == b"P6" else 1
+    raw = np.frombuffer(payload, np.uint8, count=w * h * ch, offset=i)
+    return w, h, ch, raw.reshape(h, w, ch).astype(np.float32) / float(maxval)
+
+
+def _real_image_features(payload: bytes) -> "list | None":
+    """8 real features for decodable payloads (PPM/PGM): width/1e4,
+    height/1e4, aspect, per-channel means (gray replicated), gray
+    std, fill=0. None when the format needs an absent codec."""
+    import numpy as np
+
+    try:
+        w, h, ch, px = decode_ppm(bytes(payload))
+    except ValueError:
+        return None
+    means = px.mean(axis=(0, 1))
+    if ch == 1:
+        means = np.repeat(means, 3)
+    gray = px.mean(axis=2)
+    return [
+        w / 10_000.0,
+        h / 10_000.0,
+        w / float(h),
+        float(means[0]),
+        float(means[1]),
+        float(means[2]),
+        float(gray.std()),
+        0.0,
+    ]
+
+
 def decode_image_features(
     df: DataFrame,
     payload_col: str = "payload",
@@ -65,19 +149,18 @@ def decode_image_features(
     """mapInPandas decode operator: binary -> feature vector.
 
     Arrow moves each batch of blobs to python once; the UDF is the
-    only python in the pipeline. Set real_decode=True once codec libs
-    exist (raises NotImplementedError here, by design)."""
+    only python in the pipeline. real_decode=True REALLY decodes the
+    formats that need no codec library (binary PPM/PGM, via
+    decode_ppm) and raises NotImplementedError for compressed formats
+    (PNG/JPEG need PIL - plug it into _real_image_features, nothing
+    else changes). The default keeps the deterministic sha256-derived
+    stand-in for every payload, which is what the value oracle pins."""
     if n_features > 8:
         # the sha256-derived stand-in has exactly 8 four-byte words;
         # fail at call time, not as a struct.error inside every task
         raise ValueError(
             f"decode_image_features: the stubbed decoder derives at most "
             f"8 features (sha256 digest), got n_features={n_features}"
-        )
-    if real_decode:
-        raise NotImplementedError(
-            "media codecs not available in this environment; "
-            "plug PIL/torchvision into _fake_decode_image"
         )
 
     def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -88,16 +171,28 @@ def decode_image_features(
         for pdf in batches:
             blobs = [bytes(p) for p in pdf[payload_col]]
             n = len(blobs)
-            # ---- SPLICE POINT for a real codec ---------------------
-            # this digest loop is the decode stand-in: a production
-            # build replaces it with the batched model/codec call
-            # (PIL/torchvision: decode each blob -> one stacked
-            # (n, H, W, C) array -> one batched embed). Everything
-            # below it is already batch array ops and stays unchanged.
             digests = b"".join(hashlib.sha256(b).digest() for b in blobs)
-            # --------------------------------------------------------
-            dg = np.frombuffer(digests, dtype=">u4").reshape(n, 8)
-            feats_mat = (dg[:, :n_features] % 10_000) / 10_000.0
+            if real_decode:
+                feats = []
+                for b in blobs:
+                    f8 = _real_image_features(b)
+                    if f8 is None:
+                        raise NotImplementedError(
+                            "compressed image codecs (PNG/JPEG) are not in "
+                            "this environment - plug PIL into "
+                            "_real_image_features; PPM/PGM decode natively"
+                        )
+                    feats.append(f8)
+                feats_mat = np.asarray(feats, np.float32)
+            else:
+                # ---- SPLICE POINT for a real codec -----------------
+                # digest reuse = decode stand-in; production replaces
+                # it with a batched codec/model call ((n,H,W,C) stack
+                # -> batched embed). Everything around it stays.
+                dg = np.frombuffer(digests, dtype=">u4").reshape(n, 8)
+                feats_mat = ((dg[:, :n_features] % 10_000) / 10_000.0).astype(
+                    np.float32
+                )
             hex_all = binascii.hexlify(digests).decode("ascii")
             yield pd.DataFrame(
                 {
@@ -106,7 +201,7 @@ def decode_image_features(
                         (len(b) for b in blobs), np.int64, n
                     ),
                     "sha256": [hex_all[i * 64 : (i + 1) * 64] for i in range(n)],
-                    "features": list(feats_mat.astype(np.float32)),
+                    "features": list(feats_mat),
                 }
             )
 

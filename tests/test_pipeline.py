@@ -703,3 +703,70 @@ def test_ngram_jaccard_containment_catches_embedded_doc(spark):
     r = rows[0]
     assert r["containment_a"] == 1.0  # every short-doc gram is in long
     assert r["jaccard"] < 0.5 and r["containment_b"] < 0.5
+
+
+def _ppm_p6(w, h, rgb_bytes, comment=False):
+    hdr = b"P6\n"
+    if comment:
+        hdr += b"# test comment\n"
+    hdr += f"{w} {h}\n255\n".encode()
+    return hdr + rgb_bytes
+
+
+def test_decode_ppm_real_decode(spark):
+    """real_decode=True REALLY decodes binary PPM/PGM - features
+    checked against numpy ground truth, comments in the header
+    handled, compressed formats raise the documented error."""
+    import numpy as np
+
+    from seqtables_spark.pipeline.multimodal import decode_image_features
+
+    rng = np.random.RandomState(5)
+    w, h = 6, 4
+    px = rng.randint(0, 256, (h, w, 3), dtype=np.uint8)
+    ppm = _ppm_p6(w, h, px.tobytes(), comment=True)
+    pgm = b"P5\n3 2\n255\n" + bytes(range(6))
+    df = spark.createDataFrame(
+        [(1, bytearray(ppm)), (2, bytearray(pgm))],
+        "media_id long, payload binary",
+    )
+    got = {
+        r.media_id: list(r.features)
+        for r in decode_image_features(df, real_decode=True).collect()
+    }
+    pxf = px.astype(np.float32) / 255.0
+    want1 = [
+        w / 1e4, h / 1e4, w / h,
+        float(pxf[:, :, 0].mean()), float(pxf[:, :, 1].mean()),
+        float(pxf[:, :, 2].mean()), float(pxf.mean(axis=2).std()), 0.0,
+    ]
+    for a, b in zip(got[1], want1):
+        assert abs(a - b) < 1e-6, (a, b)
+    g = (np.arange(6, dtype=np.float32) / 255.0).reshape(2, 3)
+    assert abs(got[2][3] - float(g.mean())) < 1e-6  # gray mean in all chans
+    assert got[2][3] == got[2][4] == got[2][5]
+
+    # compressed format -> documented NotImplementedError in the task
+    png = spark.createDataFrame(
+        [(3, bytearray(b"\x89PNG\r\n\x1a\nrest"))], "media_id long, payload binary"
+    )
+    with pytest.raises(Exception, match="PIL|NotImplemented"):
+        decode_image_features(png, real_decode=True).collect()
+
+
+def test_detect_media_type_magic_bytes(spark):
+    from seqtables_spark.pipeline.multimodal import detect_media_type
+
+    rows = [
+        (1, bytearray(b"\x89PNG\r\n\x1a\nxxxx")),
+        (2, bytearray(b"\xff\xd8\xff\xe0yyyy")),
+        (3, bytearray(b"P6\n1 1\n255\nabc")),
+        (4, bytearray(b"RIFF....WAVE")),
+        (5, bytearray(b"who knows")),
+    ]
+    df = spark.createDataFrame(rows, "media_id long, payload binary")
+    got = {
+        r.media_id: r.mt
+        for r in df.select("media_id", detect_media_type().alias("mt")).collect()
+    }
+    assert got == {1: "png", 2: "jpeg", 3: "ppm", 4: "riff", 5: "unknown"}
