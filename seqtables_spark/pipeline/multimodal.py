@@ -216,6 +216,49 @@ AUDIO_FEATURES_SCHEMA = (
 )
 
 
+def decode_wav(payload: bytes) -> "tuple":
+    """REAL decode of RIFF/WAVE PCM (8- or 16-bit) - the one audio
+    container that needs no codec library. Walks the chunk list
+    (chunks pad to even sizes), down-mixes channels by mean, and
+    returns (sample_rate, mono float32 samples in [-1, 1]). Raises
+    ValueError for non-WAV or compressed encodings."""
+    import numpy as np
+
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    i, fmt, data = 12, None, None
+    while i + 8 <= len(payload):
+        cid = payload[i : i + 4]
+        size = int.from_bytes(payload[i + 4 : i + 8], "little")
+        body = payload[i + 8 : i + 8 + size]
+        if cid == b"fmt ":
+            fmt = body
+        elif cid == b"data":
+            data = body
+        i += 8 + size + (size & 1)
+    if fmt is None or data is None:
+        raise ValueError("missing fmt/data chunk")
+    audio_fmt = int.from_bytes(fmt[0:2], "little")
+    n_ch = max(1, int.from_bytes(fmt[2:4], "little"))
+    rate = int.from_bytes(fmt[4:8], "little")
+    bits = int.from_bytes(fmt[14:16], "little")
+    if audio_fmt != 1 or bits not in (8, 16):
+        raise ValueError(
+            f"only PCM 8/16-bit WAV decodes natively (fmt={audio_fmt}, "
+            f"bits={bits})"
+        )
+    if bits == 16:
+        x = (
+            np.frombuffer(data, "<i2", count=len(data) // 2).astype(np.float32)
+            / 32768.0
+        )
+    else:
+        x = (np.frombuffer(data, np.uint8).astype(np.float32) - 128.0) / 128.0
+    if n_ch > 1:
+        x = x[: (x.size // n_ch) * n_ch].reshape(-1, n_ch).mean(axis=1)
+    return rate, x
+
+
 def decode_audio_features(
     df: DataFrame,
     payload_col: str = "payload",
@@ -227,16 +270,16 @@ def decode_audio_features(
     """mapInPandas audio decode operator: binary -> per-window energy
     features + duration (the audio twin of decode_image_features).
 
-    The decode is STUBBED deterministically — payload bytes stand in
-    for PCM samples (1 byte = 1 sample), window energy = mean |byte|
-    per window normalized to [0,1]; swap in soundfile/ffmpeg for
-    production, the operator shape (Arrow batch in, fixed schema out)
-    is unchanged."""
-    if real_decode:
-        raise NotImplementedError(
-            "audio codecs not available in this environment; "
-            "plug soundfile/ffmpeg into the window fold"
-        )
+    Default path: the decode is STUBBED deterministically — payload
+    bytes stand in for PCM samples (1 byte = 1 sample at the given
+    sample_rate), window energy = mean |byte| per window normalized
+    to [0,1] — which is what the value oracle pins. real_decode=True
+    REALLY decodes the container that needs no codec library
+    (RIFF/WAVE PCM 8/16-bit via decode_wav, honoring each file's OWN
+    sample rate and down-mixing channels) and raises
+    NotImplementedError for compressed audio (flac/ogg/mp3 need
+    soundfile/ffmpeg — plug them into decode_wav's place, the window
+    fold is unchanged)."""
     win = max(1, int(sample_rate * window_s))
 
     def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -246,6 +289,39 @@ def decode_audio_features(
             blobs = [bytes(p) for p in pdf[payload_col]]
             n = len(blobs)
             lens = np.fromiter((len(b) for b in blobs), np.int64, n)
+            if real_decode:
+                n_bytes, durs, n_wins, energies = [], [], [], []
+                for b in blobs:
+                    try:
+                        rate, x = decode_wav(b)
+                    except ValueError as exc:
+                        raise NotImplementedError(
+                            "compressed audio codecs are not in this "
+                            "environment - plug soundfile/ffmpeg in place "
+                            f"of decode_wav; PCM WAV decodes natively ({exc})"
+                        ) from exc
+                    w = max(1, int(rate * window_s))
+                    n_bytes.append(len(b))
+                    durs.append(x.size / float(rate))
+                    if x.size == 0:
+                        n_wins.append(1)
+                        energies.append(np.zeros(1, np.float32))
+                        continue
+                    starts = np.arange(0, x.size, w)
+                    sums = np.add.reduceat(np.abs(x), starts)
+                    wl = np.minimum(x.size - starts, w)
+                    n_wins.append(starts.size)
+                    energies.append((sums / wl).astype(np.float32))
+                yield pd.DataFrame(
+                    {
+                        "media_id": pdf[id_col].astype("int64"),
+                        "n_bytes": pd.Series(n_bytes, dtype="int64"),
+                        "duration_s": pd.Series(durs, dtype="float64"),
+                        "n_windows": pd.Series(n_wins, dtype="int32"),
+                        "window_energy": energies,
+                    }
+                )
+                continue
             # ---- SPLICE POINT for a real codec ---------------------
             # bytes-as-PCM is the decode stand-in; a production build
             # replaces this concat with soundfile/ffmpeg decoding each

@@ -469,3 +469,51 @@ def test_cells_honors_phred_adjust(spark):
         for r in SeqTable(reads, phred_adjust=64).cells().collect()
     }
     assert q33[1] == ord("A") - 33 and q64[1] == ord("A") - 64
+
+
+def test_decode_audio_real_wav(spark):
+    """real_decode=True really parses RIFF/WAVE PCM: 16-bit mono with
+    a known constant amplitude gives exact window energies at the
+    file's OWN sample rate; stereo down-mixes by mean; compressed
+    formats raise the documented error."""
+    import numpy as np
+
+    from seqtables_spark.pipeline.multimodal import decode_audio_features
+
+    def wav(rate, samples_i16, n_ch=1):
+        data = np.asarray(samples_i16, "<i2").tobytes()
+        fmt = (
+            (1).to_bytes(2, "little") + n_ch.to_bytes(2, "little")
+            + rate.to_bytes(4, "little")
+            + (rate * n_ch * 2).to_bytes(4, "little")
+            + (n_ch * 2).to_bytes(2, "little") + (16).to_bytes(2, "little")
+        )
+        body = b"fmt " + len(fmt).to_bytes(4, "little") + fmt
+        body += b"data" + len(data).to_bytes(4, "little") + data
+        return b"RIFF" + (4 + len(body)).to_bytes(4, "little") + b"WAVE" + body
+
+    rate = 8  # 8 samples/s -> window_s=1.0 means 8-sample windows
+    # 12 samples of constant +16384 (= 0.5 amplitude): windows of 8+4
+    mono = wav(rate, [16384] * 12)
+    # stereo: L=+16384, R=-16384 -> mean 0 everywhere
+    stereo = wav(rate, [16384, -16384] * 8, n_ch=2)
+    df = spark.createDataFrame(
+        [(1, bytearray(mono)), (2, bytearray(stereo))],
+        "media_id long, payload binary",
+    )
+    got = {
+        r.media_id: r
+        for r in decode_audio_features(df, real_decode=True).collect()
+    }
+    assert abs(got[1].duration_s - 12 / 8) < 1e-12
+    assert got[1].n_windows == 2
+    assert all(abs(e - 0.5) < 1e-6 for e in got[1].window_energy)
+    assert got[2].n_windows == 1 and abs(got[2].window_energy[0]) < 1e-6
+
+    import pytest as _pytest
+
+    flac = spark.createDataFrame(
+        [(3, bytearray(b"fLaC....."))], "media_id long, payload binary"
+    )
+    with _pytest.raises(Exception, match="soundfile|NotImplemented"):
+        decode_audio_features(flac, real_decode=True).collect()
