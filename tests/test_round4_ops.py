@@ -120,3 +120,20 @@ def test_aqe_skew_join_splits_hot_key_end_to_end(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+@pytest.mark.parametrize("seed", [0, 7])
+def test_training_order_is_seeded_permutation(spark, seed):
+    from seqtables_spark.pipeline.sampling import training_order
+
+    df = spark.range(500).selectExpr("id AS doc_id")
+    rows = training_order(df, seed=seed, num_partitions=4).collect()
+    pos = sorted(r.position for r in rows)
+    assert pos == list(range(1, 501))  # exact 1..N permutation
+    # deterministic: same seed -> same order; different seed -> different
+    again = {r.doc_id: r.position for r in
+             training_order(df, seed=seed, num_partitions=7).collect()}
+    assert {r.doc_id: r.position for r in rows} == again
+    other = {r.doc_id: r.position for r in
+             training_order(df, seed=seed + 1, num_partitions=4).collect()}
+    assert again != other
