@@ -251,10 +251,14 @@ def test_decode_image_features_deterministic(spark):
     assert all(0.0 <= v < 1.0 for v in feats[1])
 
 
-def test_decode_real_raises(spark):
+def test_decode_real_raises_for_codec_formats(spark):
+    """real_decode now genuinely decodes PPM/PGM (see
+    test_decode_ppm_real_decode); a payload needing an absent codec
+    still raises the documented error - lazily, inside the task,
+    since decodability is per-payload."""
     df = spark.createDataFrame([(1, bytearray(b"x"))], "media_id long, payload binary")
-    with pytest.raises(NotImplementedError):
-        decode_image_features(df, real_decode=True)
+    with pytest.raises(Exception, match="PIL|NotImplemented"):
+        decode_image_features(df, real_decode=True).collect()
 
 
 def test_frame_sample_plan(spark):
