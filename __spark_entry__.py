@@ -4543,7 +4543,7 @@ GROUP BY source
     sqls["training_order"] = f"""
 WITH k AS (SELECT doc_id, {_ph_shuf} AS h FROM documents)
 SELECT doc_id,
-       CAST(row_number() OVER (ORDER BY h, doc_id) AS INTEGER) AS position
+       CAST(row_number() OVER (ORDER BY h, doc_id) AS BIGINT) AS position
 FROM k
 """
 

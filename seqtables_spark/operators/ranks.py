@@ -79,9 +79,13 @@ def global_row_number(
     expressions, e.g. [F.col('x').desc(), F.col('id')]), computed with
     bounded per-task state (see module docstring)."""
     local, offsets = _ranked_parts(df, order_by, num_partitions)
+    # long, not int: the global rank exceeds int32 past ~2.147B rows
+    # (routine at the module's target scale) and a non-ANSI int cast
+    # would wrap silently. Only the tile NUMBER in global_ntile stays
+    # int (n is small by construction).
     return (
         local.join(F.broadcast(offsets.select("__pid__", "__off__")), "__pid__")
-        .withColumn(out_col, (F.col("__lrn__") + F.col("__off__")).cast("int"))
+        .withColumn(out_col, (F.col("__lrn__") + F.col("__off__")).cast("long"))
         .drop("__pid__", "__lrn__")
     )
 

@@ -529,7 +529,7 @@ def ngram_jaccard_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
     candidates: DataFrame | None = None,
-    max_doc_freq: int | None = None,
+    max_doc_freq: int | None = 256,
     with_containment: bool = False,
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity for candidate pairs.
@@ -548,12 +548,16 @@ def ngram_jaccard_pairs(
     (e.g. ('lang',)) restrict candidates. Quadratic in posting-list
     length: a shingle shared by d docs contributes d*(d-1)/2 join rows,
     so one stop-gram shared by 10k docs is a 5*10^7-row hot key.
-    `max_doc_freq` is the standard inverted-index guard: shingles whose
-    GLOBAL document frequency exceeds it are dropped from the universe
-    before the self-join (sizes |A|,|B| are recomputed over the kept
-    shingles, so the score is exact Jaccard over the informative-
-    shingle universe - ultra-common grams carry no similarity signal,
-    the same reasoning as stopword removal). At corpus scale pass
+    `max_doc_freq` is the standard inverted-index guard and is ON BY
+    DEFAULT (256): shingles whose GLOBAL document frequency exceeds it
+    are dropped from the universe before the self-join (sizes |A|,|B|
+    are recomputed over the kept shingles, so the score is exact
+    Jaccard over the informative-shingle universe - ultra-common grams
+    carry no similarity signal, the same reasoning as stopword
+    removal), bounding every posting list's join fan-out at
+    d*(d-1)/2 <= ~32k rows. Pass `max_doc_freq=None` ONLY when you
+    explicitly want raw all-shingle Jaccard on a corpus known to be
+    small. At corpus scale pass
     `candidates` (DF(id_a, id_b), e.g. from minhash_candidate_pairs)
     instead: verification is then fully ROW-LOCAL - each pair joins to
     its two shingle arrays and the Jaccard is one array_intersect

@@ -109,20 +109,55 @@ def decode_ppm(payload: bytes) -> "tuple":
         raise ValueError("truncated PPM header")
     w, h, maxval = toks
     ch = 3 if payload[:2] == b"P6" else 1
-    raw = np.frombuffer(payload, np.uint8, count=w * h * ch, offset=i)
+    if not (0 < maxval < 65536):
+        raise ValueError(f"invalid PPM maxval {maxval}")
+    if maxval > 255:
+        # per spec: maxval 256..65535 means 2-byte BIG-ENDIAN samples
+        raw = np.frombuffer(payload, ">u2", count=w * h * ch, offset=i)
+    else:
+        raw = np.frombuffer(payload, np.uint8, count=w * h * ch, offset=i)
     return w, h, ch, raw.reshape(h, w, ch).astype(np.float32) / float(maxval)
 
 
+def _pil_decode(payload: bytes) -> "tuple | None":
+    """Compressed-codec splice point: decode PNG/JPEG/GIF/... via PIL
+    when it is installed (guarded import - the engine container does
+    not ship it; production clusters do). Returns the same
+    (w, h, ch, float32 [0,1] pixel matrix) shape as decode_ppm, or
+    None when PIL is absent or cannot parse the payload."""
+    try:
+        import io
+
+        from PIL import Image  # optional dependency
+    except ImportError:
+        return None
+    import numpy as np
+
+    try:
+        with Image.open(io.BytesIO(payload)) as im:
+            im = im.convert("RGB")
+            px = np.asarray(im, np.float32) / 255.0
+    except Exception:
+        return None
+    h, w = px.shape[:2]
+    return w, h, 3, px
+
+
 def _real_image_features(payload: bytes) -> "list | None":
-    """8 real features for decodable payloads (PPM/PGM): width/1e4,
+    """8 real features for decodable payloads (PPM/PGM natively; any
+    PIL-supported format when PIL is installed): width/1e4,
     height/1e4, aspect, per-channel means (gray replicated), gray
     std, fill=0. None when the format needs an absent codec."""
     import numpy as np
 
+    payload = bytes(payload)
     try:
-        w, h, ch, px = decode_ppm(bytes(payload))
+        w, h, ch, px = decode_ppm(payload)
     except ValueError:
-        return None
+        decoded = _pil_decode(payload)
+        if decoded is None:
+            return None
+        w, h, ch, px = decoded
     means = px.mean(axis=(0, 1))
     if ch == 1:
         means = np.repeat(means, 3)
@@ -178,9 +213,10 @@ def decode_image_features(
                     f8 = _real_image_features(b)
                     if f8 is None:
                         raise NotImplementedError(
-                            "compressed image codecs (PNG/JPEG) are not in "
-                            "this environment - plug PIL into "
-                            "_real_image_features; PPM/PGM decode natively"
+                            "compressed image codecs (PNG/JPEG) need PIL, "
+                            "which is not installed here - with pillow on "
+                            "the executors _real_image_features decodes "
+                            "them automatically; PPM/PGM decode natively"
                         )
                     feats.append(f8)
                 feats_mat = np.asarray(feats, np.float32)

@@ -42,7 +42,17 @@ def _kmv_top_k(hashes: DataFrame, k: int, gb: list[str]) -> DataFrame:
     array agg - the sort spills through the external sorter and the
     collect_list buffer never holds more than k values per group, so
     per-group state is O(k) regardless of group cardinality (the
-    property the collect_set formulation lacked at 100 TB)."""
+    property the collect_set formulation lacked at 100 TB).
+
+    Ungrouped case (gb = []): an unpartitioned `row_number <= k`
+    window LOOKS like the single-task global-sort anti-pattern, but
+    Catalyst's InferWindowGroupLimit (Spark 3.5+) rewrites exactly
+    this shape into TakeOrderedAndProject(limit=k) - a per-partition
+    top-k followed by a k-row merge, the distributed selection a
+    hand-rolled hierarchical pre-fold would compute with two EXTRA
+    shuffles. No task ever sorts the full distinct-hash set; the
+    plan is pinned in tests/test_plans.py
+    (test_ungrouped_kmv_is_distributed_top_k)."""
     from pyspark.sql import Window
 
     w = Window.partitionBy(*gb).orderBy(F.col("__h__").asc())

@@ -561,6 +561,16 @@ def _align_record_batch(rb, mn: int, mx: int, edge_gap: str):
         [None, pa.py_buffer(row_offs), pa.py_buffer(out_qm.reshape(-1))],
     )
     m = ri.size
+    if m:
+        # canonical record order is align_read's REVERSED-cigar order
+        # (align_batch_np matches it too); _align_core returns forward
+        # order, so reverse within each read's run. ri is grouped and
+        # non-decreasing, so a per-group index flip is a permutation.
+        counts_i = np.bincount(ri, minlength=n)
+        starts_i = np.cumsum(counts_i) - counts_i
+        within = np.arange(m) - starts_i[ri]
+        perm = starts_i[ri] + (counts_i[ri] - 1 - within)
+        rp, loc, b_u8, q_u8 = rp[perm], loc[perm], b_u8[perm], q_u8[perm]
     ch_offs = np.arange(m + 1, dtype=np.int32)
     child = pa.StructArray.from_arrays(
         [

@@ -30,13 +30,13 @@ with guidance; the test suite exercises the full orchestration with
 a stub aligner on PATH, so everything except the aligner binary
 itself is covered in CI.
 
-Scale note: index build + alignment run ONCE on the driver host
-(bowtie2 is a single-node tool); the expensive part - consuming the
-alignments - is distributed from the first touch via read_sam. For
-cluster-scale alignment fan-out, split the fastq and run this
-wrapper per split under `mapInPandas` over a paths DataFrame, each
-task writing its own SAM shard (the same pattern the BAM source uses
-for per-file parallelism).
+Scale note: in `bowtie2_align`, index build + alignment run ONCE on
+the driver host (bowtie2 is a single-node tool); the expensive part -
+consuming the alignments - is distributed from the first touch via
+read_sam. For cluster-scale alignment fan-out use
+`bowtie2_align_distributed`: one task per fastq split, each running
+the aligner in-task and emitting parsed alignment rows directly (the
+same per-file parallelism pattern the BAM source uses).
 """
 
 from __future__ import annotations
@@ -49,11 +49,12 @@ from collections.abc import Sequence
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from .sam import read_sam
+from .sam import SAM_STD_COLS, read_sam
 
 __all__ = [
     "build_reference",
     "bowtie2_align",
+    "bowtie2_align_distributed",
     "remove_contaminant_reads",
     "write_fasta",
 ]
@@ -259,11 +260,7 @@ def bowtie2_align(
     cmd: list = [_find_binary("bowtie2", bowtie_path)]
     if threads:
         cmd += ["--threads", threads]
-    for o in options:
-        if isinstance(o, (tuple, list)):
-            cmd += [o[0], o[1]] if len(o) > 1 and o[1] != "" else [o[0]]
-        else:
-            cmd.append(o)
+    cmd += _normalize_options(options)
     cmd += ["-x", prefix]
     if paired:
         cmd += ["-1", fastq_files[0], "-2", fastq_files[1]]
@@ -277,6 +274,154 @@ def bowtie2_align(
             "bowtie2 exited 0 but produced no SAM file - check options"
         )
     return read_sam(spark, sam_file, opt_fields_keep=opt_fields_keep)
+
+
+def _normalize_options(options: Sequence) -> list[str]:
+    """Flatten the options spec (bare flags / (flag, value) tuples)
+    into the verbatim argv fragment both align entry points share."""
+    out: list[str] = []
+    for o in options:
+        if isinstance(o, (tuple, list)):
+            if len(o) > 1 and o[1] != "":
+                out += [str(o[0]), str(o[1])]
+            else:
+                out.append(str(o[0]))
+        else:
+            out.append(str(o))
+    return out
+
+
+def _parse_sam_text(text: str, keep: Sequence[str]) -> dict:
+    """Parse SAM body lines into read_sam's column layout (11 std
+    columns, flag/mapq int + pos long, plus the requested optional
+    tags as strings) - the per-task twin of read_sam for shards that
+    exist only inside a task's tempdir."""
+    cols: dict[str, list] = {c: [] for c in SAM_STD_COLS}
+    for t in keep:
+        cols[t] = []
+    for line in text.splitlines():
+        if not line or line.startswith("@"):
+            continue
+        f = line.split("\t")
+        if len(f) < 11:
+            continue
+        for i, c in enumerate(SAM_STD_COLS):
+            cols[c].append(f[i])
+        tags = {}
+        for opt in f[11:]:
+            parts = opt.split(":", 2)
+            if len(parts) == 3:
+                tags[parts[0]] = parts[2]
+        for t in keep:
+            cols[t].append(tags.get(t))
+    cols["flag"] = [int(x) for x in cols["flag"]]
+    cols["pos"] = [int(x) for x in cols["pos"]]
+    cols["mapq"] = [int(x) for x in cols["mapq"]]
+    return cols
+
+
+def bowtie2_align_distributed(
+    spark: SparkSession,
+    fastq_files: Sequence | DataFrame,
+    references: Sequence[tuple[str, str]] | str,
+    paired: bool = False,
+    working_directory: str | None = None,
+    bowtie_ref_name: str | None = None,
+    threads: int = 1,
+    options: Sequence = (),
+    bowtie_path: str | None = None,
+    opt_fields_keep: Sequence[str] = ("XN", "XM", "MD"),
+) -> DataFrame:
+    """Cluster-scale alignment fan-out (the pattern the module
+    docstring promises): ONE task per fastq split, each running
+    bowtie2 on its split and emitting the parsed alignments directly.
+
+    `fastq_files` is a list of split paths (or, with paired=True, a
+    list of (r1, r2) path pairs), or an already-partitioned DataFrame
+    with a `path` column (+ `path2` when paired) when the split list
+    itself is too big to sit on the driver. The index is built ONCE
+    on the driver host; `working_directory` (index + fasta staging)
+    must be visible to every executor - on a real cluster that means
+    shared storage (NFS/fuse mount) or `spark.files`-shipped index
+    shards, the same contract every distributed-aligner pipeline has.
+
+    Spark-first shape: each task writes its SAM shard into a
+    task-local tempdir and parses it inline into Arrow batches
+    (`_parse_sam_text`, read_sam's exact column layout) - alignments
+    land as a distributed DataFrame with NO intermediate shard files
+    on shared storage and no driver-side re-ingest, and the result
+    unions, filters, and joins like any other relation (e.g. straight
+    into remove_contaminant_reads). Reference parity: the single-node
+    workflow at bowtie_tools.py:55-165 run once per split.
+    """
+    import pandas as pd
+
+    exe = _find_binary("bowtie2", bowtie_path)
+    if working_directory is None:
+        working_directory = os.path.join(
+            os.getcwd(), f"btwork_{int(time.time() * 1000)}_{os.getpid()}"
+        )
+    os.makedirs(working_directory, exist_ok=True)
+    if bowtie_ref_name is None:
+        bowtie_ref_name = f"btref_{int(time.time() * 1000)}_{os.getpid()}"
+    if isinstance(references, str):
+        fasta = os.path.abspath(references)
+        if not os.path.isfile(fasta):
+            raise FileNotFoundError(f"reference fasta not found: {fasta}")
+    else:
+        fasta = os.path.join(working_directory, bowtie_ref_name + ".fasta")
+        write_fasta(list(references), fasta)
+    prefix = build_reference(
+        fasta, bowtie_ref_name, working_directory, bowtie_path
+    )
+
+    if isinstance(fastq_files, DataFrame):
+        paths_df = fastq_files
+    elif paired:
+        rows = [(os.path.abspath(a), os.path.abspath(b)) for a, b in fastq_files]
+        paths_df = spark.createDataFrame(
+            rows, "path string, path2 string"
+        ).repartition(max(len(rows), 1))
+    else:
+        rows = [(os.path.abspath(p),) for p in fastq_files]
+        paths_df = spark.createDataFrame(rows, "path string").repartition(
+            max(len(rows), 1)
+        )
+
+    opts = _normalize_options(options)
+    keep = tuple(opt_fields_keep)
+    n_threads = int(threads)
+    is_paired = bool(paired)
+
+    def _align(batches):
+        import tempfile
+
+        for pdf in batches:
+            for row in pdf.itertuples(index=False):
+                with tempfile.TemporaryDirectory() as td:
+                    shard = os.path.join(td, "shard.sam")
+                    cmd = [exe]
+                    if n_threads:
+                        cmd += ["--threads", str(n_threads)]
+                    cmd += opts + ["-x", prefix]
+                    if is_paired:
+                        cmd += ["-1", row.path, "-2", row.path2]
+                    else:
+                        cmd += ["-U", row.path]
+                    cmd += ["-S", shard]
+                    _run(cmd, f"bowtie2 ({row.path})")
+                    with open(shard) as fh:
+                        cols = _parse_sam_text(fh.read(), keep)
+                if cols["header"]:
+                    yield pd.DataFrame(cols)
+
+    schema = (
+        "header string, flag int, rname string, pos long, mapq int, "
+        "cigar string, rnext string, pnext string, tlen string, "
+        "seq string, qual string"
+        + "".join(f", {t} string" for t in keep)
+    )
+    return paths_df.mapInPandas(_align, schema)
 
 
 def remove_contaminant_reads(

@@ -161,9 +161,11 @@ def test_align_record_batch_matches_align_read(batch, win_lo, win_width):
                 q = "!" * len(s)
             es, eq, ei = align_read(s, q, p, c, mn, mx)
             assert d["seq"][i] == es and d["qual"][i] == eq
-            got = sorted(
+            # exact ORDER parity too: both kernels emit align_read's
+            # reversed-cigar record order (round-5 advice item)
+            got = [
                 (x["position"], x["loc_ins"], x["base"], x["qual_ch"])
                 for x in d["ins"][i]
-            )
-            assert got == sorted(map(tuple, ei))
+            ]
+            assert got == list(map(tuple, ei))
             assert d["pos_start"][i] == mn and d["read_id"][i] == str(base + i)

@@ -96,6 +96,69 @@ def test_remove_contaminant_reads(spark, tmp_path, stub_bowtie):
     assert [r.header for r in kept.collect()] == ["clean"]
 
 
+def test_bowtie2_align_distributed_matches_single_node(
+    spark, tmp_path, stub_bowtie
+):
+    """Per-split fan-out (one task per fastq shard, aligner run
+    IN-TASK, rows parsed in-task - no shared shard files) produces
+    exactly the single-node wrapper's rows, including optional tags."""
+    from seqtables_spark.sources.bowtie import (
+        bowtie2_align, bowtie2_align_distributed,
+    )
+
+    ref_seq = "AAACCCGGGTTTACGTACGTACGT"
+    reads = [
+        ("r1", "CCCGGG"), ("r2", "ACGTACGT"), ("r3", "NNNNNN"),
+        ("r4", "AAACCC"), ("r5", "GGGTTT"), ("r6", "TTTTTT"),
+    ]
+    splits = [
+        _write_fastq(tmp_path / f"split{i}.fastq", reads[i * 2 : i * 2 + 2])
+        for i in range(3)
+    ]
+    whole = _write_fastq(tmp_path / "all.fastq", reads)
+
+    dist = bowtie2_align_distributed(
+        spark, splits, [("ref1", ref_seq)],
+        working_directory=str(tmp_path / "wd_d"),
+        bowtie_path=stub_bowtie,
+    )
+    single = bowtie2_align(
+        spark, [whole], [("ref1", ref_seq)],
+        working_directory=str(tmp_path / "wd_s"),
+        bowtie_path=stub_bowtie,
+    )
+    key = lambda r: (
+        r.header, r.flag, r.rname, r.pos, r.mapq, r.cigar, r.seq, r.qual,
+        r.XM,
+    )
+    assert sorted(map(key, dist.collect())) == sorted(map(key, single.collect()))
+    # genuinely fanned out: one input partition per split
+    assert dist.rdd.getNumPartitions() == 3
+
+
+def test_bowtie2_align_distributed_paired_and_paths_df(
+    spark, tmp_path, stub_bowtie
+):
+    from seqtables_spark.sources.bowtie import bowtie2_align_distributed
+
+    fq1 = _write_fastq(tmp_path / "a1.fastq", [("a", "ACGT")])
+    fq2 = _write_fastq(tmp_path / "a2.fastq", [("b", "TTTT")])
+    got = bowtie2_align_distributed(
+        spark, [(fq1, fq2)], [("ref", "ACGTTTTT")], paired=True,
+        working_directory=str(tmp_path / "wd_p"),
+        bowtie_path=stub_bowtie,
+    )
+    assert {r.header for r in got.collect()} == {"a", "b"}
+    # pre-partitioned paths DataFrame form (the >driver-memory shape)
+    pdf = spark.createDataFrame([(fq1,), (fq2,)], "path string").repartition(2)
+    got2 = bowtie2_align_distributed(
+        spark, pdf, [("ref", "ACGTTTTT")],
+        working_directory=str(tmp_path / "wd_q"),
+        bowtie_path=stub_bowtie,
+    )
+    assert {r.header for r in got2.collect()} == {"a", "b"}
+
+
 def test_missing_binary_raises(tmp_path):
     from seqtables_spark.sources.bowtie import build_reference
 

@@ -369,6 +369,33 @@ def test_global_ntile_single_rank_window_and_range_shuffle(spark):
     assert "rangepartitioning" in plan.lower()
 
 
+def test_ungrouped_kmv_is_distributed_top_k(spark):
+    """kmv_sketch with NO group columns must not funnel every distinct
+    hash into one unpartitioned window sort (round-4 advice item).
+    Catalyst's InferWindowGroupLimit rewrites the `row_number <= k`
+    shape into TakeOrderedAndProject(limit=k) - per-partition top-k +
+    a k-row merge - so the bounded-state guarantee comes from the
+    optimizer, not extra shuffles. Pin it: if a refactor ever breaks
+    the rewrite (e.g. by separating the filter from the window), this
+    fails and the hierarchical pre-fold fallback must be restored."""
+    from seqtables_spark.pipeline.sketch import kmv_sketch, kmv_sketch_collect
+
+    df = (
+        spark.range(5000)
+        .selectExpr("CAST(id * 2654435761 % 1000003 AS STRING) AS v")
+        .repartition(8)
+    )
+    sk = kmv_sketch(df, "v", k=16)
+    plan = _plan(sk)
+    assert "TakeOrderedAndProject(limit=16" in plan
+    # the only full-relation sort is the per-partition partial top-k;
+    # no Exchange SinglePartition carrying the raw hash relation
+    assert "Exchange SinglePartition" not in plan
+    got = sk.collect()[0].kmv
+    want = kmv_sketch_collect(df, "v", k=16).collect()[0].kmv
+    assert got == want
+
+
 def test_minhash_band_keys_is_shuffle_free(spark):
     """The signature/banding stage must stay a pure projection (the
     property that lets it run unchanged on a stream)."""
