@@ -32,7 +32,7 @@ from .insertions import (
 )
 from .plogo import get_plogo
 from .skew import salted_join
-from .asof import asof_join
+from .asof import asof_join, asof_join_ranged
 from .ranges import point_in_interval_join
 from .ranks import global_ntile, global_row_number
 
@@ -47,6 +47,7 @@ __all__ = [
     "get_average_insertion_quality", "get_insertion_expectations",
     "get_insertion_seq_dist", "view_with_insertions",
     "consensus_with_insertions", "get_plogo", "salted_join",
-    "asof_join", "point_in_interval_join", "global_row_number",
+    "asof_join", "asof_join_ranged", "point_in_interval_join",
+    "global_row_number",
     "global_ntile",
 ]

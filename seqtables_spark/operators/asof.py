@@ -25,10 +25,21 @@ distributes):
 
 Cost: exactly ONE shuffle (hash partition by the equi-keys), then a
 per-partition sort - identical shape to a sort-merge join, no row
-amplification, no Python. Skewed keys split under AQE like any other
-sort/window stage. At 100 TB: both sides scan with their filters
-pushed down, partial projection prunes to (keys, ts, payload), and
-the single exchange is the only data movement.
+amplification, no Python. At 100 TB: both sides scan with their
+filters pushed down, partial projection prunes to (keys, ts,
+payload), and the single exchange is the only data movement.
+
+SKEW: a Window over partitionBy(keys) requires every row of a key in
+ONE task - and unlike sort-merge joins, AQE's skew handling CANNOT
+split a window group. A key holding 50% of the corpus therefore
+serializes half the data through one task. `asof_join_ranged` is the
+escape hatch: segment on (keys, floor(ts/epoch)) so the hot key's
+TIMELINE splits across epoch groups, compute the carry per segment,
+and propagate segment-boundary state through a small per-(key,
+epoch) relation - the window twin of operators/ranks.py's 2-phase
+rank. It pays one extra full-data exchange; use it when key skew is
+pathological, the default single-exchange form otherwise (measured
+in SCALING.md).
 """
 
 from __future__ import annotations
@@ -36,6 +47,64 @@ from __future__ import annotations
 from collections.abc import Sequence
 
 from pyspark.sql import DataFrame, Window, functions as F
+
+
+def _asof_union(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str],
+    left_ts: str,
+    right_ts: str,
+    right_payload: list[str],
+    suffix: str,
+):
+    """Shared union-merge construction: tag both sides, pack the right
+    row into ONE struct (a NULL inside a payload column must never
+    splice values from two different right rows), and union with the
+    right schema winning the merge. Returns (u, names) where names =
+    (ts, side, pack, matched_ts, out) and out maps a right column to
+    its (possibly suffixed) output name."""
+    ts = "__asof_ts__"
+    side = "__asof_side__"
+    pack = "__asof_pack__"
+    matched_ts = right_ts + suffix
+
+    def _out(col: str) -> str:
+        return col + suffix if col in left.columns else col
+
+    if not suffix:
+        clash = [c for c in [right_ts, *right_payload] if c in left.columns]
+        if clash:
+            raise ValueError(
+                f"asof_join: suffix='' but right columns {clash} collide "
+                "with left columns - pass a non-empty suffix or rename"
+            )
+
+    r = right.select(
+        *[F.col(k) for k in on],
+        F.col(right_ts).alias(ts),
+        F.lit(0).alias(side),
+        F.struct(
+            F.col(right_ts).alias(matched_ts),
+            *[F.col(c).alias(_out(c)) for c in right_payload],
+        ).alias(pack),
+        *[
+            F.lit(None).alias(c)
+            for c in left.columns
+            if c not in on and c != left_ts
+        ],
+    )
+    l = left.select(
+        *[F.col(k) for k in on],
+        F.col(left_ts).alias(ts),
+        F.lit(1).alias(side),
+        F.lit(None).cast(r.schema[pack].dataType).alias(pack),
+        *[F.col(c) for c in left.columns if c not in on and c != left_ts],
+    )
+    # column order must agree for unionByName; r first so its schema
+    # (concrete struct type for the packed payload) wins the merge
+    u = r.unionByName(l.select(*r.columns))
+    return u, (ts, side, pack, matched_ts, _out)
 
 
 def asof_join(
@@ -93,52 +162,9 @@ def asof_join(
         ]
     right_payload = list(right_payload)
 
-    ts = "__asof_ts__"
-    side = "__asof_side__"
-    matched_ts = right_ts + suffix
-
-    def _out(col: str) -> str:
-        return col + suffix if col in left.columns else col
-
-    # with an empty suffix the collision renaming above is a no-op,
-    # which would silently emit DUPLICATE output column names - fail
-    # loudly instead (the caller must pick distinct names or a suffix)
-    if not suffix:
-        clash = [c for c in [right_ts, *right_payload] if c in left.columns]
-        if clash:
-            raise ValueError(
-                f"asof_join: suffix='' but right columns {clash} collide "
-                "with left columns - pass a non-empty suffix or rename"
-            )
-
-    pack = "__asof_pack__"
-    # the right row travels as ONE struct so a NULL inside a payload
-    # column can never splice values from two different right rows
-    # (per-column last(ignorenulls) would)
-    r = right.select(
-        *[F.col(k) for k in on],
-        F.col(right_ts).alias(ts),
-        F.lit(0).alias(side),
-        F.struct(
-            F.col(right_ts).alias(matched_ts),
-            *[F.col(c).alias(_out(c)) for c in right_payload],
-        ).alias(pack),
-        *[
-            F.lit(None).alias(c)
-            for c in left.columns
-            if c not in on and c != left_ts
-        ],
+    u, (ts, side, pack, matched_ts, _out) = _asof_union(
+        left, right, on, left_ts, right_ts, right_payload, suffix
     )
-    l = left.select(
-        *[F.col(k) for k in on],
-        F.col(left_ts).alias(ts),
-        F.lit(1).alias(side),
-        F.lit(None).cast(r.schema[pack].dataType).alias(pack),
-        *[F.col(c) for c in left.columns if c not in on and c != left_ts],
-    )
-    # column order must agree for unionByName; r first so its schema
-    # (concrete struct type for the packed payload) wins the merge
-    u = r.unionByName(l.select(*r.columns))
 
     # sort-order trick per direction: right rows carry side=0, left
     # side=1, and whether an equal-ts right row is VISIBLE to a frame
@@ -200,6 +226,120 @@ def asof_join(
     )
 
     # restore the left frame's column names/order + appended match cols
+    left_cols = [F.col(ts).alias(left_ts) if c == left_ts else F.col(c)
+                 for c in left.columns]
+    return res.select(
+        *left_cols,
+        F.col(pack)[matched_ts].alias(matched_ts),
+        *[F.col(pack)[_out(c)].alias(_out(c)) for c in right_payload],
+    )
+
+
+def asof_join_ranged(
+    left: DataFrame,
+    right: DataFrame,
+    on: Sequence[str],
+    left_ts: str,
+    right_ts: str,
+    right_payload: Sequence[str] | None = None,
+    tolerance: int | None = None,
+    suffix: str = "_right",
+    n_segments: int | None = None,
+    epoch_width: int | None = None,
+) -> DataFrame:
+    """Skew-immune backward as-of join (allow-exact semantics,
+    asof_join's defaults): for pathological key skew, where one key
+    holds a large fraction of both sides and the standard form's
+    per-key window serializes it through one task.
+
+    Construction (the window twin of operators/ranks.py's 2-phase
+    rank - segmented scan with boundary-carry propagation, segmented
+    by TIME EPOCH so the hot key's timeline splits):
+
+      1. seg = floor(ts / epoch_width) - a segment id derived purely
+         from the DATA (deterministic under task retry and across the
+         plan's two references to the union; a spark_partition_id
+         after repartitionByRange is neither - the sampled boundaries
+         may differ between subtree instantiations);
+      2. per-segment carry: a window over (keys, seg) - the hot key
+         contributes one group PER EPOCH instead of one group total -
+         computes the running last-right-row within each segment;
+      3. boundary state: one row per (key, seg) - the segment's final
+         carry - propagated across epochs by a window over that SMALL
+         relation (groups bounded by the epoch count, so it cannot
+         skew), then joined back on (keys, seg) and coalesced under
+         the local carry.
+
+    ``epoch_width`` (timestamp units per segment) is the skew dial;
+    when None it is derived as (max ts - min ts + 1) / n_segments
+    (default parallelism) via one tiny min/max aggregation over the
+    union - an extra pass over (keys, ts) only, documented cost of
+    auto-tuning. Timestamps must be non-NULL integers. A hot key
+    whose rows all share ONE timestamp stays unsplittable - the same
+    tie limit the 2-phase rank has. Forward/nearest mirrors are not
+    implemented - negate the timestamps and use backward.
+    """
+    on = list(on)
+    if right_payload is None:
+        right_payload = [
+            c for c in right.columns if c not in on and c != right_ts
+        ]
+    right_payload = list(right_payload)
+    u, (ts, side, pack, matched_ts, _out) = _asof_union(
+        left, right, on, left_ts, right_ts, right_payload, suffix
+    )
+
+    if epoch_width is None:
+        parts = int(
+            n_segments or left.sparkSession.sparkContext.defaultParallelism
+        )
+        lo, hi = u.agg(F.min(ts), F.max(ts)).first()
+        if lo is None:
+            epoch_width = 1
+        else:
+            epoch_width = max(1, (int(hi) - int(lo) + 1) // max(parts, 1))
+
+    seg = "__asof_seg__"
+    su = u.withColumn(seg, F.floor(F.col(ts) / F.lit(int(epoch_width))))
+
+    # 2. segment-local carry (right rows sort before left at ts ties,
+    # so '<=' semantics fall out exactly as in the standard form)
+    w_seg = (
+        Window.partitionBy(*on, seg)
+        .orderBy(F.col(ts).asc(), F.col(side).asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    loc = su.withColumn(
+        "__seg_carry__", F.last(pack, ignorenulls=True).over(w_seg)
+    )
+
+    # 3. per-(key, seg) final carry -> incoming carry for each LATER
+    # epoch of the same key. max_by over (ts, side) picks the
+    # segment's last row; its cumulative carry IS the segment summary.
+    bounds = loc.groupBy(*on, seg).agg(
+        F.max_by("__seg_carry__", F.struct(F.col(ts), F.col(side))).alias(
+            "__seg_last__"
+        )
+    )
+    w_in = (
+        Window.partitionBy(*on)
+        .orderBy(F.col(seg).asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    incoming = bounds.withColumn(
+        "__incoming__", F.last("__seg_last__", ignorenulls=True).over(w_in)
+    ).select(*on, seg, "__incoming__")
+
+    carried = F.coalesce(F.col("__seg_carry__"), F.col("__incoming__"))
+    if tolerance is not None:
+        carried = F.when(
+            F.col(ts) - carried[matched_ts] > F.lit(tolerance), F.lit(None)
+        ).otherwise(carried)
+    res = (
+        loc.join(incoming, [*on, seg])
+        .withColumn(pack, carried)
+        .filter(F.col(side) == 1)
+    )
     left_cols = [F.col(ts).alias(left_ts) if c == left_ts else F.col(c)
                  for c in left.columns]
     return res.select(

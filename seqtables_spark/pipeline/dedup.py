@@ -91,9 +91,11 @@ def minhash_signatures(
     text_col: str = "text",
     id_col: str = "doc_id",
     seed: int = 42,
+    carry_cols: Sequence[str] = (),
 ) -> DataFrame:
     """MinHash signature per document: mh_j = min over shingles of
-    (a_j * h(shingle) + b_j) % p. Returns DF(id, mh_0..mh_{n-1}).
+    (a_j * h(shingle) + b_j) % p. Returns DF(id[, carry_cols...],
+    mh_0..mh_{n-1}).
 
     Fully ROW-LOCAL: one fold over the document's shingle-hash array
     carries an n-wide running-min accumulator (zip_with against the
@@ -121,6 +123,7 @@ def minhash_signatures(
     )
     return df.filter(F.length(txt) >= k).select(
         F.col(id_col),
+        *[F.col(c) for c in carry_cols],
         *[F.element_at(mins, j + 1).alias(f"mh_{j}") for j in range(n_hashes)],
     )
 
@@ -133,17 +136,23 @@ def minhash_band_keys(
     text_col: str = "text",
     id_col: str = "doc_id",
     seed: int = 42,
+    carry_cols: Sequence[str] = (),
 ) -> DataFrame:
-    """Banded LSH keys per document: DF(id, band_idx, band_hash) with
-    one row per (doc, band); band_hash = md5 of the band's signature
-    rows. Entirely ROW-LOCAL (signature fold + band struct explode, no
-    shuffle), which is what lets the same stage run unchanged on a
-    STREAMING DataFrame - the streaming near-dup detector
-    (streaming/ingest.streaming_near_dup_buckets) feeds its stateful
-    bucket aggregation from exactly this relation."""
+    """Banded LSH keys per document: DF(id[, carry_cols...], band_idx,
+    band_hash) with one row per (doc, band); band_hash = md5 of the
+    band's signature rows. Entirely ROW-LOCAL (signature fold + band
+    struct explode, no shuffle), which is what lets the same stage run
+    unchanged on a STREAMING DataFrame - the streaming near-dup
+    detector (streaming/ingest.streaming_near_dup_buckets) feeds its
+    stateful bucket aggregation from exactly this relation.
+    `carry_cols` rides extra columns through the projection (e.g. the
+    event-time column a TTL'd streaming aggregation groups on)."""
     assert n_hashes % bands == 0
     rows = n_hashes // bands
-    sigs = minhash_signatures(df, n_hashes, k, text_col, id_col, seed)
+    carry = [F.col(c) for c in carry_cols]
+    sigs = minhash_signatures(
+        df, n_hashes, k, text_col, id_col, seed, carry_cols=carry_cols
+    )
     band_structs = F.array(
         *[
             F.struct(
@@ -157,8 +166,10 @@ def minhash_band_keys(
             for b in range(bands)
         ]
     )
-    return sigs.select(F.col(id_col), F.explode(band_structs).alias("b")).select(
-        F.col(id_col), F.col("b.band_idx"), F.col("b.band_hash")
+    return sigs.select(
+        F.col(id_col), *carry, F.explode(band_structs).alias("b")
+    ).select(
+        F.col(id_col), *carry, F.col("b.band_idx"), F.col("b.band_hash")
     )
 
 

@@ -155,6 +155,7 @@ def streaming_near_dup_buckets(
     text_col: str = "text",
     id_col: str = "doc_id",
     seed: int = 42,
+    ttl: tuple[str, str, str] | None = None,
 ) -> DataFrame:
     """Near-dup detection AT INGEST: the batch MinHash-LSH pipeline's
     row-local stage (pipeline/dedup.minhash_band_keys: shingle ->
@@ -170,14 +171,49 @@ def streaming_near_dup_buckets(
     order as the batch pipeline's shuffle, held incrementally. The
     caller drains in update/complete mode and filters n_docs >= 2
     (kept un-filtered here so the same relation also answers 'is this
-    bucket known')."""
+    bucket known').
+
+    WITHOUT `ttl` the bucket state grows with distinct bands over the
+    stream's whole lifetime - fine for a bounded backfill, wrong for
+    a continuous 100 TB ingest. Pass ttl=(ts_col, delay, window) to
+    bound it: buckets are grouped per event-time tumbling `window`
+    and a `delay` watermark lets Spark DROP every bucket row whose
+    window has fallen behind the watermark - state becomes O(buckets
+    per open window x open windows), independent of stream lifetime.
+    The semantic trade is explicit: duplicates are then only detected
+    within the same window (the standard TTL'd-dedup contract,
+    mirroring streaming_dedup's dropDuplicatesWithinWatermark form).
+    ts_col may be a timestamp or int64 NANOSECONDS (auto-detected,
+    same convention as windowed_event_counts); output gains a `win`
+    struct column. Must run in append/update mode for eviction to
+    happen (complete mode retains all state by definition)."""
     from ..pipeline.dedup import minhash_band_keys
 
-    banded = minhash_band_keys(
-        stream, n_hashes=n_hashes, bands=bands, k=k,
-        text_col=text_col, id_col=id_col, seed=seed,
+    if ttl is None:
+        banded = minhash_band_keys(
+            stream, n_hashes=n_hashes, bands=bands, k=k,
+            text_col=text_col, id_col=id_col, seed=seed,
+        )
+        return banded.groupBy("band_idx", "band_hash").agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min(id_col).alias("first_doc"),
+        )
+    ts_col, delay, window = ttl
+    dtype = dict(stream.dtypes).get(ts_col, "")
+    ts = (
+        F.timestamp_seconds(F.col(ts_col) / 1e9)
+        if dtype in ("bigint", "int", "long")
+        else F.col(ts_col).cast("timestamp")
     )
-    return banded.groupBy("band_idx", "band_hash").agg(
+    banded = minhash_band_keys(
+        stream.withColumn("_event_time", ts),
+        n_hashes=n_hashes, bands=bands, k=k,
+        text_col=text_col, id_col=id_col, seed=seed,
+        carry_cols=("_event_time",),
+    ).withWatermark("_event_time", delay)
+    return banded.groupBy(
+        F.window("_event_time", window).alias("win"), "band_idx", "band_hash"
+    ).agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.min(id_col).alias("first_doc"),
     )

@@ -1,0 +1,204 @@
+"""Round-5 additions: skew-immune ranged as-of join, IVF recall
+floor, and the skew-distribution pins behind SCALING.md's round-5
+rows."""
+
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def _random_asof_case(seed, n_left=200, n_right=80, n_keys=6):
+    rng = random.Random(seed)
+    left = [
+        (f"k{rng.randrange(n_keys)}", rng.randrange(0, 1000), i)
+        for i in range(n_left)
+    ]
+    # key k0 may have no rights at all in some seeds; keep one key
+    # ("k9") entirely right-less on purpose
+    left += [("k9", rng.randrange(0, 1000), n_left + j) for j in range(5)]
+    right = [
+        (f"k{rng.randrange(n_keys)}", rng.randrange(0, 1000), float(j))
+        for j in range(n_right)
+    ]
+    # planted timestamp ties, both directions
+    right += [(left[0][0], left[0][1], 999.0)]
+    return left, right
+
+
+@pytest.mark.parametrize("seed", [1, 2])
+@pytest.mark.parametrize("tolerance", [None, 50])
+def test_asof_join_ranged_matches_standard(spark, seed, tolerance):
+    """The 2-exchange skew-immune form must be VALUE-IDENTICAL to the
+    1-exchange standard form (backward, allow-exact) on random data
+    with ties, missing-right keys, and tolerance - across epoch
+    widths (1 = one segment per distinct ts, the extreme cut; 37 =
+    boundaries landing mid-timeline; huge = single segment, i.e. the
+    degenerate no-split case; None = auto-derived)."""
+    from seqtables_spark.operators.asof import asof_join, asof_join_ranged
+
+    lrows, rrows = _random_asof_case(seed)
+    left = spark.createDataFrame(lrows, "key string, ts long, lid long")
+    right = spark.createDataFrame(rrows, "key string, ts long, price double")
+    want = sorted(
+        tuple(r)
+        for r in asof_join(
+            left, right, ["key"], "ts", "ts", tolerance=tolerance
+        ).collect()
+    )
+    for width in (1, 37, 10_000_000, None):
+        got = sorted(
+            tuple(r)
+            for r in asof_join_ranged(
+                left, right, ["key"], "ts", "ts",
+                tolerance=tolerance, epoch_width=width,
+            ).collect()
+        )
+        assert got == want, f"epoch_width={width}"
+
+
+def test_asof_join_ranged_skew_splits_hot_key(spark):
+    """Pathological skew: ONE key holds 50%+ of both sides. The
+    standard form's window puts all of it in one task; the ranged
+    form's epoch segmentation must spread the hot key's timeline
+    across many (key, seg) groups and still produce identical
+    values."""
+    from seqtables_spark.operators.asof import asof_join, asof_join_ranged
+
+    rng = random.Random(7)
+    hot = [("hot", rng.randrange(0, 100_000), i) for i in range(2000)]
+    cold = [
+        (f"c{i % 40}", rng.randrange(0, 100_000), 10_000 + i)
+        for i in range(2000)
+    ]
+    left = spark.createDataFrame(hot + cold, "key string, ts long, lid long")
+    right = spark.createDataFrame(
+        [("hot", t * 37 % 100_000, float(t)) for t in range(500)]
+        + [(f"c{i % 40}", i * 13 % 100_000, float(i)) for i in range(500)],
+        "key string, ts long, price double",
+    )
+
+    width = 100_000 // 16
+    n_segs = (
+        left.filter(F.col("key") == "hot")
+        .select(F.floor(F.col("ts") / width).alias("seg"))
+        .distinct()
+        .count()
+    )
+    assert n_segs >= 8, "hot key's timeline did not split across epochs"
+
+    want = sorted(
+        tuple(r)
+        for r in asof_join(left, right, ["key"], "ts", "ts").collect()
+    )
+    got = sorted(
+        tuple(r)
+        for r in asof_join_ranged(
+            left, right, ["key"], "ts", "ts", epoch_width=width
+        ).collect()
+    )
+    assert got == want
+
+
+def test_asof_join_ranged_plan_partitions_by_epoch(spark):
+    """The segment window must hash-partition on (key, seg) - the
+    shape that splits a hot key - and the plan must never contain an
+    exchange on the bare key carrying the full union (that would be
+    the standard form's skew bottleneck reintroduced). The small
+    boundary relation's key-only window is fine: it holds one row per
+    (key, epoch)."""
+    from seqtables_spark.operators.asof import asof_join_ranged
+
+    left = spark.createDataFrame([("a", 1, 1)], "key string, ts long, lid long")
+    right = spark.createDataFrame([("a", 1, 1.0)], "key string, ts long, p double")
+    plan = (
+        asof_join_ranged(left, right, ["key"], "ts", "ts", epoch_width=10)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "__asof_seg__" in plan
+    assert "hashpartitioning(key" in plan
+
+
+def test_global_row_number_skewed_value_spreads_with_tiebreaker(spark):
+    """2-phase rank under value skew: when 50% of rows share ONE sort
+    value, repartitionByRange on the value alone co-locates every tie
+    in one partition (range partitioning cannot split equal keys).
+    The documented mitigation - a unique tiebreaker in the sort key -
+    makes the composite key near-unique, so the sampler spreads the
+    hot value across partitions. Pin both the spread and the rank
+    correctness."""
+    from seqtables_spark.operators.ranks import global_row_number
+
+    df = spark.range(4000).selectExpr(
+        "id", "CASE WHEN id % 2 = 0 THEN 42 ELSE CAST(id AS INT) END AS v"
+    )
+    # spread pin, on the exact partitioning the operator uses
+    rp = df.repartitionByRange(8, F.col("v"), F.col("id")).withColumn(
+        "_pid", F.spark_partition_id()
+    )
+    hot_share = (
+        rp.filter(F.col("v") == 42)
+        .groupBy("_pid")
+        .count()
+        .agg(F.max("count"))
+        .first()[0]
+    ) / 2000.0
+    assert hot_share < 0.5, f"hot value not split: {hot_share}"
+    # correctness: matches the single-task window rank
+    got = {
+        r.id: r.rn
+        for r in global_row_number(
+            df, [F.col("v").asc(), F.col("id").asc()], num_partitions=8
+        ).collect()
+    }
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.col("v").asc(), F.col("id").asc())
+    want = {
+        r.id: r.rn
+        for r in df.withColumn("rn", F.row_number().over(w)).collect()
+    }
+    assert got == want
+
+
+def test_ivf_recall_floor(spark):
+    """Recall@10 of ivf_topk vs the exact cosine_topk truth (the
+    SCALING.md round-5 measurement, small form): probing ALL cells
+    must reproduce brute force EXACTLY (the probe is partition
+    pruning, not approximation), and nprobe=8/16 must clear a recall
+    floor on the sparse 500-row corpus (the pessimistic regime - see
+    SCALING.md: recall at fixed nprobe improves with density)."""
+    from seqtables_spark.pipeline.similarity import (
+        cosine_topk, ivf_assign, ivf_centroids, ivf_topk,
+    )
+
+    df = (
+        spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        .select("vec_id", "embedding")
+        .persist()
+    )
+    cents = ivf_centroids(df, k=16, n_iters=2)
+    assigned = ivf_assign(df, cents).persist()
+    queries = [
+        [float(x) for x in r.embedding]
+        for r in df.orderBy("vec_id").limit(6).collect()
+    ]
+    rec_half, rec_all = 0.0, 0.0
+    for qv in queries:
+        truth = {r.vec_id for r in cosine_topk(df, qv, k=10).collect()}
+        exact = [
+            (r.vec_id, r.sim)
+            for r in ivf_topk(assigned, qv, cents, k=10, nprobe=16).collect()
+        ]
+        assert {v for v, _ in exact} == truth  # all-cells == brute force
+        got8 = {
+            r.vec_id
+            for r in ivf_topk(assigned, qv, cents, k=10, nprobe=8).collect()
+        }
+        rec_half += len(truth & got8) / 10.0
+    rec_half /= len(queries)
+    assert rec_half >= 0.6, rec_half
+    assigned.unpersist()
+    df.unpersist()
