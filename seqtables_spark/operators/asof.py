@@ -197,20 +197,36 @@ def asof_join(
             return c
         return F.when(delta > F.lit(tolerance), F.lit(None)).otherwise(c)
 
+    # Each window aggregate is MATERIALIZED as a column once before
+    # the tolerance/nearest logic references it: embedding the window
+    # expression inside when()/struct-field chains duplicates it per
+    # reference (WindowExec then evaluates 2 identical running
+    # aggregates for a tolerance'd backward join and 6 for nearest -
+    # visible as _we0.._weN in the plan), while a materialized column
+    # is computed once and projected.
     if direction == "backward":
         w = right_first if allow_exact_matches else left_first
-        carried = F.last(pack, ignorenulls=True).over(_preceding(w))
-        carried = _tol(carried, F.col(ts) - carried[matched_ts])
+        u = u.withColumn(
+            "__cb__", F.last(pack, ignorenulls=True).over(_preceding(w))
+        )
+        cb = F.col("__cb__")
+        carried = _tol(cb, F.col(ts) - cb[matched_ts])
     elif direction == "forward":
         w = left_first if allow_exact_matches else right_first
-        carried = F.first(pack, ignorenulls=True).over(_following(w))
-        carried = _tol(carried, carried[matched_ts] - F.col(ts))
+        u = u.withColumn(
+            "__cf__", F.first(pack, ignorenulls=True).over(_following(w))
+        )
+        cf = F.col("__cf__")
+        carried = _tol(cf, cf[matched_ts] - F.col(ts))
     else:  # nearest
         w_back = right_first if allow_exact_matches else left_first
-        cb = F.last(pack, ignorenulls=True).over(_preceding(w_back))
-        cb = _tol(cb, F.col(ts) - cb[matched_ts])
-        cf = F.first(pack, ignorenulls=True).over(_following(right_first))
-        cf = _tol(cf, cf[matched_ts] - F.col(ts))
+        u = u.withColumn(
+            "__cb__", F.last(pack, ignorenulls=True).over(_preceding(w_back))
+        ).withColumn(
+            "__cf__", F.first(pack, ignorenulls=True).over(_following(right_first))
+        )
+        cb = _tol(F.col("__cb__"), F.col(ts) - F.col("__cb__")[matched_ts])
+        cf = _tol(F.col("__cf__"), F.col("__cf__")[matched_ts] - F.col(ts))
         d_b = F.col(ts) - cb[matched_ts]
         d_f = cf[matched_ts] - F.col(ts)
         carried = (
@@ -219,7 +235,9 @@ def asof_join(
             .when(d_f < d_b, cf)
             .otherwise(cb)  # ties -> backward (documented)
         )
-    kept = [c for c in u.columns if c not in {pack, side}]
+    kept = [
+        c for c in u.columns if c not in {pack, side, "__cb__", "__cf__"}
+    ]
     res = (
         u.select(*kept, F.col(side).alias(side), carried.alias(pack))
         .filter(F.col(side) == 1)
