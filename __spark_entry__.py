@@ -1151,6 +1151,54 @@ def q_streaming_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+TTL_BASE_S = 1_700_000_000  # synthetic event-time origin (seconds)
+
+
+def q_streaming_near_dup_ttl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TTL'd streaming near-dup (streaming_near_dup_buckets ttl=...):
+    the same planted corpus with a synthetic event time ts = (BASE +
+    doc_id) seconds; buckets live per 1-hour tumbling window under a
+    30-min watermark, so duplicate detection is scoped to a window
+    and state is EVICTABLE (the continuous-ingest contract; eviction
+    itself is pinned in tests/test_streaming_stateful.py). The
+    complete-mode drain retains every window, so it must converge to
+    the batch per-window bucket occupancy - the value-exact oracle
+    groups the same banded relation by the same epoch arithmetic."""
+    from seqtables_spark.streaming.ingest import streaming_near_dup_buckets
+
+    schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
+    docs = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+        .select("doc_id", "text")
+    )
+    twins = docs.filter(F.col("doc_id") % 50 == 0).select(
+        (F.col("doc_id") + 10_000_000).alias("doc_id"),
+        F.substring(
+            "text", 1, F.greatest(F.length("text") - 5, F.lit(10))
+        ).alias("text"),
+    )
+    stream = (
+        docs.unionByName(twins)
+        .repartition(spark.sparkContext.defaultParallelism)
+        .withColumn(
+            "ts_ns",
+            (F.lit(TTL_BASE_S).cast("long") + F.col("doc_id"))
+            * F.lit(1_000_000_000),
+        )
+    )
+    buckets = streaming_near_dup_buckets(
+        stream, n_hashes=MINHASH_N, bands=LSH_BANDS, k=LSH_K,
+        ttl=("ts_ns", "30 minutes", "1 hour"),
+    )
+    tbl = _drain_stream(spark, buckets, "near_dup_ttl_stream", "complete")
+    return tbl.filter(F.col("n_docs") >= 2).select(
+        F.col("win").getField("start").cast("long").alias("win_start"),
+        "band_idx", "band_hash", "n_docs", "first_doc",
+    )
+
+
 def q_streaming_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SURVEY 2.8: the chunked-iterator pattern as Structured
     Streaming - file-source stream over the events parquet, complete-
@@ -2223,6 +2271,29 @@ def q_asof_purchase_click(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_asof_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-immune as-of join (operators/asof.asof_join_ranged): the
+    same purchase<-click backward join computed with (key, 1-hour
+    epoch) segmentation instead of one window group per user - the
+    form for a hot key holding half the corpus (AQE cannot split a
+    window group; SCALING.md round-5 measures 11.4 s -> 7.0 s at 90%
+    hot share). Value-identical to the standard form, so it shares
+    asof_purchase_click's DuckDB ASOF JOIN oracle."""
+    from seqtables_spark.operators.asof import asof_join_ranged
+
+    purchases, clicks = _asof_click_frames(spark, sf_dir)
+    return asof_join_ranged(
+        purchases,
+        clicks,
+        on=["user_id"],
+        left_ts="ts_ns",
+        right_ts="click_ts",
+        tolerance=ASOF_TOLERANCE_NS,
+        suffix="",
+        epoch_width=3_600_000_000_000,  # 1 h in ns, explicit: no extra pass
+    )
+
+
 def _asof_click_frames(spark: SparkSession, sf_dir: str):
     ev = _events_cents_ns(spark, sf_dir)
     purchases = ev.filter(F.col("event_type") == "purchase").select(
@@ -2455,7 +2526,7 @@ def q_customer_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _PLAN_CACHE_EXCLUDE = {
     "streaming_events", "streaming_windowed", "streaming_dedup",
-    "streaming_near_dup",
+    "streaming_near_dup", "streaming_near_dup_ttl",
 }
 
 
@@ -2482,6 +2553,7 @@ def _prepared(name: str, fn: Callable) -> Callable:
 # vectorized CIGAR kernel and everything downstream of it, the
 # numpy-batched multimodal decode), then rolling round-3 coverage.
 _ORACLE_PRIORITY = [
+    "asof_skew", "streaming_near_dup_ttl",
     "sam_roundtrip", "bam_roundtrip", "fastq_roundtrip",
     "perplexity_scores", "small_quantity_revenue",
     "pending_orders_priority", "customer_setops",
@@ -2603,6 +2675,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_windowed": q_streaming_windowed,
         "streaming_dedup": q_streaming_dedup,
         "streaming_near_dup": q_streaming_near_dup,
+        "streaming_near_dup_ttl": q_streaming_near_dup_ttl,
         "events_hourly": q_events_hourly,
         "event_sessions": q_event_sessions,
         "pricing_summary": q_pricing_summary,
@@ -2627,6 +2700,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "json_events": q_json_events,
         "salted_brand_revenue": q_salted_brand_revenue,
         "asof_purchase_click": q_asof_purchase_click,
+        "asof_skew": q_asof_skew,
         "asof_forward": q_asof_forward,
         "asof_nearest": q_asof_nearest,
         "click_attribution": q_click_attribution,
@@ -3040,6 +3114,22 @@ SELECT CAST(band_idx AS INTEGER) AS band_idx, band_hash,
        count(*) AS n_docs, min(doc_id) AS first_doc
 FROM banded
 GROUP BY 1, 2
+HAVING count(*) >= 2
+"""
+
+
+def _sql_streaming_near_dup_ttl() -> str:
+    """Oracle for the TTL'd streaming detector: the batch banded
+    relation grouped per (1-hour epoch of the synthetic event time,
+    bucket). win_start replays Spark's tumbling-window start
+    arithmetic (floor to the hour) on ts = TTL_BASE_S + doc_id."""
+    t = f"({TTL_BASE_S} + doc_id)"
+    return f"""WITH {_sql_lsh_cte()}
+SELECT CAST({t} - ({t} % 3600) AS BIGINT) AS win_start,
+       CAST(band_idx AS INTEGER) AS band_idx, band_hash,
+       count(*) AS n_docs, min(doc_id) AS first_doc
+FROM banded
+GROUP BY 1, 2, 3
 HAVING count(*) >= 2
 """
 
@@ -4039,6 +4129,7 @@ FROM cur3 c LEFT JOIN w ON c.doc_id = w.doc_id
     sqls["minhash_lsh_pairs"] = _sql_lsh_pairs()
     sqls["ngram_jaccard"] = _sql_ngram_jaccard()
     sqls["streaming_near_dup"] = _sql_streaming_near_dup()
+    sqls["streaming_near_dup_ttl"] = _sql_streaming_near_dup_ttl()
     _ph_tok = _SQL_PORTABLE_HASH.format(x="t")
     sqls["classifier_score"] = f"""
 WITH toks AS (
@@ -4632,6 +4723,10 @@ SELECT p.event_id, p.user_id, p.ts_ns, p.cents,
        CASE WHEN p.ts_ns - c.click_ts <= {ASOF_TOLERANCE_NS} THEN c.click_cents END AS click_cents
 FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts_ns >= c.click_ts
 """
+
+    # asof_join_ranged is value-identical to the standard backward
+    # form by construction - it shares the ASOF JOIN oracle verbatim
+    sqls["asof_skew"] = sqls["asof_purchase_click"]
 
     sqls["asof_forward"] = f"""
 WITH {_sql_ev_cents_ns},
