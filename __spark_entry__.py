@@ -2582,10 +2582,18 @@ _ORACLE_PRIORITY = [
 ]
 
 
-def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+def queries(cached: bool = True) -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """cached=True (the driver's path) memoizes the built DataFrame
+    per (query, sf_dir) - the prepared-statement model. bench.py
+    passes cached=False: re-collecting one DataFrame instance reuses
+    its shuffle map outputs (Spark keeps them per RDD lineage), so a
+    warm-timing loop over cached plans would measure shuffle REUSE,
+    not execution - each bench run must build a fresh plan."""
     raw = _raw_queries()
     ordered = {n: raw[n] for n in _ORACLE_PRIORITY if n in raw}
     ordered.update(raw)
+    if not cached:
+        return ordered
     return {
         name: fn if name in _PLAN_CACHE_EXCLUDE else _prepared(name, fn)
         for name, fn in ordered.items()

