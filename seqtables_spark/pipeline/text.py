@@ -371,12 +371,21 @@ def bigram_logprob(
     Low scores = improbable token sequences = filter candidates. Real
     pipelines swap in a pretrained KenLM; the plan shape is identical.
 
-    Scale shape: two hash aggregations build the model (bigram counts,
-    unigram-as-first-token counts - both shuffle collapsed count rows,
-    never the corpus), then the per-doc score joins the exploded
-    bigram stream to the count tables on uniform token keys and
-    re-aggregates per doc. Nothing quadratic; model size is bounded
-    by distinct-bigram count, and a pretrained model would broadcast.
+    Scale shape (round-5 form): ONE hash aggregation over the bigram
+    stream builds the bigram counts (map-side combine - the shuffle
+    carries collapsed rows); the first-token counts are a rollup of
+    those COLLAPSED counts (c1 = sum of c12 over w1 - never a second
+    pass over the corpus) and one collapsed-side join stitches the
+    model; exactly one join then touches the per-doc stream - on
+    (w1, w2), where AQE skew-split applies for stop-bigram hot keys.
+    The previous formulation referenced the tokenize+explode subtree
+    three times (Catalyst does not dedupe common subtrees) and
+    join-shuffled the full stream twice (by bigram AND again by
+    first token). A per-(doc, bigram) pre-collapse was tried and
+    measured SLOWER locally: most bigrams are unique within a doc,
+    so it added a full exchange while collapsing nothing. Nothing
+    quadratic; model size is bounded by distinct-bigram count, and a
+    pretrained model would broadcast.
 
     Determinism: each ln() lands in a fixed-point micro-unit long
     BEFORE the per-doc sum, so the aggregation is order-free and the
@@ -401,17 +410,14 @@ def bigram_logprob(
     big_counts = doc_bigrams.groupBy("w1", "w2").agg(
         F.count(F.lit(1)).alias("c12")
     )
-    uni_counts = doc_bigrams.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+    uni_counts = big_counts.groupBy("w1").agg(F.sum("c12").alias("c1"))
+    model = big_counts.join(uni_counts, ["w1"])
 
-    scored = (
-        doc_bigrams.join(big_counts, ["w1", "w2"])
-        .join(uni_counts, ["w1"])
-        .select(
-            id_col,
-            F.round(
-                F.log(F.col("c12").cast("double") / F.col("c1")) * 1_000_000
-            ).cast("long").alias("lp_micro"),
-        )
+    scored = doc_bigrams.join(model, ["w1", "w2"]).select(
+        id_col,
+        F.round(
+            F.log(F.col("c12").cast("double") / F.col("c1")) * 1_000_000
+        ).cast("long").alias("lp_micro"),
     )
     return scored.groupBy(id_col).agg(
         F.count(F.lit(1)).alias("n_bigrams"),

@@ -323,9 +323,12 @@ def test_round3_relational_query_plan_shapes(spark):
     assert "Exchange" not in clf and "Join" not in clf
 
     cur = _plan(raw["curate_corpus"](spark, sf))
-    # dedup survivor semi-join + final stats agg; the gate predicates
-    # appear as data filters on the documents scan
-    assert "LeftSemi" in cur
+    # round-5 shape: dedup survivors via min-id window over the
+    # content digest (ONE pass over the gated+scored rows; the old
+    # semi-join referenced that subtree twice), then the stats agg.
+    # The gate predicates still reach the documents scan.
+    assert "Window" in cur and cur.count("Scan parquet") == 1
+    assert "IsNotNull(text)" in cur  # pushed gate residue on the scan
 
     q4 = _plan(raw["pending_orders_priority"](spark, sf))
     assert "LeftSemi" in q4  # EXISTS decorrelates to a semi join
