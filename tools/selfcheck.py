@@ -45,10 +45,11 @@ DISPATCH_FLOOR_S = 0.050
 
 # round-over-round regression thresholds: flag when a query's fresh
 # warm time exceeds BOTH 2x its previous committed PERFCHECK entry
-# and previous + 0.25 s (the absolute guard keeps sub-100ms queries
-# from flapping on host jitter)
+# and previous + 0.35 s; spark timings are min-of-3 (one extra run
+# vs bench) because this shared sandbox shows 2-3x scatter on
+# multi-stage sub-second pipelines and the gate must not cry wolf
 REGRESS_BAR = 2.0
-REGRESS_ABS_S = 0.25
+REGRESS_ABS_S = 0.35
 
 # Queries whose engine/oracle gap at LOCAL sf0.1 scale is a measured,
 # documented property rather than a plan defect. Each entry keeps the
@@ -177,7 +178,7 @@ def _time_warm(fn, runs: int = 2) -> float:
     return best
 
 
-def _time_spark_fresh(fn, spark, sf_dir, runs: int = 2) -> float:
+def _time_spark_fresh(fn, spark, sf_dir, runs: int = 3) -> float:
     """Honest warm Spark timing (mirrors bench.py round-5): build a
     FRESH plan per run (a re-collected DataFrame instance reuses its
     shuffle map outputs - that measures reuse, not execution), with
