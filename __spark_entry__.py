@@ -1860,6 +1860,60 @@ def q_bowtie_align(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+BOWTIE_SPLITS = 4
+
+
+def q_bowtie_distributed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S10 cluster-scale fan-out (sources/bowtie.
+    bowtie2_align_distributed): the SAME read set as bowtie_align
+    split across {BOWTIE_SPLITS} fastq shards, one task per shard
+    running the aligner in-task and parsing its SAM inline - no
+    shared shard files, no driver re-ingest. Per-read alignment is
+    independent of sharding, so the result is value-identical to the
+    single-node wrapper and SHARES bowtie_align's oracle."""
+    import os
+
+    from seqtables_spark.sources.bowtie import (
+        bowtie2_align_distributed, install_stub_aligner,
+    )
+
+    reads = _doc_reads(spark, sf_dir)
+    rid = F.col("read_id").cast("long")
+    rows = (
+        reads.filter(rid < _BAM_RT_CAP)
+        .select("read_id", _acgt24().alias("seq"), "qual")
+        .orderBy(rid)
+        .limit(_BAM_RT_CAP)
+        .collect()
+    )
+    ref_seq = "".join(
+        r["seq"] for r in rows if int(r["read_id"]) < BOWTIE_REF_DOCS
+    )
+    wd = _rt_tmp("seqtables_bowtie_dist", sf_dir)
+    os.makedirs(wd, exist_ok=True)
+    splits = []
+    for s in range(BOWTIE_SPLITS):
+        path = os.path.join(wd, f"reads{s}.fastq")
+        with open(path, "w") as fh:
+            for r in rows[s::BOWTIE_SPLITS]:
+                fh.write(f"@{r['read_id']}\n{r['seq']}\n+\n{r['qual']}\n")
+        splits.append(path)
+    stub = install_stub_aligner(os.path.join(wd, "bin"))
+    df = bowtie2_align_distributed(
+        spark,
+        splits,
+        [("ref0", ref_seq)],
+        working_directory=wd,
+        bowtie_ref_name="docref_dist",
+        bowtie_path=stub,
+        opt_fields_keep=("XM",),
+    )
+    return df.select(
+        "header", "flag", "rname", "pos", "cigar", "seq", "qual",
+        F.col("XM").cast("int").alias("xm"),
+    )
+
+
 def q_curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The composed curation pipeline (pipeline/curate.py): quality
     gate -> language filter -> exact-dedup survivors, ONE Catalyst
@@ -2553,7 +2607,7 @@ def _prepared(name: str, fn: Callable) -> Callable:
 # vectorized CIGAR kernel and everything downstream of it, the
 # numpy-batched multimodal decode), then rolling round-3 coverage.
 _ORACLE_PRIORITY = [
-    "asof_skew", "streaming_near_dup_ttl",
+    "asof_skew", "streaming_near_dup_ttl", "bowtie_distributed",
     "sam_roundtrip", "bam_roundtrip", "fastq_roundtrip",
     "perplexity_scores", "small_quantity_revenue",
     "pending_orders_priority", "customer_setops",
@@ -2702,6 +2756,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sam_roundtrip": q_sam_roundtrip,
         "bam_roundtrip": q_bam_roundtrip,
         "bowtie_align": q_bowtie_align,
+        "bowtie_distributed": q_bowtie_distributed,
         "rollup_revenue": q_rollup_revenue,
         "customers_without_orders": q_customers_without_orders,
         "running_revenue": q_running_revenue,
@@ -4012,6 +4067,9 @@ SELECT CAST(doc_id AS VARCHAR) AS header,
        CAST(CASE WHEN hp > 0 THEN 0 ELSE 1 END AS INTEGER) AS xm
 FROM hit
 """
+    # per-read alignment is sharding-independent: the distributed
+    # fan-out must reproduce the single-node wrapper exactly
+    sqls["bowtie_distributed"] = sqls["bowtie_align"]
 
     # curate_corpus reuses the language-id scoring chain over the
     # quality-gated rows, then dedups by content digest (md5 is

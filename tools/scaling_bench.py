@@ -100,17 +100,21 @@ def main() -> int:
                 sf_dir = tempfile.mkdtemp(prefix=f"scale_x{mult}_")
                 tmp_roots.append(sf_dir)
                 build_replica(spark, src, sf_dir, mult)
-            qs = entry.queries()
+            # honest protocol (round 5, same as bench.py): every run
+            # builds a FRESH plan so all shuffles re-execute - the old
+            # warm column re-collected one DataFrame and measured
+            # Spark's shuffle-map-output reuse, which understates the
+            # data-dependent cost exactly where it matters. Driver
+            # plan build is forced off-clock.
+            qs = entry.queries(cached=False)
             per = {}
             for name in QUERIES:
-                # first run = COLD (plan build + every stage executes);
-                # second = WARM (prepared plan + reused shuffle map
-                # outputs - Spark keeps identical-lineage shuffle files
-                # within the app, so this is the steady-state number)
                 times = []
-                for _ in range(2):
+                for _ in range(3):
+                    df = qs[name](spark, sf_dir)
+                    df._jdf.queryExecution().executedPlan()
                     t0 = time.perf_counter()
-                    n = len(qs[name](spark, sf_dir).collect())
+                    n = len(df.collect())
                     times.append(time.perf_counter() - t0)
                 per[name] = (times[0], min(times))
                 print(f"# x{mult} {name}: cold {times[0]:.3f}s warm "
