@@ -264,11 +264,20 @@ def asof_join_ranged(
     suffix: str = "_right",
     n_segments: int | None = None,
     epoch_width: int | None = None,
+    direction: str = "backward",
 ) -> DataFrame:
-    """Skew-immune backward as-of join (allow-exact semantics,
-    asof_join's defaults): for pathological key skew, where one key
-    holds a large fraction of both sides and the standard form's
-    per-key window serializes it through one task.
+    """Skew-immune backward/forward as-of join (allow-exact
+    semantics, asof_join's defaults): for pathological key skew,
+    where one key holds a large fraction of both sides and the
+    standard form's per-key window serializes it through one task.
+
+    ``direction='forward'`` is the time mirror: both timestamps are
+    NEGATED and the backward machinery runs unchanged (latest
+    right_ts' <= left_ts' on negated time IS the earliest right_ts >=
+    left_ts; the right-sorts-first tie order maps to '>=' exactly as
+    the standard form's left_first window does), with the matched
+    timestamp un-negated on output. Integer timestamps only - the
+    documented contract below - so negation is exact.
 
     Construction (the window twin of operators/ranks.py's 2-phase
     rank - segmented scan with boundary-carry propagation, segmented
@@ -297,6 +306,23 @@ def asof_join_ranged(
     tie limit the 2-phase rank has. Forward/nearest mirrors are not
     implemented - negate the timestamps and use backward.
     """
+    if direction == "forward":
+        out = asof_join_ranged(
+            left.withColumn(left_ts, -F.col(left_ts)),
+            right.withColumn(right_ts, -F.col(right_ts)),
+            on, left_ts, right_ts, right_payload, tolerance, suffix,
+            n_segments, epoch_width, "backward",
+        )
+        matched = right_ts + suffix
+        return out.withColumn(left_ts, -F.col(left_ts)).withColumn(
+            matched, -F.col(matched)
+        )
+    if direction != "backward":
+        raise ValueError(
+            f"asof_join_ranged: direction must be backward|forward, "
+            f"got {direction!r} (nearest has no ranged form - compose "
+            "both directions and pick the closer match)"
+        )
     on = list(on)
     if right_payload is None:
         right_payload = [

@@ -23,6 +23,13 @@ def _random_asof_case(seed, n_left=200, n_right=80, n_keys=6):
     ]
     # planted timestamp ties, both directions
     right += [(left[0][0], left[0][1], 999.0)]
+    # collapse right (key, ts) duplicates - the documented asof
+    # contract: which duplicate wins is union-sort-order ambiguous,
+    # so exact-parity callers pre-aggregate (the oracles do the same)
+    agg: dict = {}
+    for k_, t_, v_ in right:
+        agg[(k_, t_)] = max(agg.get((k_, t_), float("-inf")), v_)
+    right = [(k_, t_, v_) for (k_, t_), v_ in agg.items()]
     return left, right
 
 
@@ -55,6 +62,24 @@ def test_asof_join_ranged_matches_standard(spark, seed, tolerance):
             ).collect()
         )
         assert got == want, f"epoch_width={width}"
+
+    # forward = time mirror of backward (negated timestamps through
+    # the same machinery); parity against the standard forward form
+    want_f = sorted(
+        tuple(r)
+        for r in asof_join(
+            left, right, ["key"], "ts", "ts",
+            tolerance=tolerance, direction="forward",
+        ).collect()
+    )
+    got_f = sorted(
+        tuple(r)
+        for r in asof_join_ranged(
+            left, right, ["key"], "ts", "ts",
+            tolerance=tolerance, epoch_width=37, direction="forward",
+        ).collect()
+    )
+    assert got_f == want_f
 
 
 def test_asof_join_ranged_skew_splits_hot_key(spark):
