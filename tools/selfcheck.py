@@ -65,14 +65,17 @@ PERF_ADJUDICATED = {
     "multimodal_features": "Arrow->Python transit dominates at stub-decode; any real codec dwarfs it (numpy-batched since r4)",
     "embedding_near_dups": "LSH bucketing overhead vs brute force at 5k rows; crossover favors LSH at scale",
     "event_quantiles": "exact sort-based percentile chosen for value parity; approx_percentile is the documented scale path",
-    "training_order": "2-phase rank pays two exchanges BY DESIGN for bounded state; 0.06 s absolute",
+    "training_order": "2-phase rank pays two exchanges BY DESIGN for bounded state",
     "customer_deciles": "same 2-phase rank trade",
     "event_sessions": "window+agg multi-stage plan on 60k rows; gap = per-stage dispatch floor",
     "top_orders_per_cust": "rank window (WindowGroupLimit-bounded) on 150k rows; gap = stage floor",
-    "click_attribution": "window + join chain on 60k rows; gap = stage floor",
-    "asof_purchase_click": "3-stage union-merge asof on 60k rows (~0.24 s warm); gap = stage floor; scaling measured 32x->2.3x",
+    "click_attribution": "window + join chain on 60k rows; gap = stage floor; honest 32x sweep: 11.3x vs 32x ceiling",
+    "asof_purchase_click": "3-stage union-merge asof on 60k rows; gap = stage floor; honest 32x sweep: 8.7x vs 32x ceiling",
     "asof_forward": "same asof stage floor",
-    "asof_nearest": "same asof stage floor (0.18 s warm after r5 single-aggregate window)",
+    "asof_nearest": "same asof stage floor (single-aggregate window since r5)",
+    "asof_skew": "epoch-segmented form pays one extra full-data exchange BY DESIGN (skew immunity); SCALING.md crossover table",
+    "bowtie_distributed": "4 aligner subprocesses + index staging per run, fixture harness",
+    "streaming_near_dup_ttl": "same streaming fixed cost",
     "classifier_score": "row-local HOF projection, zero shuffle; JVM HOF eval vs DuckDB native list ops",
     "slice_sequences": "posexplode+filter+re-agg on 50k docs; gap = stage floor",
     "merge_overlay": "outer-join overlay of two tiny tables; gap = stage floor",
