@@ -2235,6 +2235,33 @@ def q_training_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+TRAIN_SHARD_ROWS = 128
+
+
+def q_training_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training prep: the seeded permutation MATERIALIZED as ordered
+    shard directories (pipeline/sampling.write_training_shards -
+    one repartition-by-shard exchange + per-shard bounded sort, no
+    single-task stage), then read BACK from the written files, so the
+    oracle checks the on-disk layout end to end: every row's
+    (position, shard) must replay the training_order arithmetic.
+    Per-file contiguity/order is pinned separately in
+    tests/test_round5_ops.py (hash compare is order-insensitive)."""
+    import os
+
+    from seqtables_spark.pipeline.sampling import write_training_shards
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    out = _rt_tmp("seqtables_shards", sf_dir)
+    write_training_shards(
+        docs, out, rows_per_shard=TRAIN_SHARD_ROWS, seed=TRAINING_ORDER_SEED
+    )
+    back = spark.read.parquet(out)
+    return back.select(
+        "doc_id", "position", F.col("shard").cast("long").alias("shard")
+    )
+
+
 def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Training prep: offset-pack documents into ~2048-token bins per
     lang shard (deterministic doc_id order); straddle counts size the
@@ -2608,6 +2635,7 @@ def _prepared(name: str, fn: Callable) -> Callable:
 # numpy-batched multimodal decode), then rolling round-3 coverage.
 _ORACLE_PRIORITY = [
     "asof_skew", "streaming_near_dup_ttl", "bowtie_distributed",
+    "training_shards",
     "sam_roundtrip", "bam_roundtrip", "fastq_roundtrip",
     "perplexity_scores", "small_quantity_revenue",
     "pending_orders_priority", "customer_setops",
@@ -2729,6 +2757,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_scan": q_pii_scan,
         "pack_sequences": q_pack_sequences,
         "training_order": q_training_order,
+        "training_shards": q_training_shards,
         "chunk_documents": q_chunk_documents,
         "stratified_sample": q_stratified_sample,
         "source_mix": q_source_mix,
@@ -4702,6 +4731,18 @@ WITH k AS (SELECT doc_id, {_ph_shuf} AS h FROM documents)
 SELECT doc_id,
        CAST(row_number() OVER (ORDER BY h, doc_id) AS BIGINT) AS position
 FROM k
+"""
+
+    sqls["training_shards"] = f"""
+WITH k AS (SELECT doc_id, {_ph_shuf} AS h FROM documents),
+p AS (
+  SELECT doc_id,
+         CAST(row_number() OVER (ORDER BY h, doc_id) AS BIGINT) AS position
+  FROM k
+)
+SELECT doc_id, position,
+       CAST((position - 1) // {TRAIN_SHARD_ROWS} AS BIGINT) AS shard
+FROM p
 """
 
     sqls["pack_sequences"] = """

@@ -22,7 +22,13 @@ from .text import (
     language_id,
     document_fingerprint,
 )
-from .sampling import stratified_sample, mix_sources
+from .sampling import (
+    dsir_weights,
+    mix_sources,
+    stratified_sample,
+    training_order,
+    write_training_shards,
+)
 from .text import pack_sequences, chunk_documents
 from .similarity import cosine_topk, lsh_bucketed_cosine
 
@@ -37,4 +43,5 @@ __all__ = [
     "quality_score", "language_id", "document_fingerprint",
     "cosine_topk", "lsh_bucketed_cosine",
     "stratified_sample", "mix_sources", "pack_sequences", "chunk_documents",
+    "dsir_weights", "training_order", "write_training_shards",
 ]

@@ -169,3 +169,48 @@ def training_order(
         num_partitions=num_partitions,
     )
     return ranked.drop("__shuffle_key__")
+
+
+def write_training_shards(
+    df: DataFrame,
+    path: str,
+    rows_per_shard: int,
+    seed: int = 0,
+    id_col: str = "doc_id",
+    mode: str = "overwrite",
+) -> DataFrame:
+    """Materialize the seeded training order as ORDERED SHARDS - the
+    step after training_order: the corpus lands at `path` partitioned
+    by `shard=<k>`, where shard k holds exactly the rows with
+    position in [k*rows_per_shard+1, (k+1)*rows_per_shard], each
+    shard's rows sorted by position. A data loader that reads shard
+    directories in index order and rows in file order replays the
+    exact global permutation.
+
+    Plan shape: training_order's 2-phase rank, then ONE
+    repartition-by-shard exchange (rows carry their shard id, so this
+    is a hash exchange on a derived key - uniform by construction:
+    every shard holds exactly rows_per_shard rows except the last)
+    with an in-partition sort on position, written with
+    partitionBy('shard'). No global sort, no single-task stage; the
+    sort is per-shard and bounded by rows_per_shard.
+
+    Returns the (lazy) sharded DataFrame that was written (id,
+    position, shard, original columns) so callers can count/inspect
+    without re-reading the files.
+    """
+    rows_per_shard = int(rows_per_shard)
+    if rows_per_shard <= 0:
+        raise ValueError("rows_per_shard must be positive")
+    ordered = training_order(df, seed=seed, id_col=id_col)
+    sharded = ordered.withColumn(
+        "shard", ((F.col("position") - 1) / rows_per_shard).cast("long")
+    )
+    (
+        sharded.repartition(F.col("shard"))
+        .sortWithinPartitions("position")
+        .write.mode(mode)
+        .partitionBy("shard")
+        .parquet(path)
+    )
+    return sharded

@@ -227,3 +227,43 @@ def test_ivf_recall_floor(spark):
     assert rec_half >= 0.6, rec_half
     assigned.unpersist()
     df.unpersist()
+
+
+def test_write_training_shards_replays_permutation(spark, tmp_path):
+    """write_training_shards materializes the seeded order as ordered
+    shard directories: shard k holds exactly positions
+    [k*n+1, (k+1)*n] sorted by position IN FILE ORDER, so a loader
+    reading shards in index order replays the exact permutation."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from seqtables_spark.pipeline.sampling import (
+        training_order, write_training_shards,
+    )
+
+    df = spark.range(1000).selectExpr("id AS doc_id", "id * 2 AS payload")
+    out = str(tmp_path / "shards")
+    n = 64
+    write_training_shards(df, out, rows_per_shard=n, seed=7)
+
+    want = {
+        r.doc_id: r.position
+        for r in training_order(df, seed=7).collect()
+    }
+    shard_dirs = sorted(
+        glob.glob(f"{out}/shard=*"),
+        key=lambda p: int(p.rsplit("=", 1)[1]),
+    )
+    assert len(shard_dirs) == (1000 + n - 1) // n
+    replay = []
+    for k, d in enumerate(shard_dirs):
+        files = sorted(glob.glob(f"{d}/*.parquet"))
+        assert len(files) == 1  # one task owns each shard
+        t = pq.read_table(files[0]).to_pydict()
+        pos = t["position"]
+        # contiguous slice, already in file order
+        assert pos == sorted(pos)
+        assert pos[0] == k * n + 1 and pos[-1] == min((k + 1) * n, 1000)
+        replay.extend(zip(t["doc_id"], pos))
+    assert dict(replay) == want
