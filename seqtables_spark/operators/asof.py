@@ -303,8 +303,14 @@ def asof_join_ranged(
     union - an extra pass over (keys, ts) only, documented cost of
     auto-tuning. Timestamps must be non-NULL integers. A hot key
     whose rows all share ONE timestamp stays unsplittable - the same
-    tie limit the 2-phase rank has. Forward/nearest mirrors are not
-    implemented - negate the timestamps and use backward.
+    tie limit the 2-phase rank has. All three directions are
+    supported: ``forward`` negates the timestamps through the
+    backward machinery (see the paragraph above), ``nearest``
+    (allow-exact) computes BOTH carries on the same segmented
+    relation - mirrored segment windows plus a mirrored boundary
+    column (incoming forward candidate from LATER epochs) - and picks
+    the closer match with ties to backward, exactly like the standard
+    form.
     """
     if direction == "forward":
         out = asof_join_ranged(
@@ -317,12 +323,12 @@ def asof_join_ranged(
         return out.withColumn(left_ts, -F.col(left_ts)).withColumn(
             matched, -F.col(matched)
         )
-    if direction != "backward":
+    if direction not in ("backward", "nearest"):
         raise ValueError(
-            f"asof_join_ranged: direction must be backward|forward, "
-            f"got {direction!r} (nearest has no ranged form - compose "
-            "both directions and pick the closer match)"
+            f"asof_join_ranged: direction must be backward|forward|"
+            f"nearest, got {direction!r}"
         )
+    nearest = direction == "nearest"
     on = list(on)
     if right_payload is None:
         right_payload = [
@@ -346,25 +352,42 @@ def asof_join_ranged(
     seg = "__asof_seg__"
     su = u.withColumn(seg, F.floor(F.col(ts) / F.lit(int(epoch_width))))
 
-    # 2. segment-local carry (right rows sort before left at ts ties,
-    # so '<=' semantics fall out exactly as in the standard form)
-    w_seg = (
+    # 2. segment-local carries (right rows sort before left at ts
+    # ties, so '<=' semantics fall out exactly as in the standard
+    # form; for allow-mode nearest the same single sort order serves
+    # both frames - see asof_join's tie-order comment)
+    ordered = (
         Window.partitionBy(*on, seg)
         .orderBy(F.col(ts).asc(), F.col(side).asc())
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
+    w_seg = ordered.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     loc = su.withColumn(
         "__seg_carry__", F.last(pack, ignorenulls=True).over(w_seg)
     )
+    if nearest:
+        w_seg_f = ordered.rowsBetween(
+            Window.currentRow, Window.unboundedFollowing
+        )
+        loc = loc.withColumn(
+            "__seg_fwd__", F.first(pack, ignorenulls=True).over(w_seg_f)
+        )
 
-    # 3. per-(key, seg) final carry -> incoming carry for each LATER
-    # epoch of the same key. max_by over (ts, side) picks the
-    # segment's last row; its cumulative carry IS the segment summary.
-    bounds = loc.groupBy(*on, seg).agg(
+    # 3. per-(key, seg) boundary state -> incoming carry from EARLIER
+    # epochs (and, for nearest, incoming forward candidate from LATER
+    # epochs). max_by/min_by over (ts, side) pick the segment's
+    # last/first row; their cumulative carries ARE the summaries.
+    aggs = [
         F.max_by("__seg_carry__", F.struct(F.col(ts), F.col(side))).alias(
             "__seg_last__"
         )
-    )
+    ]
+    if nearest:
+        aggs.append(
+            F.min_by("__seg_fwd__", F.struct(F.col(ts), F.col(side))).alias(
+                "__seg_first__"
+            )
+        )
+    bounds = loc.groupBy(*on, seg).agg(*aggs)
     w_in = (
         Window.partitionBy(*on)
         .orderBy(F.col(seg).asc())
@@ -372,13 +395,41 @@ def asof_join_ranged(
     )
     incoming = bounds.withColumn(
         "__incoming__", F.last("__seg_last__", ignorenulls=True).over(w_in)
-    ).select(*on, seg, "__incoming__")
+    )
+    inc_cols = ["__incoming__"]
+    if nearest:
+        w_next = (
+            Window.partitionBy(*on)
+            .orderBy(F.col(seg).asc())
+            .rowsBetween(1, Window.unboundedFollowing)
+        )
+        incoming = incoming.withColumn(
+            "__incoming_next__",
+            F.first("__seg_first__", ignorenulls=True).over(w_next),
+        )
+        inc_cols.append("__incoming_next__")
+    incoming = incoming.select(*on, seg, *inc_cols)
 
-    carried = F.coalesce(F.col("__seg_carry__"), F.col("__incoming__"))
-    if tolerance is not None:
-        carried = F.when(
-            F.col(ts) - carried[matched_ts] > F.lit(tolerance), F.lit(None)
-        ).otherwise(carried)
+    def _tol(c, delta):
+        if tolerance is None:
+            return c
+        return F.when(delta > F.lit(tolerance), F.lit(None)).otherwise(c)
+
+    cb = F.coalesce(F.col("__seg_carry__"), F.col("__incoming__"))
+    cb = _tol(cb, F.col(ts) - cb[matched_ts])
+    if not nearest:
+        carried = cb
+    else:
+        cf = F.coalesce(F.col("__seg_fwd__"), F.col("__incoming_next__"))
+        cf = _tol(cf, cf[matched_ts] - F.col(ts))
+        d_b = F.col(ts) - cb[matched_ts]
+        d_f = cf[matched_ts] - F.col(ts)
+        carried = (
+            F.when(cb.isNull(), cf)
+            .when(cf.isNull(), cb)
+            .when(d_f < d_b, cf)
+            .otherwise(cb)  # ties -> backward, as the standard form
+        )
     res = (
         loc.join(incoming, [*on, seg])
         .withColumn(pack, carried)

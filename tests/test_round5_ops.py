@@ -81,6 +81,25 @@ def test_asof_join_ranged_matches_standard(spark, seed, tolerance):
     )
     assert got_f == want_f
 
+    # nearest: both carries on ONE segmented relation (mirrored
+    # windows + mirrored boundary propagation), ties to backward
+    want_n = sorted(
+        tuple(r)
+        for r in asof_join(
+            left, right, ["key"], "ts", "ts",
+            tolerance=tolerance, direction="nearest",
+        ).collect()
+    )
+    for width in (1, 37, 10_000_000):
+        got_n = sorted(
+            tuple(r)
+            for r in asof_join_ranged(
+                left, right, ["key"], "ts", "ts",
+                tolerance=tolerance, epoch_width=width, direction="nearest",
+            ).collect()
+        )
+        assert got_n == want_n, f"nearest epoch_width={width}"
+
 
 def test_asof_join_ranged_skew_splits_hot_key(spark):
     """Pathological skew: ONE key holds 50%+ of both sides. The
