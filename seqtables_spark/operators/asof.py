@@ -37,9 +37,11 @@ escape hatch: segment on (keys, floor(ts/epoch)) so the hot key's
 TIMELINE splits across epoch groups, compute the carry per segment,
 and propagate segment-boundary state through a small per-(key,
 epoch) relation - the window twin of operators/ranks.py's 2-phase
-rank. It pays one extra full-data exchange; use it when key skew is
-pathological, the default single-exchange form otherwise (measured
-in SCALING.md).
+rank. All three directions (backward / forward / nearest) have
+ranged forms. It pays one extra pruned scan (the boundary
+aggregation) on top of the single big-side exchange; use it when key
+skew is pathological, the default form otherwise (measured in
+SCALING.md).
 """
 
 from __future__ import annotations
@@ -266,7 +268,7 @@ def asof_join_ranged(
     epoch_width: int | None = None,
     direction: str = "backward",
 ) -> DataFrame:
-    """Skew-immune backward/forward as-of join (allow-exact
+    """Skew-immune as-of join, all three directions (allow-exact
     semantics, asof_join's defaults): for pathological key skew,
     where one key holds a large fraction of both sides and the
     standard form's per-key window serializes it through one task.
@@ -291,11 +293,16 @@ def asof_join_ranged(
       2. per-segment carry: a window over (keys, seg) - the hot key
          contributes one group PER EPOCH instead of one group total -
          computes the running last-right-row within each segment;
-      3. boundary state: one row per (key, seg) - the segment's final
-         carry - propagated across epochs by a window over that SMALL
-         relation (groups bounded by the epoch count, so it cannot
-         skew), then joined back on (keys, seg) and coalesced under
-         the local carry.
+      3. boundary state: one row per (key, seg) - the segment's
+         latest right row - aggregated straight off the union (a
+         second PRUNED scan collapsing map-side; cheaper than
+         re-running the window sort, which a shared-subtree branch
+         would), propagated across epochs by a window over that
+         SMALL relation (groups bounded by the epoch count, so it
+         cannot skew), then BROADCAST back onto the segmented rows
+         (AQE: the relation is one row per (key, epoch)) and
+         coalesced under the local carry - the big side is exchanged
+         exactly ONCE in the whole plan.
 
     ``epoch_width`` (timestamp units per segment) is the skew dial;
     when None it is derived as (max ts - min ts + 1) / n_segments
@@ -350,7 +357,14 @@ def asof_join_ranged(
             epoch_width = max(1, (int(hi) - int(lo) + 1) // max(parts, 1))
 
     seg = "__asof_seg__"
-    su = u.withColumn(seg, F.floor(F.col(ts) / F.lit(int(epoch_width))))
+    # EXPLICIT repartition on (keys, seg): the segment window, the
+    # boundary aggregation, and the final join all need exactly this
+    # clustering, so declaring it once lets ReuseExchange serve every
+    # branch from ONE shuffle - and the window then only adds an
+    # in-partition sort on top.
+    su = u.withColumn(
+        seg, F.floor(F.col(ts) / F.lit(int(epoch_width)))
+    ).repartition(*[F.col(c) for c in on], F.col(seg))
 
     # 2. segment-local carries (right rows sort before left at ts
     # ties, so '<=' semantics fall out exactly as in the standard
@@ -374,20 +388,28 @@ def asof_join_ranged(
 
     # 3. per-(key, seg) boundary state -> incoming carry from EARLIER
     # epochs (and, for nearest, incoming forward candidate from LATER
-    # epochs). max_by/min_by over (ts, side) pick the segment's
-    # last/first row; their cumulative carries ARE the summaries.
-    aggs = [
-        F.max_by("__seg_carry__", F.struct(F.col(ts), F.col(side))).alias(
-            "__seg_last__"
-        )
-    ]
+    # epochs). Computed from `su` directly - the segment's last/first
+    # non-null carry is by construction its latest/earliest RIGHT
+    # row's pack - NOT from `loc`: a branch on `loc` would re-run the
+    # window SORT (Catalyst reuses exchanges, not arbitrary
+    # subtrees). Plan reality (verified): the optimizer collapses the
+    # repartition under this aggregation, so the branch is a re-scan
+    # + map-side-collapsed agg whose shuffle carries one row per
+    # (key, epoch) - the trade is a second pruned scan instead of a
+    # second full sort+window, and AQE then BROADCASTS the collapsed
+    # incoming relation back onto `loc`, so the big side is never
+    # exchanged again for the join. Right-ts duplicates within
+    # (key, ts) are the documented ambiguity; max_by/min_by on ts
+    # matches the pre-aggregated-right contract.
+    # grouped over ALL rows (a filter to side=0 would drop left-only
+    # segments from the join universe and from the propagation
+    # window); the ordering key is NULL for left rows, which
+    # max_by/min_by skip, so the summary is still right-rows-only
+    r_ts = F.when(F.col(side) == 0, F.col(ts))
+    aggs = [F.max_by(pack, r_ts).alias("__seg_last__")]
     if nearest:
-        aggs.append(
-            F.min_by("__seg_fwd__", F.struct(F.col(ts), F.col(side))).alias(
-                "__seg_first__"
-            )
-        )
-    bounds = loc.groupBy(*on, seg).agg(*aggs)
+        aggs.append(F.min_by(pack, r_ts).alias("__seg_first__"))
+    bounds = su.groupBy(*on, seg).agg(*aggs)
     w_in = (
         Window.partitionBy(*on)
         .orderBy(F.col(seg).asc())
