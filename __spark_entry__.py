@@ -1914,6 +1914,40 @@ def q_bowtie_distributed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental corpus dedup (pipeline/dedup.save_minhash_index +
+    incremental_near_dup_pairs): fingerprint the corpus ONCE into a
+    band-key index partitioned by (band_idx, hash-prefix bucket),
+    then dedup a NEW batch - truncated twins of every 50th doc (must
+    hit) + reversed-text decoys (must miss) - by equi-joining its
+    band keys against the saved index. The corpus text is never
+    re-shingled; cost scales with the batch. Value-exact: the oracle
+    replays both LSH chains and the band-key join in SQL."""
+    from seqtables_spark.pipeline.dedup import (
+        incremental_near_dup_pairs, save_minhash_index,
+    )
+
+    docs = _wide(spark, _t(spark, sf_dir, "documents")).select("doc_id", "text")
+    idx_path = _rt_tmp("seqtables_mhidx", sf_dir)
+    save_minhash_index(
+        docs, idx_path, n_hashes=MINHASH_N, bands=LSH_BANDS, k=LSH_K
+    )
+    twins = docs.filter(F.col("doc_id") % 50 == 0).select(
+        (F.col("doc_id") + 10_000_000).alias("doc_id"),
+        F.substring(
+            "text", 1, F.greatest(F.length("text") - 5, F.lit(10))
+        ).alias("text"),
+    )
+    fresh = docs.filter(F.col("doc_id") % 50 == 25).select(
+        (F.col("doc_id") + 20_000_000).alias("doc_id"),
+        F.reverse(F.col("text")).alias("text"),
+    )
+    batch = twins.unionByName(fresh)
+    return incremental_near_dup_pairs(
+        batch, idx_path, n_hashes=MINHASH_N, bands=LSH_BANDS, k=LSH_K
+    )
+
+
 def q_curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The composed curation pipeline (pipeline/curate.py): quality
     gate -> language filter -> exact-dedup survivors, ONE Catalyst
@@ -2635,7 +2669,7 @@ def _prepared(name: str, fn: Callable) -> Callable:
 # numpy-batched multimodal decode), then rolling round-3 coverage.
 _ORACLE_PRIORITY = [
     "asof_skew", "streaming_near_dup_ttl", "bowtie_distributed",
-    "training_shards",
+    "training_shards", "incremental_dedup",
     "sam_roundtrip", "bam_roundtrip", "fastq_roundtrip",
     "perplexity_scores", "small_quantity_revenue",
     "pending_orders_priority", "customer_setops",
@@ -2725,6 +2759,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash": q_simhash,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "ngram_jaccard": q_ngram_jaccard,
+        "incremental_dedup": q_incremental_dedup,
         "dedup_clusters": q_dedup_clusters,
         "dedup_clusters_star": q_dedup_clusters_star,
         "dedup_survivors": q_dedup_survivors,
@@ -4223,6 +4258,24 @@ FROM cur3 c LEFT JOIN w ON c.doc_id = w.doc_id
 
     sqls["minhash_lsh_pairs"] = _sql_lsh_pairs()
     sqls["ngram_jaccard"] = _sql_ngram_jaccard()
+    sqls["incremental_dedup"] = f"""
+WITH corpus AS (SELECT doc_id, text FROM documents),
+batch AS (
+  SELECT doc_id + 10000000 AS doc_id,
+         substring(text, 1, greatest(length(text) - 5, 10)) AS text
+  FROM documents WHERE doc_id % 50 = 0
+  UNION ALL
+  SELECT doc_id + 20000000 AS doc_id, reverse(text) AS text
+  FROM documents WHERE doc_id % 50 = 25
+),
+{_sql_lsh_chain("corpus", "c")},
+{_sql_lsh_chain("batch", "n")}
+SELECT DISTINCT n.doc_id AS id_new, c.doc_id AS id_corpus
+FROM nbanded n JOIN cbanded c
+  ON n.band_idx = c.band_idx AND n.band_hash = c.band_hash
+WHERE n.doc_id != c.doc_id
+"""
+
     sqls["streaming_near_dup"] = _sql_streaming_near_dup()
     sqls["streaming_near_dup_ttl"] = _sql_streaming_near_dup_ttl()
     _ph_tok = _SQL_PORTABLE_HASH.format(x="t")

@@ -4,6 +4,8 @@ from .dedup import (
     shingles,
     minhash_signatures,
     minhash_candidate_pairs,
+    save_minhash_index,
+    incremental_near_dup_pairs,
     simhash,
     simhash_near_dups,
     ngram_jaccard_pairs,
@@ -36,6 +38,7 @@ __all__ = [
     "portable_string_hash", "HASH_PRIME",
     "exact_dedup", "shingles", "minhash_signatures",
     "minhash_candidate_pairs", "simhash", "simhash_near_dups",
+    "save_minhash_index", "incremental_near_dup_pairs",
     "ngram_jaccard_pairs", "connected_components", "dedup_survivors",
     "contamination_check", "tfidf_terms", "repetition_features",
     "pii_counts", "redact_pii",

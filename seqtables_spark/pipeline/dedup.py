@@ -203,6 +203,86 @@ def minhash_candidate_pairs(
     return pairs
 
 
+def save_minhash_index(
+    df: DataFrame,
+    path: str,
+    n_hashes: int = 16,
+    bands: int = 4,
+    k: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    seed: int = 42,
+    mode: str = "overwrite",
+    bucket_bits: int = 8,
+) -> None:
+    """Materialize the corpus's LSH band keys as a REUSABLE index:
+    DF(id, band_idx, band_hash) written partitioned by (band_idx,
+    a bucket_bits-wide prefix of band_hash), so an incremental probe
+    reads only the partitions its own band keys fall in (directory-
+    level pruning) instead of rescanning the corpus.
+
+    This is the 100 TB incremental-ingest contract: fingerprint the
+    corpus ONCE; every new crawl dedups against the saved keys
+    (incremental_near_dup_pairs) - the corpus text is never
+    re-shingled. The index is append-able: after accepting a batch,
+    write its band keys with mode='append' and the next batch probes
+    corpus+accepted alike. Hash params (n_hashes/bands/k/seed) must
+    match between build and probe - they define the key space."""
+    banded = minhash_band_keys(
+        df, n_hashes, bands, k, text_col, id_col, seed
+    ).withColumn(
+        "band_bucket",
+        F.conv(F.substring("band_hash", 1, (int(bucket_bits) + 3) // 4), 16, 10)
+        .cast("int") % (1 << int(bucket_bits)),
+    )
+    banded.write.mode(mode).partitionBy("band_idx", "band_bucket").parquet(path)
+
+
+def incremental_near_dup_pairs(
+    new_docs: DataFrame,
+    index_path: str,
+    n_hashes: int = 16,
+    bands: int = 4,
+    k: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    seed: int = 42,
+    bucket_bits: int = 8,
+) -> DataFrame:
+    """LSH candidate pairs between a NEW batch and a SAVED corpus
+    index (save_minhash_index): DF(id_new, id_corpus) - every new doc
+    that lands in a band bucket some corpus doc occupies. Cost scales
+    with the BATCH, never the corpus: the batch's band keys are an
+    equi-join against the index on (band_idx, band_bucket, band_hash),
+    where the partition columns prune the index scan to the buckets
+    the batch actually touches. Feed the pairs to ngram_jaccard_pairs
+    (candidates=...) for exact verification, exactly like the batch
+    pipeline. Self-duplicates WITHIN the batch are a separate
+    minhash_candidate_pairs call on the batch alone."""
+    spark = new_docs.sparkSession
+    idx = spark.read.parquet(index_path)
+    probe = minhash_band_keys(
+        new_docs, n_hashes, bands, k, text_col, id_col, seed
+    ).withColumn(
+        "band_bucket",
+        F.conv(F.substring("band_hash", 1, (int(bucket_bits) + 3) // 4), 16, 10)
+        .cast("int") % (1 << int(bucket_bits)),
+    )
+    return (
+        probe.alias("n")
+        .join(
+            idx.alias("c"),
+            ["band_idx", "band_bucket", "band_hash"],
+        )
+        .filter(F.col(f"n.{id_col}") != F.col(f"c.{id_col}"))
+        .select(
+            F.col(f"n.{id_col}").alias("id_new"),
+            F.col(f"c.{id_col}").alias("id_corpus"),
+        )
+        .distinct()
+    )
+
+
 def simhash(
     df: DataFrame,
     text_col: str = "text",

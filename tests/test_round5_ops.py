@@ -286,3 +286,52 @@ def test_write_training_shards_replays_permutation(spark, tmp_path):
         assert pos[0] == k * n + 1 and pos[-1] == min((k + 1) * n, 1000)
         replay.extend(zip(t["doc_id"], pos))
     assert dict(replay) == want
+
+
+def test_incremental_minhash_index_probe_and_append(spark, tmp_path):
+    """Incremental corpus dedup: the saved band-key index catches a
+    new batch's near-dups WITHOUT re-shingling the corpus; the probe
+    scan is dynamic-partition-pruned to the buckets the batch
+    touches; mode='append' extends the index so the NEXT batch also
+    dedups against previously accepted docs."""
+    from seqtables_spark.pipeline.dedup import (
+        incremental_near_dup_pairs, minhash_band_keys, save_minhash_index,
+    )
+
+    corpus = spark.createDataFrame(
+        [
+            (i, f"document number {i} about topic {i % 7} with plenty of text")
+            for i in range(200)
+        ],
+        "doc_id long, text string",
+    )
+    idx = str(tmp_path / "mh_index")
+    save_minhash_index(corpus, idx, n_hashes=8, bands=2, k=12)
+
+    batch1 = spark.createDataFrame(
+        [
+            (1001, "document number 42 about topic 0 with plenty of text!!"),
+            (1002, "totally unrelated fresh content xyz qqq"),
+        ],
+        "doc_id long, text string",
+    )
+    pairs = incremental_near_dup_pairs(batch1, idx, n_hashes=8, bands=2, k=12)
+    plan = pairs._jdf.queryExecution().executedPlan().toString()
+    got = sorted((r.id_new, r.id_corpus) for r in pairs.collect())
+    assert got == [(1001, 42)]
+    # the index scan is partition-pruned by the probe's band keys
+    assert "dynamicpruning" in plan.lower()
+
+    # accept batch1 -> append its keys; batch2 twins a BATCH1 doc
+    save_minhash_index(batch1, idx, n_hashes=8, bands=2, k=12, mode="append")
+    batch2 = spark.createDataFrame(
+        [(2001, "totally unrelated fresh content xyz qqq!!")],
+        "doc_id long, text string",
+    )
+    got2 = sorted(
+        (r.id_new, r.id_corpus)
+        for r in incremental_near_dup_pairs(
+            batch2, idx, n_hashes=8, bands=2, k=12
+        ).collect()
+    )
+    assert got2 == [(2001, 1002)]
