@@ -1353,11 +1353,15 @@ def q_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_salted_brand_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Skew mitigation as a declared query: lineitem (big, fact) x
-    part (small, dim) through operators.skew.salted_join — the
-    shuffle key widens to (p_partkey, salt) with the salt hashed from
-    the fact row's primary key (retry-safe, spreads even duplicate
-    hot keys), then revenue rolls up by brand. Result is identical to
-    the plain equi-join, which is what the oracle checks."""
+    part (small, dim) through operators.skew.salted_join. Round-6
+    guard: salted_join now counts the dim side first — under
+    max_broadcast_rows it plans a plain broadcast join (no salt, no
+    fact-side shuffle; the case at bench SFs), above it the shuffle
+    key widens to (p_partkey, salt) with the salt hashed from the
+    fact row's primary key (retry-safe, spreads even duplicate hot
+    keys). Either plan's result is identical to the plain equi-join,
+    which is what the oracle checks; the salted plan itself is pinned
+    in tests/test_round2_ops.py."""
     from seqtables_spark.operators.skew import salted_join
 
     li = _t(spark, sf_dir, "lineitem").select(
@@ -1454,10 +1458,14 @@ def q_top_orders_per_cust(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Relational core: ROLLUP over (region, nation) on the star
-    join - Catalyst expands grouping sets into one Expand + single
-    hash aggregate (one shuffle for all three grouping levels, not
-    one scan per level). Revenue in fixed-point cents so the rollup
-    sums are order-free integers."""
+    join. Scale shape: aggregate the fact stream ONCE to the finest
+    grouping level (r_name, n_name) - a ~25-row relation - and only
+    then ROLLUP that collapsed relation. Catalyst's Expand for the
+    grouping sets therefore multiplies ~25 rows x3, never the joined
+    fact stream; sums of sums are exact because revenue is kept in
+    fixed-point long cents. (Rolling up the raw join instead makes
+    Expand triple every fact row before the partial aggregate - 3x
+    the map work at 100 TB for an identical result.)"""
     li = _t(spark, sf_dir, "lineitem")
     orders = _t(spark, sf_dir, "orders")
     cust = _t(spark, sf_dir, "customer")
@@ -1469,16 +1477,20 @@ def q_rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
         .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
     )
+    collapsed = joined.groupBy("r_name", "n_name").agg(
+        F.sum(
+            F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100).cast(
+                "long"
+            )
+        ).alias("revenue_cents"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
     return (
-        joined.rollup("r_name", "n_name")
+        collapsed.rollup("r_name", "n_name")
         .agg(
             F.grouping_id().cast("int").alias("lvl"),
-            F.sum(
-                F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100).cast(
-                    "long"
-                )
-            ).alias("revenue_cents"),
-            F.count(F.lit(1)).alias("n_items"),
+            F.sum("revenue_cents").alias("revenue_cents"),
+            F.sum("n_items").alias("n_items"),
         )
         .select("r_name", "n_name", "lvl", "revenue_cents", "n_items")
     )

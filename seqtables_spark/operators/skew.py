@@ -29,6 +29,7 @@ def salted_join(
     n_salts: int = 8,
     how: str = "inner",
     salt_cols: Sequence[str] | None = None,
+    max_broadcast_rows: int | None = 100_000,
 ) -> DataFrame:
     """Equi-join `big ⋈ small` on `on`, with the shuffle key widened
     to (on..., salt) so a skewed key spreads over n_salts partitions.
@@ -46,13 +47,31 @@ def salted_join(
     pre-existing unique row id (e.g. ``salt_cols=["doc_id"]``) when
     rows may be fully duplicated; (2) xxhash64 cannot hash map-typed
     columns — pass salt_cols excluding them. rand() would dodge both
-    but breaks task-retry determinism, which matters more."""
+    but breaks task-retry determinism, which matters more.
+
+    Guarded bypass (round 6): salting exists to fix a SHUFFLE problem,
+    and a broadcast join has no shuffle — so when the small side is
+    genuinely broadcastable, replicating it n_salts times and widening
+    the big side's shuffle key is pure overhead (measured ~10x vs the
+    broadcast plan on a 20k-row dim). Same pattern as
+    contamination_check's count guard: one cheap count of the SMALL
+    side only; <= max_broadcast_rows -> plain broadcast join, no salt,
+    no big-side shuffle at all; above it -> the salted shuffle join.
+    Why a count and not 'let AQE decide': AQE cannot widen a join key —
+    if the static plan picks a shuffle join on `on`, the hot key lands
+    on one reducer and AQE's skew splitting cannot split a single key
+    group with a post-shuffle sort requirement already placed. Pass
+    max_broadcast_rows=None to force the salted path unconditionally
+    (keeps the plan fully lazy; useful when the small side's row count
+    belies wide rows that would blow the broadcast memory)."""
     if how not in ("inner", "left", "left_outer", "leftouter", "left_semi", "leftsemi", "left_anti", "leftanti"):
         # right/full outer would emit one null-padded row PER SALT for
         # every unmatched small-side key (the replicas all survive) -
         # refuse rather than silently multiply rows
         raise ValueError(f"salted_join supports inner/left-family joins, not {how!r}")
     on = list(on)
+    if max_broadcast_rows is not None and small.count() <= int(max_broadcast_rows):
+        return big.join(F.broadcast(small), on, how)
     salt = "__salted_join_salt__"  # collision-proof internal name
     salts = F.explode(F.sequence(F.lit(0), F.lit(int(n_salts) - 1))).alias(salt)
     small_rep = small.select("*", salts)

@@ -312,6 +312,15 @@ def test_round3_relational_query_plan_shapes(spark):
 
     rollup = _plan(raw["rollup_revenue"](spark, sf))
     assert rollup.count("Expand") == 1
+    # round-6 shape: the grouping-sets Expand must sit directly over
+    # the collapsed (r_name, n_name) aggregate - a ~25-row relation -
+    # never over the joined fact stream (which would triple every
+    # fact row before the partial agg).
+    import re as _re
+
+    assert _re.search(r"Expand.*\n\s*\+- HashAggregate", rollup), (
+        "Expand's child must be the collapsed aggregate, not the fact join"
+    )
     # one shuffle for the agg; the 4 dimension joins are broadcasts
     assert rollup.count("BroadcastHashJoin") == 4
 

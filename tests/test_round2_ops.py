@@ -103,7 +103,9 @@ def test_salted_join_matches_plain_join(spark):
     )
     got = sorted(
         (r["row_id"], r["label"])
-        for r in salted_join(big, dim, ["k"], n_salts=4).collect()
+        for r in salted_join(
+            big, dim, ["k"], n_salts=4, max_broadcast_rows=None
+        ).collect()
     )
     want = sorted(
         (r["row_id"], r["label"]) for r in big.join(dim, "k").collect()
@@ -125,7 +127,8 @@ def test_salted_join_salt_cols_spreads_identical_rows(spark):
     got = sorted(
         (r["row_id"], r["label"])
         for r in salted_join(
-            big, dim, ["k"], n_salts=4, salt_cols=["row_id"]
+            big, dim, ["k"], n_salts=4, salt_cols=["row_id"],
+            max_broadcast_rows=None,
         ).collect()
     )
     want = sorted((r["row_id"], r["label"]) for r in big.join(dim, "k").collect())
@@ -137,8 +140,37 @@ def test_salted_join_widens_the_shuffle_key(spark):
 
     big = spark.createDataFrame([(i, 0) for i in range(10)], "row_id long, k int")
     dim = spark.createDataFrame([(0, "a")], "k int, label string")
-    plan = salted_join(big, dim, ["k"], n_salts=4)._jdf.queryExecution().executedPlan().toString()
+    plan = (
+        salted_join(big, dim, ["k"], n_salts=4, max_broadcast_rows=None)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
     assert "_salt" in plan  # the join key carries the salt
+
+
+def test_salted_join_broadcast_bypass_guard(spark):
+    """Round-6 guard: salting fixes a SHUFFLE problem, and a
+    broadcastable small side means there is no shuffle to fix — the
+    guard must plan a plain broadcast join (no salt column, no
+    big-side exchange), while max_broadcast_rows=None must force the
+    salted shuffle plan. Both modes return identical rows."""
+    from seqtables_spark.operators.skew import salted_join
+
+    big = spark.createDataFrame([(i, i % 3) for i in range(60)], "row_id long, k int")
+    dim = spark.createDataFrame(
+        [(0, "a"), (1, "b"), (2, "c")], "k int, label string"
+    )
+
+    bypass = salted_join(big, dim, ["k"], n_salts=4, max_broadcast_rows=1000)
+    plan_b = bypass._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan_b
+    assert "_salt" not in plan_b
+
+    forced = salted_join(big, dim, ["k"], n_salts=4, max_broadcast_rows=None)
+    plan_f = forced._jdf.queryExecution().executedPlan().toString()
+    assert "_salt" in plan_f
+
+    key = lambda r: (r["row_id"], r["label"])  # noqa: E731
+    assert sorted(map(key, bypass.collect())) == sorted(map(key, forced.collect()))
 
 
 def test_streaming_dedup_keeps_first_per_key(spark, tmp_path):
