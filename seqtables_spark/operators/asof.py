@@ -308,7 +308,11 @@ def asof_join_ranged(
     when None it is derived as (max ts - min ts + 1) / n_segments
     (default parallelism) via one tiny min/max aggregation over the
     union - an extra pass over (keys, ts) only, documented cost of
-    auto-tuning. Timestamps must be non-NULL integers. A hot key
+    auto-tuning. Timestamps must be non-NULL integers; NULL equi-KEYS
+    are allowed and match each other, exactly like the standard
+    form's window grouping (the boundary join goes null-safe when the
+    schema cannot prove the keys non-null - see the inline comment
+    for the plan cost). A hot key
     whose rows all share ONE timestamp stays unsplittable - the same
     tie limit the 2-phase rank has. All three directions are
     supported: ``forward`` negates the timestamps through the
@@ -452,11 +456,42 @@ def asof_join_ranged(
             .when(d_f < d_b, cf)
             .otherwise(cb)  # ties -> backward, as the standard form
         )
-    res = (
-        loc.join(incoming, [*on, seg])
-        .withColumn(pack, carried)
-        .filter(F.col(side) == 1)
+    # NULL equi-keys: a USING join would never match NULL keys,
+    # silently dropping left rows whose `on` keys contain NULL -
+    # while the standard asof_join's Window.partitionBy groups NULLs
+    # together and keeps those rows (left-outer contract, the
+    # 'value-identical' promise of this docstring). When the schema
+    # PROVES every key non-nullable on both sides, the plain
+    # equality join keeps the lean plan (its required clustering
+    # matches the (keys, seg) repartition, so the big side is never
+    # re-exchanged); otherwise the join goes null-safe (eqNullSafe
+    # per key). Null-safe keys make Catalyst derive
+    # (coalesce(k, default), isnull(k)) join keys, which do NOT
+    # match the (keys, seg) clustering - the static plan re-shuffles
+    # `loc` - but in the skew regime this operator targets the
+    # boundary relation is small (one row per key-epoch) and AQE
+    # demotes the join to broadcast / local shuffle read, so the
+    # extra exchange does not materialize over the network.
+    # Correctness first, documented cost second. seg itself derives
+    # from the non-NULL ts contract and stays plain-equality.
+    keys_provably_non_null = all(
+        not df.schema[c].nullable for df in (left, right) for c in on
     )
+    if keys_provably_non_null:
+        res = loc.join(incoming, [*on, seg])
+    else:
+        inc = incoming.select(
+            *[F.col(c).alias(f"__inc_{c}__") for c in on],
+            F.col(seg).alias("__inc_seg__"),
+            *inc_cols,
+        )
+        cond = F.col(seg) == F.col("__inc_seg__")
+        for c in on:
+            cond = cond & F.col(c).eqNullSafe(F.col(f"__inc_{c}__"))
+        res = loc.join(inc, cond).drop(
+            "__inc_seg__", *[f"__inc_{c}__" for c in on]
+        )
+    res = res.withColumn(pack, carried).filter(F.col(side) == 1)
     left_cols = [F.col(ts).alias(left_ts) if c == left_ts else F.col(c)
                  for c in left.columns]
     return res.select(

@@ -203,6 +203,26 @@ def minhash_candidate_pairs(
     return pairs
 
 
+def _band_bucket(bucket_bits: int):
+    """Partition bucket for a hex band_hash: the first ceil(bits/4)
+    hex chars parsed base-16, mod 2^bucket_bits — computed identically
+    at index build and probe time (the join silently matches nothing
+    if the two sides ever disagree). Kept in LONG the whole way:
+    conv() of up to 8 hex chars spans 32 bits, and an int cast
+    overflows to NULL for bucket_bits >= 29 — NULL buckets on both
+    sides would drop every duplicate without an error. bucket_bits is
+    validated to 1..28 (28 = 7 hex chars, always int64-safe, and more
+    than enough directories: 2^28 partitions per band is already far
+    past any sane file count)."""
+    bits = int(bucket_bits)
+    if not 1 <= bits <= 28:
+        raise ValueError(f"bucket_bits must be in 1..28, got {bucket_bits}")
+    return (
+        F.conv(F.substring("band_hash", 1, (bits + 3) // 4), 16, 10).cast("long")
+        % (1 << bits)
+    )
+
+
 def save_minhash_index(
     df: DataFrame,
     path: str,
@@ -230,11 +250,7 @@ def save_minhash_index(
     match between build and probe - they define the key space."""
     banded = minhash_band_keys(
         df, n_hashes, bands, k, text_col, id_col, seed
-    ).withColumn(
-        "band_bucket",
-        F.conv(F.substring("band_hash", 1, (int(bucket_bits) + 3) // 4), 16, 10)
-        .cast("int") % (1 << int(bucket_bits)),
-    )
+    ).withColumn("band_bucket", _band_bucket(bucket_bits))
     banded.write.mode(mode).partitionBy("band_idx", "band_bucket").parquet(path)
 
 
@@ -263,11 +279,7 @@ def incremental_near_dup_pairs(
     idx = spark.read.parquet(index_path)
     probe = minhash_band_keys(
         new_docs, n_hashes, bands, k, text_col, id_col, seed
-    ).withColumn(
-        "band_bucket",
-        F.conv(F.substring("band_hash", 1, (int(bucket_bits) + 3) // 4), 16, 10)
-        .cast("int") % (1 << int(bucket_bits)),
-    )
+    ).withColumn("band_bucket", _band_bucket(bucket_bits))
     return (
         probe.alias("n")
         .join(

@@ -1,0 +1,215 @@
+"""Round-6 additions: asof_join_ranged adversarial edges (NULL keys,
+epoch boundaries, cross-epoch duplicates), the band_bucket contract,
+and the guarded plans behind this round's VERDICT items."""
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def _pairs(df):
+    # key=repr: rows may carry NULLs (None is not orderable vs str/int)
+    return sorted((tuple(r) for r in df.collect()), key=repr)
+
+
+@pytest.mark.parametrize("direction", ["backward", "forward", "nearest"])
+def test_asof_join_ranged_null_keys_match_standard(spark, direction):
+    """ADVICE r5 (medium): the ranged form's boundary join must not
+    drop left rows whose `on` keys are NULL - the standard form's
+    Window.partitionBy groups NULLs together and keeps them
+    (left-outer contract), so the ranged form must too. Exercises
+    NULL keys on both sides, a NULL-key left row with no NULL-key
+    right match in its direction, and a non-NULL key as control."""
+    from seqtables_spark.operators.asof import asof_join, asof_join_ranged
+
+    left = spark.createDataFrame(
+        [("a", 10, 1), (None, 10, 2), (None, 20, 3), ("b", 5, 4)],
+        "key string, ts long, lid long",
+    )
+    right = spark.createDataFrame(
+        [("a", 5, 1.0), (None, 8, 2.0), (None, 15, 3.0), ("c", 1, 9.0)],
+        "key string, ts long, p double",
+    )
+    want = _pairs(
+        asof_join(left, right, ["key"], "ts", "ts", direction=direction)
+    )
+    for width in (1, 7, 1000):
+        got = _pairs(
+            asof_join_ranged(
+                left, right, ["key"], "ts", "ts",
+                direction=direction, epoch_width=width,
+            )
+        )
+        assert got == want, f"epoch_width={width}"
+    # every left row survives (left-outer contract)
+    assert len(want) == 4
+
+
+def test_asof_join_ranged_non_nullable_keys_keep_lean_join(spark):
+    """When the schema proves the keys non-nullable, the boundary
+    join must stay plain-equality: null-safe keys would make Catalyst
+    derive (coalesce, isnull) join keys that break the (key, seg)
+    clustering and re-exchange the big side. createDataFrame from
+    tuples yields nullable fields, so build non-nullable inputs via
+    a filter-free select of literals with nullability stripped."""
+    from pyspark.sql.types import (
+        LongType, StringType, StructField, StructType,
+    )
+    from seqtables_spark.operators.asof import asof_join_ranged
+
+    schema_l = StructType([
+        StructField("key", StringType(), False),
+        StructField("ts", LongType(), False),
+        StructField("lid", LongType(), False),
+    ])
+    schema_r = StructType([
+        StructField("key", StringType(), False),
+        StructField("ts", LongType(), False),
+        StructField("p", LongType(), False),
+    ])
+    left = spark.createDataFrame([("a", 10, 1)], schema_l)
+    right = spark.createDataFrame([("a", 5, 7)], schema_r)
+    plan = (
+        asof_join_ranged(left, right, ["key"], "ts", "ts", epoch_width=8)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "__inc_key__" not in plan  # plain USING join, no aliased keys
+    assert _pairs(
+        asof_join_ranged(left, right, ["key"], "ts", "ts", epoch_width=8)
+    ) == [("a", 10, 1, 5, 7)]
+
+
+@pytest.mark.parametrize("direction", ["backward", "forward", "nearest"])
+def test_asof_join_ranged_epoch_boundary_exact_match(spark, direction):
+    """VERDICT r5 #7: a right row whose timestamp sits EXACTLY on an
+    epoch edge (ts % epoch_width == 0) must still match a left row at
+    the same instant (allow-exact '<='/'>='), and a left row on the
+    edge must pick up a right row from the PREVIOUS epoch through the
+    boundary carry. epoch_width=10; edges at 10, 20, 30."""
+    from seqtables_spark.operators.asof import asof_join, asof_join_ranged
+
+    left = spark.createDataFrame(
+        [
+            ("k", 10, 1),   # exactly on edge, right also at 10
+            ("k", 20, 2),   # exactly on edge, nearest right at 19 (prev epoch)
+            ("k", 30, 3),   # exactly on edge, no right in [20, 30] -> carry from 19
+            ("k", 9, 4),    # just below an edge
+            ("k", 11, 5),   # just above an edge
+        ],
+        "key string, ts long, lid long",
+    )
+    right = spark.createDataFrame(
+        [("k", 10, 100), ("k", 19, 190), ("k", 31, 310)],
+        "key string, ts long, v long",
+    )
+    want = _pairs(
+        asof_join(left, right, ["key"], "ts", "ts", direction=direction)
+    )
+    got = _pairs(
+        asof_join_ranged(
+            left, right, ["key"], "ts", "ts",
+            direction=direction, epoch_width=10,
+        )
+    )
+    assert got == want
+
+
+@pytest.mark.parametrize("direction", ["backward", "forward", "nearest"])
+@pytest.mark.parametrize("tolerance", [5, 10, 15])
+def test_asof_join_ranged_tolerance_spanning_epochs(spark, direction, tolerance):
+    """VERDICT r5 #7: tolerance windows that SPAN epoch boundaries -
+    the match comes through the cross-epoch carry and must then be
+    dropped or kept by the tolerance exactly as the standard form
+    does (tolerance 5 excludes the cross-epoch match at distance 12,
+    15 includes it; 10 probes the == boundary)."""
+    from seqtables_spark.operators.asof import asof_join, asof_join_ranged
+
+    left = spark.createDataFrame(
+        [("k", 22, 1), ("k", 38, 2)], "key string, ts long, lid long"
+    )
+    right = spark.createDataFrame(
+        [("k", 10, 100), ("k", 50, 500)], "key string, ts long, v long"
+    )
+    want = _pairs(
+        asof_join(
+            left, right, ["key"], "ts", "ts",
+            direction=direction, tolerance=tolerance,
+        )
+    )
+    got = _pairs(
+        asof_join_ranged(
+            left, right, ["key"], "ts", "ts",
+            direction=direction, tolerance=tolerance, epoch_width=10,
+        )
+    )
+    assert got == want
+
+
+@pytest.mark.parametrize("direction", ["backward", "forward", "nearest"])
+def test_asof_join_ranged_right_rows_straddling_epochs(spark, direction):
+    """VERDICT r5 #7: the same key with right rows in MANY epochs,
+    including several empty epochs between left and right rows - the
+    boundary propagation must carry the latest/earliest right pack
+    across an arbitrary number of empty epochs (w_in/w_next span all
+    preceding/following segments, not just the adjacent one)."""
+    from seqtables_spark.operators.asof import asof_join, asof_join_ranged
+
+    left = spark.createDataFrame(
+        [("k", 95, 1), ("k", 5, 2)], "key string, ts long, lid long"
+    )
+    right = spark.createDataFrame(
+        [("k", 8, 80), ("k", 91, 910)], "key string, ts long, v long"
+    )
+    want = _pairs(
+        asof_join(left, right, ["key"], "ts", "ts", direction=direction)
+    )
+    got = _pairs(
+        asof_join_ranged(
+            left, right, ["key"], "ts", "ts",
+            direction=direction, epoch_width=10,
+        )
+    )
+    assert got == want
+
+
+def test_band_bucket_long_and_validated(spark):
+    """ADVICE r5 (low): band_bucket must survive bucket_bits up to 28
+    (an int32 cast overflows to NULL at >= 29, silently matching
+    nothing on the index join) and reject out-of-range bits loudly."""
+    from seqtables_spark.pipeline.dedup import _band_bucket
+
+    df = spark.createDataFrame(
+        [("ffffffff",), ("00000001",), ("deadbeef",)], "band_hash string"
+    )
+    got = df.select(_band_bucket(28).alias("b")).collect()
+    assert all(r["b"] is not None and 0 <= r["b"] < (1 << 28) for r in got)
+    assert dict(df.select(_band_bucket(28).alias("b")).dtypes)["b"] == "bigint"
+
+    for bad in (0, 29, 64, -1):
+        with pytest.raises(ValueError):
+            _band_bucket(bad)
+
+
+def test_incremental_index_roundtrip_wide_buckets(spark, tmp_path):
+    """End-to-end guard for the overflow fix: build + probe with
+    bucket_bits=28 (the widest legal value, 7 hex chars) still finds
+    the planted near-duplicate - under the old int cast both sides
+    computed NULL buckets and the join silently matched nothing."""
+    from seqtables_spark.pipeline.dedup import (
+        incremental_near_dup_pairs, save_minhash_index,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    corpus = spark.createDataFrame(
+        [(1, base), (2, "completely different content about spark plans")],
+        "doc_id long, text string",
+    )
+    batch = spark.createDataFrame(
+        [(10, base + " today"), (11, "unrelated fresh text entirely new")],
+        "doc_id long, text string",
+    )
+    path = str(tmp_path / "idx28")
+    save_minhash_index(corpus, path, bucket_bits=28)
+    pairs = incremental_near_dup_pairs(batch, path, bucket_bits=28)
+    got = {(r["id_new"], r["id_corpus"]) for r in pairs.collect()}
+    assert (10, 1) in got
+    assert all(c == 1 for _, c in got)  # nothing lands on doc 2
