@@ -57,7 +57,26 @@ def main() -> int:
         qfns = entry.queries(cached=False)
     except TypeError:  # older entry without the kwarg
         qfns = entry.queries()
+
+    # One-session oracle (round 6): the engine/oracle ratio is only
+    # trustworthy when both engines are timed under the SAME host
+    # load, so each query's DuckDB oracle is timed immediately after
+    # its Spark runs (interleaved per query, not a separate phase -
+    # a loaded shared host drifts ~20% between phases). Spark runs
+    # first within each query so fixture-writing queries (the
+    # roundtrips) have materialized their temp files before the
+    # oracle reads them.
+    oracles = entry.oracle_sql()
+    try:
+        from tools.selfcheck import duck_connect
+
+        con = duck_connect(sf_dir)
+    except Exception as e:  # duckdb genuinely absent: spark-only bench
+        print(f"# no duck oracle ({e})", file=sys.stderr)
+        con = None
+
     timings: dict[str, float] = {}
+    duck_timings: dict[str, float] = {}
     for name, fn in qfns.items():
         best, n = None, 0
         for _ in range(2):
@@ -68,7 +87,23 @@ def main() -> int:
             dt = time.perf_counter() - t0
             best = dt if best is None else min(best, dt)
         timings[name] = round(best, 3)
-        print(f"# {name}: {best:.3f}s ({n} rows)", file=sys.stderr)
+        d_best = None
+        if con is not None and name in oracles:
+            try:
+                con.execute(oracles[name]).fetchall()  # warm (I/O cache, plan)
+                for _ in range(2):
+                    t0 = time.perf_counter()
+                    con.execute(oracles[name]).fetchall()
+                    dt = time.perf_counter() - t0
+                    d_best = dt if d_best is None else min(d_best, dt)
+                duck_timings[name] = round(d_best, 3)
+            except Exception as e:
+                print(f"# duck {name} failed: {e}", file=sys.stderr)
+        print(
+            f"# {name}: {best:.3f}s ({n} rows)"
+            + (f" | duck {d_best:.3f}s" if d_best is not None else ""),
+            file=sys.stderr,
+        )
 
     total = round(sum(timings.values()), 3)
     payload = {
@@ -84,8 +119,18 @@ def main() -> int:
         # off-clock); totals are directly comparable to the DuckDB
         # oracle's warm re-execution. See SCALING.md "Measurement
         # protocol".
-        "protocol": "fresh-plan warm min-of-2, driver plan build off-clock",
+        "protocol": "fresh-plan warm min-of-2, driver plan build off-clock, duck oracle interleaved per query",
     }
+    if duck_timings:
+        duck_total = round(sum(duck_timings.values()), 3)
+        # ratio over the PAIRED set only, so NO_ORACLE queries don't
+        # inflate the engine side of a self-interpreting number
+        spark_paired = sum(t for q, t in timings.items() if q in duck_timings)
+        payload["duck_queries"] = duck_timings
+        payload["duck_total"] = duck_total
+        payload["vs_oracle_ratio"] = (
+            round(spark_paired / duck_total, 3) if duck_total > 0 else None
+        )
     print(json.dumps(payload))
     # also persist as a parseable artifact at the repo root: the
     # driver's BENCH_r0N.json keeps only a truncated stdout tail, so
