@@ -247,11 +247,130 @@ def save_minhash_index(
     re-shingled. The index is append-able: after accepting a batch,
     write its band keys with mode='append' and the next batch probes
     corpus+accepted alike. Hash params (n_hashes/bands/k/seed) must
-    match between build and probe - they define the key space."""
+    match between build and probe - they define the key space.
+
+    SIZE bucket_bits TO THE CORPUS: the probe scans every bucket the
+    batch touches, and a bucket holds ~n_docs * bands / 2^bucket_bits
+    band keys - fixed bits make probe cost grow linearly with the
+    corpus (measured in SCALING.md "Incremental index"). Pick
+    bucket_bits ~ log2(n_docs * bands / target_rows_per_bucket)
+    (target ~1-10k rows) and the probe stays flat as the corpus
+    grows; the helper validates up to 28 bits (268M buckets per
+    band). Growing bits on an EXISTING index requires a rebuild -
+    the directory layout is the hash table."""
     banded = minhash_band_keys(
         df, n_hashes, bands, k, text_col, id_col, seed
     ).withColumn("band_bucket", _band_bucket(bucket_bits))
-    banded.write.mode(mode).partitionBy("band_idx", "band_bucket").parquet(path)
+    # repartition on the partition columns BEFORE partitionBy: without
+    # it every write task opens a file in every partition dir it sees
+    # a row for, producing O(tasks x partitions) small files (measured
+    # 32k files for a 160k-doc index - footer opens then dominate the
+    # pruned probe scan). With it, each (band_idx, bucket) is owned by
+    # one task -> one file, at the cost of one extra build-time
+    # shuffle (the build is the one-time ingest pass; the probe is
+    # the steady state being protected). sortWithinPartitions on
+    # band_hash gives each file monotone min/max row-group stats for
+    # free, so engines that push join-side runtime filters (Spark's
+    # runtime bloom filter / any literal band_hash lookup) can skip
+    # row groups.
+    (
+        banded.repartition("band_idx", "band_bucket")
+        .sortWithinPartitions("band_hash")
+        .write.mode(mode)
+        .partitionBy("band_idx", "band_bucket")
+        .parquet(path)
+    )
+
+
+def compact_minhash_index(
+    spark,
+    path: str,
+    max_files_per_partition: int = 8,
+) -> int:
+    """Compact a save_minhash_index directory in place: every
+    mode='append' batch adds its own parquet files to each (band_idx,
+    band_bucket) partition it touches, so after N appends a probe
+    opens O(N) small files per pruned partition - footer reads start
+    to dominate the pruned scan. This helper rewrites ONLY the
+    partitions whose file count exceeds ``max_files_per_partition``
+    (each into one file), leaving cold partitions untouched, and
+    returns the number of partitions rewritten.
+
+    Scale shape: TWO Spark jobs total, not one per partition (a
+    per-directory driver loop pays job-launch overhead x hot
+    partitions - measured 117 s for 622 partitions of a 5k-doc
+    index). Job 1 reads ONLY the hot partitions (an IN filter on the
+    partition columns - directory pruning, never a corpus scan) and
+    stages their rows in a temp dir; job 2 reads the stage and
+    dynamic-partition-overwrites exactly those partitions back into
+    the index, repartitioned so each gets ONE file (the staging hop
+    exists because Spark refuses to overwrite a path it is reading
+    from - lineage is lazy). Cold partitions are untouched. Rows,
+    schema, and probe results are identical before/after (pinned in
+    tests).
+
+    Not concurrency-safe: run it from the ingest scheduler between
+    append and probe, never while another writer/reader holds the
+    index (partition-dir replacement is not transactional - the same
+    contract as any filesystem-level parquet compaction).
+
+    Local filesystem paths only, like the BAM reader's contract; a
+    lakehouse deployment would use its table format's native
+    compaction (OPTIMIZE) instead."""
+    import glob as _glob
+    import os as _os
+    import shutil as _shutil
+    import tempfile as _tempfile
+
+    if "://" in path and not path.startswith("file://"):
+        raise NotImplementedError(
+            "compact_minhash_index operates on local paths; use your "
+            "table format's native compaction for object stores"
+        )
+    root = path[len("file://"):] if path.startswith("file://") else path
+    hot = []
+    for bucket_dir in _glob.glob(
+        _os.path.join(root, "band_idx=*", "band_bucket=*")
+    ):
+        n = sum(1 for f in _os.listdir(bucket_dir) if f.endswith(".parquet"))
+        if n > int(max_files_per_partition):
+            band = int(bucket_dir.split("band_idx=")[1].split(_os.sep)[0])
+            bucket = int(bucket_dir.split("band_bucket=")[1])
+            hot.append((band, bucket))
+    if not hot:
+        return 0
+
+    # read ONLY the hot partition dirs; basePath keeps the partition
+    # columns in the schema (directory pruning by construction - no
+    # filter expression over 2^bucket_bits values to plan)
+    hot_dirs = [
+        _os.path.join(root, f"band_idx={b}", f"band_bucket={k}")
+        for b, k in hot
+    ]
+    hot_rows = spark.read.option("basePath", root).parquet(*hot_dirs)
+    stage = _tempfile.mkdtemp(prefix="mhidx_compact_")
+    try:
+        hot_rows.write.mode("overwrite").parquet(stage)
+        prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", None)
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        try:
+            (
+                spark.read.parquet(stage)
+                .repartition("band_idx", "band_bucket")
+                .write.mode("overwrite")
+                .partitionBy("band_idx", "band_bucket")
+                .parquet(root)
+            )
+        finally:
+            if prev is not None:
+                spark.conf.set(
+                    "spark.sql.sources.partitionOverwriteMode", prev
+                )
+            else:
+                spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+    finally:
+        _shutil.rmtree(stage, ignore_errors=True)
+    return len(hot)
 
 
 def incremental_near_dup_pairs(

@@ -189,6 +189,62 @@ def test_band_bucket_long_and_validated(spark):
             _band_bucket(bad)
 
 
+def test_compact_minhash_index_preserves_probe(spark, tmp_path):
+    """VERDICT r5 #9: N appends leave N files per hot partition;
+    compaction must rewrite only over-threshold partitions into one
+    file each and leave probe results byte-identical."""
+    import glob
+    import os
+
+    from seqtables_spark.pipeline.dedup import (
+        compact_minhash_index, incremental_near_dup_pairs,
+        save_minhash_index,
+    )
+
+    texts = [
+        (i, f"document number {i} with some shared boilerplate text "
+            f"and unique tail {i * 7919}")
+        for i in range(20)
+    ]
+    corpus = spark.createDataFrame(texts, "doc_id long, text string")
+    path = str(tmp_path / "idx")
+    save_minhash_index(corpus, path)
+    batch2 = spark.createDataFrame(
+        [(100 + i, t) for i, (_, t) in enumerate(texts[:10])],
+        "doc_id long, text string",
+    )
+    save_minhash_index(batch2, path, mode="append")
+
+    def _files_per_part():
+        return {
+            d: len([f for f in os.listdir(d) if f.endswith(".parquet")])
+            for d in glob.glob(os.path.join(path, "band_idx=*", "band_bucket=*"))
+        }
+
+    before = _files_per_part()
+    assert max(before.values()) >= 2  # the append really added files
+
+    probe = spark.createDataFrame(
+        [(500, texts[3][1] + " probe")], "doc_id long, text string"
+    )
+    want = sorted(
+        (r["id_new"], r["id_corpus"])
+        for r in incremental_near_dup_pairs(probe, path).collect()
+    )
+    assert want  # the planted twin is found pre-compaction
+
+    n = compact_minhash_index(spark, path, max_files_per_partition=1)
+    assert n == sum(1 for v in before.values() if v > 1)
+    after = _files_per_part()
+    assert set(after) == set(before) and max(after.values()) == 1
+
+    got = sorted(
+        (r["id_new"], r["id_corpus"])
+        for r in incremental_near_dup_pairs(probe, path).collect()
+    )
+    assert got == want
+
+
 def test_incremental_index_roundtrip_wide_buckets(spark, tmp_path):
     """End-to-end guard for the overflow fix: build + probe with
     bucket_bits=28 (the widest legal value, 7 hex chars) still finds
