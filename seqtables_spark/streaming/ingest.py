@@ -219,6 +219,74 @@ def streaming_near_dup_buckets(
     )
 
 
+def streaming_near_dup_with_index(
+    stream: DataFrame,
+    index_path: str,
+    pairs_path: str,
+    checkpoint: str,
+    n_hashes: int = 8,
+    bands: int = 2,
+    k: int = 12,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    seed: int = 42,
+    bucket_bits: int = 8,
+    append_to_index: bool = True,
+) -> StreamingQuery:
+    """Cross-window near-dup at ingest - the bridge that closes
+    streaming_near_dup_buckets' TTL trade (duplicates detected only
+    within an open window): per micro-batch, PROBE the batch against
+    the saved MinHash index (pipeline/dedup.incremental_near_dup_pairs
+    - corpus history lives on disk, not in stream state), THEN append
+    the batch's own band keys to the index so every later epoch sees
+    this one. Streaming state stays zero here; pair detection against
+    all history costs one directory-pruned index join per batch.
+    Run it alongside the TTL'd bucket form when you also want
+    within-batch candidates surfaced before the probe completes:
+    state for the hot window, index for everything older.
+
+    Per epoch N, DF(id_new, id_corpus) lands at pairs_path/epoch=N
+    with OVERWRITE - a crash between write and checkpoint commit
+    replays the epoch idempotently (same contract as
+    stream_to_parquet). The index append is NOT idempotent under
+    replay: a replayed epoch appends its band keys twice. That is
+    deliberate - duplicate index rows cannot create wrong pairs
+    (incremental_near_dup_pairs distincts) or miss any, they only
+    waste index bytes, and the write-ahead bookkeeping to dedup them
+    would serialize every batch behind an index read. Schedule
+    compact_minhash_index to reclaim the space; it also heals the
+    one-file-per-append accumulation.
+
+    Within-batch self-duplicates are NOT probed here (the batch's
+    keys enter the index after its own probe - otherwise every doc
+    matches itself); drain them from the TTL'd bucket form or run
+    minhash_candidate_pairs on the accepted batch.
+
+    Hash params must match the ones the index was built with - they
+    define the key space."""
+    from ..pipeline.dedup import incremental_near_dup_pairs, save_minhash_index
+
+    def _process(batch_df: DataFrame, epoch_id: int) -> None:
+        pairs = incremental_near_dup_pairs(
+            batch_df, index_path, n_hashes=n_hashes, bands=bands, k=k,
+            text_col=text_col, id_col=id_col, seed=seed,
+            bucket_bits=bucket_bits,
+        )
+        pairs.write.mode("overwrite").parquet(f"{pairs_path}/epoch={epoch_id}")
+        if append_to_index:
+            save_minhash_index(
+                batch_df, index_path, n_hashes=n_hashes, bands=bands, k=k,
+                text_col=text_col, id_col=id_col, seed=seed,
+                bucket_bits=bucket_bits, mode="append",
+            )
+
+    return (
+        stream.writeStream.foreachBatch(_process)
+        .option("checkpointLocation", checkpoint)
+        .start()
+    )
+
+
 CONSENSUS_OUTPUT_SCHEMA = (
     "ref string, position int, consensus_base string, n_reads long"
 )

@@ -171,6 +171,79 @@ def test_asof_join_ranged_right_rows_straddling_epochs(spark, direction):
     assert got == want
 
 
+def test_streaming_near_dup_with_index_catches_cross_epoch(spark, tmp_path):
+    """VERDICT r5 #6: the TTL'd bucket form only sees duplicates
+    within an open window; the index bridge must catch a duplicate
+    arriving MANY epochs later. Epoch 0 carries doc 1, epoch 1 (a
+    separate micro-batch, maxFilesPerTrigger=1) carries its
+    near-twin doc 100 - the pair (100, 1) must surface in epoch 1's
+    pairs output via the saved-index probe, and a pre-seeded corpus
+    doc must be matched by epoch 0 as well."""
+    import glob
+    import os
+    import time
+
+    from seqtables_spark.pipeline.dedup import save_minhash_index
+    from seqtables_spark.streaming.ingest import streaming_near_dup_with_index
+
+    base = ("the quick brown fox jumps over the lazy dog while the "
+            "spark planner broadcasts the small dimension table")
+    other = ("completely unrelated text about watermarks and state "
+             "stores in structured streaming micro batches")
+    idx = str(tmp_path / "idx")
+    # pre-seeded corpus history: doc 7 is a twin of what epoch 0 sends
+    corpus = spark.createDataFrame(
+        [(7, base + " corpus"), (8, "nothing like the others at all here")],
+        "doc_id long, text string",
+    )
+    # params must match the streaming probe's (they define the key
+    # space - the docstring contract)
+    save_minhash_index(corpus, idx, n_hashes=8, bands=2, k=12)
+
+    src = tmp_path / "src"
+    src.mkdir()
+    spark.createDataFrame(
+        [(1, base), (2, other)], "doc_id long, text string"
+    ).coalesce(1).write.parquet(str(src / "b0"))
+    time.sleep(1.1)  # file-source orders batches by modification time
+    spark.createDataFrame(
+        [(100, base + " later"), (101, "fresh new content entirely")],
+        "doc_id long, text string",
+    ).coalesce(1).write.parquet(str(src / "b1"))
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src / "b*"))
+    )
+    pairs_path = str(tmp_path / "pairs")
+    q = streaming_near_dup_with_index(
+        stream, idx, pairs_path, str(tmp_path / "ckpt")
+    )
+    try:
+        deadline = time.time() + 120
+        while time.time() < deadline:
+            epochs = glob.glob(os.path.join(pairs_path, "epoch=*"))
+            if len(epochs) >= 2 and all(
+                glob.glob(os.path.join(e, "*.parquet")) for e in epochs
+            ):
+                time.sleep(2)  # let the trailing index append land
+                break
+            time.sleep(0.5)
+    finally:
+        q.stop()
+
+    got = {
+        (r["id_new"], r["id_corpus"])
+        for r in spark.read.parquet(pairs_path).collect()
+    }
+    assert (1, 7) in got        # epoch 0 vs pre-seeded corpus
+    assert (100, 1) in got      # CROSS-EPOCH: epoch 1 vs epoch 0 via index
+    assert (100, 7) in got      # and vs corpus history
+    bad_new = {2, 101}
+    assert not any(n in bad_new for n, _ in got)
+
+
 def test_band_bucket_long_and_validated(spark):
     """ADVICE r5 (low): band_bucket must survive bucket_bits up to 28
     (an int32 cast overflows to NULL at >= 29, silently matching
