@@ -295,6 +295,31 @@ def decode_wav(payload: bytes) -> "tuple":
     return rate, x
 
 
+def _soundfile_decode(payload: bytes) -> "tuple | None":
+    """Compressed-audio splice point, the audio twin of _pil_decode:
+    decode FLAC/OGG/... via the soundfile library when it is
+    installed (guarded import - the engine container does not ship
+    it; production clusters do). Returns the same (sample_rate, mono
+    float32 samples in [-1, 1]) shape as decode_wav, or None when
+    soundfile is absent or cannot parse the payload."""
+    try:
+        import io
+
+        import soundfile  # optional dependency
+    except ImportError:
+        return None
+    import numpy as np
+
+    try:
+        x, rate = soundfile.read(io.BytesIO(bytes(payload)), dtype="float32")
+    except Exception:
+        return None
+    x = np.asarray(x, np.float32)
+    if x.ndim > 1:  # down-mix channels by mean, like decode_wav
+        x = x.mean(axis=1)
+    return int(rate), x
+
+
 def decode_audio_features(
     df: DataFrame,
     payload_col: str = "payload",
@@ -312,10 +337,11 @@ def decode_audio_features(
     to [0,1] — which is what the value oracle pins. real_decode=True
     REALLY decodes the container that needs no codec library
     (RIFF/WAVE PCM 8/16-bit via decode_wav, honoring each file's OWN
-    sample rate and down-mixing channels) and raises
-    NotImplementedError for compressed audio (flac/ogg/mp3 need
-    soundfile/ffmpeg — plug them into decode_wav's place, the window
-    fold is unchanged)."""
+    sample rate and down-mixing channels); compressed audio
+    (flac/ogg/...) goes through the _soundfile_decode splice when the
+    optional soundfile library is installed - the audio twin of the
+    image path's _pil_decode - and raises NotImplementedError
+    otherwise. The window fold is identical for all three sources."""
     win = max(1, int(sample_rate * window_s))
 
     def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -331,11 +357,15 @@ def decode_audio_features(
                     try:
                         rate, x = decode_wav(b)
                     except ValueError as exc:
-                        raise NotImplementedError(
-                            "compressed audio codecs are not in this "
-                            "environment - plug soundfile/ffmpeg in place "
-                            f"of decode_wav; PCM WAV decodes natively ({exc})"
-                        ) from exc
+                        decoded = _soundfile_decode(b)
+                        if decoded is None:
+                            raise NotImplementedError(
+                                "compressed audio codecs need the optional "
+                                "soundfile library (absent or could not "
+                                "parse this payload); PCM WAV decodes "
+                                f"natively ({exc})"
+                            ) from exc
+                        rate, x = decoded
                     w = max(1, int(rate * window_s))
                     n_bytes.append(len(b))
                     durs.append(x.size / float(rate))

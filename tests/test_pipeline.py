@@ -827,6 +827,50 @@ def test_pil_codec_splice():
     assert abs(feats[3] - 1.0) < 1e-6 and abs(feats[4]) < 1e-6
 
 
+def test_soundfile_codec_splice(spark):
+    """When soundfile is installed, real_decode=True decodes
+    compressed audio (FLAC here) through the _soundfile_decode splice
+    point; skips cleanly in codec-free environments (this container
+    has no soundfile). The WAV/PCM path stays the value oracle."""
+    import io
+
+    sf = pytest.importorskip("soundfile")
+    import numpy as np
+
+    from seqtables_spark.pipeline.multimodal import decode_audio_features
+
+    rate = 8000
+    t = np.arange(rate, dtype=np.float32) / rate  # 1.0 s of 440 Hz
+    buf = io.BytesIO()
+    sf.write(buf, 0.5 * np.sin(2 * np.pi * 440 * t), rate, format="FLAC")
+    df = spark.createDataFrame(
+        [(1, bytearray(buf.getvalue()))], "media_id long, payload binary"
+    )
+    row = decode_audio_features(
+        df, real_decode=True, window_s=0.25
+    ).collect()[0]
+    assert abs(row["duration_s"] - 1.0) < 1e-3
+    assert row["n_windows"] == 4
+    # mean |0.5 sin| per window ~ 0.5 * 2/pi
+    for e in row["window_energy"]:
+        assert abs(e - 0.5 * 2 / np.pi) < 0.02
+
+
+def test_soundfile_splice_returns_none_without_library():
+    """Without soundfile the splice returns None (and the operator
+    raises the documented NotImplementedError for compressed
+    payloads) - never a silent wrong decode."""
+    try:
+        import soundfile  # noqa: F401
+
+        pytest.skip("soundfile installed - covered by the splice test")
+    except ImportError:
+        pass
+    from seqtables_spark.pipeline.multimodal import _soundfile_decode
+
+    assert _soundfile_decode(b"fLaC not really a flac stream") is None
+
+
 def test_detect_media_type_magic_bytes(spark):
     from seqtables_spark.pipeline.multimodal import detect_media_type
 
