@@ -964,6 +964,17 @@ def duplicate_spans(
     number of sampled spans, how many of them are duplicated across
     the corpus, and the widest fan-out (how many docs share its most
     widely shared span; 0 when none).
+
+    SKEW LIMIT (documented trade, like curate_documents' survivor
+    window): the per-span window cannot be split, so one span text
+    occurring in millions of documents (a boilerplate footer) pulls
+    all its occurrences into one task, where the old groupBy
+    formulation collapsed map-side. The single-subtree window was
+    still chosen because it halves the span-generation work (the
+    dominant cost) and the hot-span ceiling is bounded by docs
+    containing the SAME 15-token string - if your corpus has that,
+    run curate_documents(skew_immune=True)-style exact dedup first;
+    the boilerplate collapses to one doc before spans are sampled.
     """
     toks = F.regexp_extract_all(F.col(text_col), F.lit(r"\S+"), 0)
     n = F.size(toks)

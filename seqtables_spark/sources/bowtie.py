@@ -291,15 +291,33 @@ def _normalize_options(options: Sequence) -> list[str]:
     return out
 
 
-def _parse_sam_text(text: str, keep: Sequence[str]) -> dict:
-    """Parse SAM body lines into read_sam's column layout (11 std
-    columns, flag/mapq int + pos long, plus the requested optional
-    tags as strings) - the per-task twin of read_sam for shards that
-    exist only inside a task's tempdir."""
-    cols: dict[str, list] = {c: [] for c in SAM_STD_COLS}
-    for t in keep:
-        cols[t] = []
-    for line in text.splitlines():
+def _parse_sam_lines(
+    lines, keep: Sequence[str], batch_rows: int = 50_000
+):
+    """Streaming SAM parser: fold body lines into read_sam's column
+    layout (11 std columns, flag/mapq int + pos long, plus the
+    requested optional tags as strings), yielding a column dict every
+    `batch_rows` rows - so a task holding a multi-GB aligner shard
+    keeps O(batch) rows in memory, never the whole shard (the
+    cluster-scale contract of bowtie2_align_distributed). `lines` is
+    any line iterable - a file handle streams straight through."""
+
+    def _new() -> dict:
+        cols: dict[str, list] = {c: [] for c in SAM_STD_COLS}
+        for t in keep:
+            cols[t] = []
+        return cols
+
+    def _done(cols: dict) -> dict:
+        cols["flag"] = [int(x) for x in cols["flag"]]
+        cols["pos"] = [int(x) for x in cols["pos"]]
+        cols["mapq"] = [int(x) for x in cols["mapq"]]
+        return cols
+
+    cols = _new()
+    n = 0
+    for line in lines:
+        line = line.rstrip("\r\n")
         if not line or line.startswith("@"):
             continue
         f = line.split("\t")
@@ -314,10 +332,25 @@ def _parse_sam_text(text: str, keep: Sequence[str]) -> dict:
                 tags[parts[0]] = parts[2]
         for t in keep:
             cols[t].append(tags.get(t))
-    cols["flag"] = [int(x) for x in cols["flag"]]
-    cols["pos"] = [int(x) for x in cols["pos"]]
-    cols["mapq"] = [int(x) for x in cols["mapq"]]
-    return cols
+        n += 1
+        if n >= batch_rows:
+            yield _done(cols)
+            cols = _new()
+            n = 0
+    if n:
+        yield _done(cols)
+
+
+def _parse_sam_text(text: str, keep: Sequence[str]) -> dict:
+    """One-shot wrapper over _parse_sam_lines for in-memory SAM text
+    (tests / small shards): parse everything into a single column
+    dict."""
+    out = None
+    for cols in _parse_sam_lines(iter(text.splitlines()), keep, 1 << 62):
+        out = cols
+    if out is None:
+        out = {c: [] for c in (*SAM_STD_COLS, *keep)}
+    return out
 
 
 def bowtie2_align_distributed(
@@ -410,10 +443,14 @@ def bowtie2_align_distributed(
                         cmd += ["-U", row.path]
                     cmd += ["-S", shard]
                     _run(cmd, f"bowtie2 ({row.path})")
+                    # stream the shard: fixed-size pandas batches off
+                    # the open file handle, never the whole shard as
+                    # one string + one DataFrame (per-task memory is
+                    # O(batch_rows), the ADVICE r5 fix)
                     with open(shard) as fh:
-                        cols = _parse_sam_text(fh.read(), keep)
-                if cols["header"]:
-                    yield pd.DataFrame(cols)
+                        for cols in _parse_sam_lines(fh, keep):
+                            if cols["header"]:
+                                yield pd.DataFrame(cols)
 
     schema = (
         "header string, flag int, rname string, pos long, mapq int, "

@@ -244,6 +244,33 @@ def test_streaming_near_dup_with_index_catches_cross_epoch(spark, tmp_path):
     assert not any(n in bad_new for n, _ in got)
 
 
+def test_curate_documents_skew_immune_parity(spark):
+    """ADVICE r5 (low): the min-id survivor window serializes a
+    mega-duplicated digest through one task; skew_immune=True must
+    produce IDENTICAL survivors via groupBy(digest).min(id) +
+    compound-key join (language outcomes per digest are identical
+    across copies - same text - so filtering after dedup is safe),
+    and its plan must carry a map-side partial_min with NO Window."""
+    from seqtables_spark.pipeline.curate import curate_documents
+
+    good = ("This is a perfectly reasonable english document with "
+            "enough alphabetic tokens to pass the quality gate easily "
+            "and some more words to be safe")
+    rows = [(i, good) for i in range(200)]  # the hot digest
+    rows += [(1000 + i, good + f" unique tail {i}") for i in range(5)]
+    rows += [(2000, "x1 2 3 4 5 6 7 8 9 10 11 !!")]  # fails alpha gate
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    want = sorted(r["doc_id"] for r in curate_documents(df).collect())
+    got_df = curate_documents(df, skew_immune=True)
+    got = sorted(r["doc_id"] for r in got_df.collect())
+    assert got == want and 0 in got and len(got) == 6
+
+    plan = got_df._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan
+    assert "partial_min" in plan  # duplicates collapse map-side
+
+
 def test_band_bucket_long_and_validated(spark):
     """ADVICE r5 (low): band_bucket must survive bucket_bits up to 28
     (an int32 cast overflows to NULL at >= 29, silently matching
