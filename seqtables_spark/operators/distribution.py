@@ -230,6 +230,15 @@ def seq_dist_dense(
     runs ~75M cells/s on this machine — see SCALING.md). Choose it
     when the corpus is the bottleneck (the 100 TB scan), the explode
     plan when composability with other cell-level predicates matters.
+
+    CROSSOVER (measured, tools/seq_dist_crossover.py): the dense
+    path pays a fixed Arrow-transit + Python-worker cost per batch,
+    so below ~100M cells (rows x width) the JVM explode plan is
+    FASTER (1.1-1.4x at 6-60M cells) and this kernel only wins above
+    it (0.70x at 240M, 0.60x at ~1B cells, 32 local cores). Pick the
+    explode plan for small slices; there is no auto-switch because
+    deciding would cost a count() action on an un-materialized input
+    — at 100 TB you know which regime you are in.
     """
     import numpy as np
     import pandas as pd
