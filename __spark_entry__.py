@@ -1970,6 +1970,89 @@ def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_STREAM_IDX_RUNS = iter(range(1_000_000))
+
+
+def q_streaming_index_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming ingest dedup against corpus history AND earlier
+    stream epochs (streaming/ingest.streaming_near_dup_with_index,
+    the round-6 bridge): a 2-epoch file stream - epoch 0 carries
+    truncated twins of every 50th corpus doc, epoch 1 carries
+    SECOND-generation twins of the same docs plus reversed-text
+    decoys - is drained with availableNow + maxFilesPerTrigger=1, so
+    each epoch probes the saved MinHash index and then appends its
+    own band keys. Epoch 1's twins must therefore pair with BOTH the
+    corpus originals and epoch 0's twins (the cross-epoch catch the
+    TTL'd state form cannot make); the decoys must pair with nothing.
+    The oracle replays both probes in SQL: epoch 0 vs the corpus
+    chain, epoch 1 vs corpus + epoch 0. Each run copies the prebuilt
+    base index to a run-scoped path (appends mutate it) and uses a
+    fresh checkpoint - the copy is filesystem metadata work, kept on
+    the clock as the honest ingest-setup cost."""
+    import os as _os
+    import shutil as _shutil
+
+    from seqtables_spark.pipeline.dedup import save_minhash_index
+    from seqtables_spark.streaming.ingest import streaming_near_dup_with_index
+
+    docs = _wide(spark, _t(spark, sf_dir, "documents")).select("doc_id", "text")
+    corpus = docs.filter(F.col("doc_id") % 5 == 0)
+    base_idx = _rt_tmp("seqtables_stream_baseidx", sf_dir)
+    if not _os.path.isdir(base_idx):
+        save_minhash_index(
+            corpus, base_idx, n_hashes=MINHASH_N, bands=LSH_BANDS, k=LSH_K
+        )
+    run = next(_STREAM_IDX_RUNS)
+    idx = _rt_tmp("seqtables_stream_idx", sf_dir, suffix=f"_{run}")
+    _shutil.copytree(base_idx, idx)
+
+    src_dir = _rt_tmp("seqtables_stream_src", sf_dir, suffix=f"_{run}")
+    b0 = docs.filter(F.col("doc_id") % 50 == 0).select(
+        (F.col("doc_id") + 10_000_000).alias("doc_id"),
+        F.substring(
+            "text", 1, F.greatest(F.length("text") - 5, F.lit(10))
+        ).alias("text"),
+    )
+    b1 = (
+        docs.filter(F.col("doc_id") % 50 == 0)
+        .select(
+            (F.col("doc_id") + 30_000_000).alias("doc_id"),
+            F.substring(
+                "text", 1, F.greatest(F.length("text") - 8, F.lit(10))
+            ).alias("text"),
+        )
+        .unionByName(
+            docs.filter(F.col("doc_id") % 50 == 25).select(
+                (F.col("doc_id") + 20_000_000).alias("doc_id"),
+                F.reverse(F.col("text")).alias("text"),
+            )
+        )
+    )
+    b0.coalesce(1).write.parquet(f"{src_dir}/b0")
+    b1.coalesce(1).write.parquet(f"{src_dir}/b1")
+    # the file source admits oldest-mtime first under
+    # maxFilesPerTrigger; pin the order explicitly so epoch numbering
+    # is deterministic on coarse-mtime filesystems
+    for sub, t in (("b0", 1_000_000_000), ("b1", 2_000_000_000)):
+        for f in _os.listdir(f"{src_dir}/{sub}"):
+            _os.utime(f"{src_dir}/{sub}/{f}", (t, t))
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src_dir}/b*")
+    )
+    pairs_path = _rt_tmp("seqtables_stream_pairs", sf_dir, suffix=f"_{run}")
+    q = streaming_near_dup_with_index(
+        stream, idx, pairs_path, _rt_tmp("seqtables_stream_ck", sf_dir, suffix=f"_{run}"),
+        n_hashes=MINHASH_N, bands=LSH_BANDS, k=LSH_K, available_now=True,
+    )
+    q.awaitTermination()
+    return spark.read.parquet(pairs_path).select(
+        F.col("epoch").cast("int").alias("epoch"), "id_new", "id_corpus"
+    )
+
+
 def q_curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The composed curation pipeline (pipeline/curate.py): quality
     gate -> language filter -> exact-dedup survivors, ONE Catalyst
@@ -2664,6 +2747,7 @@ def q_customer_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
 _PLAN_CACHE_EXCLUDE = {
     "streaming_events", "streaming_windowed", "streaming_dedup",
     "streaming_near_dup", "streaming_near_dup_ttl",
+    "streaming_index_dedup",
 }
 
 
@@ -2690,8 +2774,15 @@ def _prepared(name: str, fn: Callable) -> Callable:
 # vectorized CIGAR kernel and everything downstream of it, the
 # numpy-batched multimodal decode), then rolling round-3 coverage.
 _ORACLE_PRIORITY = [
-    "asof_skew", "streaming_near_dup_ttl", "bowtie_distributed",
-    "training_shards", "incremental_dedup",
+    # round-6 head: the new bridge query, then every query whose
+    # implementation or plan changed this round (rollup collapse,
+    # guarded salting, null-safe ranged asof, index write shape,
+    # probe-split incremental dedup, streamed bowtie shards)
+    "streaming_index_dedup", "rollup_revenue", "salted_brand_revenue",
+    "asof_skew", "incremental_dedup", "bowtie_distributed",
+    "curate_corpus", "curate_full", "duplicate_spans",
+    "streaming_near_dup_ttl",
+    "training_shards",
     "sam_roundtrip", "bam_roundtrip", "fastq_roundtrip",
     "perplexity_scores", "small_quantity_revenue",
     "pending_orders_priority", "customer_setops",
@@ -2782,6 +2873,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "ngram_jaccard": q_ngram_jaccard,
         "incremental_dedup": q_incremental_dedup,
+        "streaming_index_dedup": q_streaming_index_dedup,
         "dedup_clusters": q_dedup_clusters,
         "dedup_clusters_star": q_dedup_clusters_star,
         "dedup_survivors": q_dedup_survivors,
@@ -4296,6 +4388,42 @@ SELECT DISTINCT n.doc_id AS id_new, c.doc_id AS id_corpus
 FROM nbanded n JOIN cbanded c
   ON n.band_idx = c.band_idx AND n.band_hash = c.band_hash
 WHERE n.doc_id != c.doc_id
+"""
+
+    sqls["streaming_index_dedup"] = f"""
+WITH corpus AS (SELECT doc_id, text FROM documents WHERE doc_id % 5 = 0),
+b0 AS (
+  SELECT doc_id + 10000000 AS doc_id,
+         substring(text, 1, greatest(length(text) - 5, 10)) AS text
+  FROM documents WHERE doc_id % 50 = 0
+),
+b1 AS (
+  SELECT doc_id + 30000000 AS doc_id,
+         substring(text, 1, greatest(length(text) - 8, 10)) AS text
+  FROM documents WHERE doc_id % 50 = 0
+  UNION ALL
+  SELECT doc_id + 20000000 AS doc_id, reverse(text) AS text
+  FROM documents WHERE doc_id % 50 = 25
+),
+{_sql_lsh_chain("corpus", "c")},
+{_sql_lsh_chain("b0", "z")},
+{_sql_lsh_chain("b1", "o")},
+hist1 AS (
+  SELECT doc_id, band_idx, band_hash FROM cbanded
+  UNION ALL
+  SELECT doc_id, band_idx, band_hash FROM zbanded
+)
+SELECT DISTINCT CAST(0 AS INTEGER) AS epoch,
+       z.doc_id AS id_new, c.doc_id AS id_corpus
+FROM zbanded z JOIN cbanded c
+  ON z.band_idx = c.band_idx AND z.band_hash = c.band_hash
+WHERE z.doc_id != c.doc_id
+UNION
+SELECT DISTINCT CAST(1 AS INTEGER) AS epoch,
+       o.doc_id AS id_new, h.doc_id AS id_corpus
+FROM obanded o JOIN hist1 h
+  ON o.band_idx = h.band_idx AND o.band_hash = h.band_hash
+WHERE o.doc_id != h.doc_id
 """
 
     sqls["streaming_near_dup"] = _sql_streaming_near_dup()

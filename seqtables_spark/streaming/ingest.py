@@ -232,6 +232,7 @@ def streaming_near_dup_with_index(
     seed: int = 42,
     bucket_bits: int = 8,
     append_to_index: bool = True,
+    available_now: bool = False,
 ) -> StreamingQuery:
     """Cross-window near-dup at ingest - the bridge that closes
     streaming_near_dup_buckets' TTL trade (duplicates detected only
@@ -280,11 +281,12 @@ def streaming_near_dup_with_index(
                 bucket_bits=bucket_bits, mode="append",
             )
 
-    return (
-        stream.writeStream.foreachBatch(_process)
-        .option("checkpointLocation", checkpoint)
-        .start()
+    writer = stream.writeStream.foreachBatch(_process).option(
+        "checkpointLocation", checkpoint
     )
+    if available_now:  # drain-everything-then-stop (backfills, tests)
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
 
 
 CONSENSUS_OUTPUT_SCHEMA = (
