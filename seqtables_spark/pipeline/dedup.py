@@ -282,19 +282,22 @@ def save_minhash_index(
     )
 
 
-def compact_minhash_index(
+def compact_partitioned_parquet(
     spark,
     path: str,
+    partition_cols: Sequence[str],
     max_files_per_partition: int = 8,
 ) -> int:
-    """Compact a save_minhash_index directory in place: every
-    mode='append' batch adds its own parquet files to each (band_idx,
-    band_bucket) partition it touches, so after N appends a probe
-    opens O(N) small files per pruned partition - footer reads start
-    to dominate the pruned scan. This helper rewrites ONLY the
-    partitions whose file count exceeds ``max_files_per_partition``
-    (each into one file), leaving cold partitions untouched, and
-    returns the number of partitions rewritten.
+    """Compact any partitionBy-written parquet directory in place:
+    every append batch adds its own files to each leaf partition it
+    touches, so after N appends a pruned read opens O(N) small files
+    per partition - footer reads start to dominate. This helper
+    rewrites ONLY the partitions whose file count exceeds
+    ``max_files_per_partition`` (each into one file), leaving cold
+    partitions untouched, and returns the number of partitions
+    rewritten. Used by compact_minhash_index (band_idx, band_bucket)
+    and directly applicable to similarity.save_ivf_index cells
+    (partition_cols=["_c"]).
 
     Scale shape: TWO Spark jobs total, not one per partition (a
     per-directory driver loop pays job-launch overhead x hot
@@ -324,31 +327,24 @@ def compact_minhash_index(
 
     if "://" in path and not path.startswith("file://"):
         raise NotImplementedError(
-            "compact_minhash_index operates on local paths; use your "
-            "table format's native compaction for object stores"
+            "compact_partitioned_parquet operates on local paths; use "
+            "your table format's native compaction for object stores"
         )
     root = path[len("file://"):] if path.startswith("file://") else path
-    hot = []
-    for bucket_dir in _glob.glob(
-        _os.path.join(root, "band_idx=*", "band_bucket=*")
-    ):
-        n = sum(1 for f in _os.listdir(bucket_dir) if f.endswith(".parquet"))
+    cols = list(partition_cols)
+    hot_dirs = []
+    for leaf in _glob.glob(_os.path.join(root, *(f"{c}=*" for c in cols))):
+        n = sum(1 for f in _os.listdir(leaf) if f.endswith(".parquet"))
         if n > int(max_files_per_partition):
-            band = int(bucket_dir.split("band_idx=")[1].split(_os.sep)[0])
-            bucket = int(bucket_dir.split("band_bucket=")[1])
-            hot.append((band, bucket))
-    if not hot:
+            hot_dirs.append(leaf)
+    if not hot_dirs:
         return 0
 
     # read ONLY the hot partition dirs; basePath keeps the partition
     # columns in the schema (directory pruning by construction - no
-    # filter expression over 2^bucket_bits values to plan)
-    hot_dirs = [
-        _os.path.join(root, f"band_idx={b}", f"band_bucket={k}")
-        for b, k in hot
-    ]
+    # filter expression over the partition value space to plan)
     hot_rows = spark.read.option("basePath", root).parquet(*hot_dirs)
-    stage = _tempfile.mkdtemp(prefix="mhidx_compact_")
+    stage = _tempfile.mkdtemp(prefix="compact_stage_")
     try:
         hot_rows.write.mode("overwrite").parquet(stage)
         prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", None)
@@ -356,9 +352,9 @@ def compact_minhash_index(
         try:
             (
                 spark.read.parquet(stage)
-                .repartition("band_idx", "band_bucket")
+                .repartition(*cols)
                 .write.mode("overwrite")
-                .partitionBy("band_idx", "band_bucket")
+                .partitionBy(*cols)
                 .parquet(root)
             )
         finally:
@@ -370,7 +366,20 @@ def compact_minhash_index(
                 spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
     finally:
         _shutil.rmtree(stage, ignore_errors=True)
-    return len(hot)
+    return len(hot_dirs)
+
+
+def compact_minhash_index(
+    spark,
+    path: str,
+    max_files_per_partition: int = 8,
+) -> int:
+    """Compact a save_minhash_index directory in place - the MinHash
+    instantiation of compact_partitioned_parquet; see that docstring
+    for the 2-job shape, concurrency contract, and local-path rule."""
+    return compact_partitioned_parquet(
+        spark, path, ["band_idx", "band_bucket"], max_files_per_partition
+    )
 
 
 def incremental_near_dup_pairs(

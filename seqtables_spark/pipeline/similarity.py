@@ -205,8 +205,21 @@ def save_ivf_index(assigned: DataFrame, path: str, mode: str = "overwrite") -> N
     PARTITIONED BY the cell id, so a probe (filter on `_c`) is
     directory-level partition pruning - the physical realization of
     "probe = partition pruning at scale" (see ivf_topk). Centroids are
-    tiny and live with the caller (driver/metastore)."""
-    assigned.write.mode(mode).partitionBy("_c").parquet(path)
+    tiny and live with the caller (driver/metastore).
+
+    Repartition on `_c` before partitionBy - same write-shape rule as
+    save_minhash_index (measured in SCALING.md "Incremental index"):
+    without it every task opens a file in every cell it sees a vector
+    for, O(tasks x cells) small files; with it each cell is one task
+    -> one file, and probes open one file per probed cell. Appends
+    accumulate one file per batch per touched cell; reclaim with
+    pipeline.dedup.compact_partitioned_parquet(path, ["_c"])."""
+    (
+        assigned.repartition("_c")
+        .write.mode(mode)
+        .partitionBy("_c")
+        .parquet(path)
+    )
 
 
 def load_ivf_cells(spark, path: str, probes: list[int]) -> DataFrame:

@@ -345,6 +345,68 @@ def test_compact_minhash_index_preserves_probe(spark, tmp_path):
     assert got == want
 
 
+def test_save_ivf_index_one_file_per_cell_and_compaction(spark, tmp_path):
+    """The IVF index write must follow the round-6 write-shape rule
+    (repartition on the partition column -> one file per cell, not
+    O(tasks x cells)), appends accumulate one file per batch, and the
+    generalized compaction rewrites hot cells back to one file with
+    identical probe results."""
+    import glob
+    import os
+    import random
+
+    from seqtables_spark.pipeline.dedup import compact_partitioned_parquet
+    from seqtables_spark.pipeline.similarity import (
+        ivf_assign, ivf_centroids, ivf_topk, load_ivf_cells, save_ivf_index,
+    )
+
+    rng = random.Random(7)
+    rows = [
+        (i, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(400)
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>"
+    ).repartition(8)
+    cents = ivf_centroids(df, k=4, n_iters=2)
+    path = str(tmp_path / "ivf")
+    save_ivf_index(ivf_assign(df, cents), path)
+
+    def _files_per_cell():
+        return {
+            d: len([f for f in os.listdir(d) if f.endswith(".parquet")])
+            for d in glob.glob(os.path.join(path, "_c=*"))
+        }
+    first = _files_per_cell()
+    assert first and max(first.values()) == 1  # 8 tasks, still 1 file/cell
+
+    q = [0.3] * 8
+    want = [
+        (r["vec_id"], round(r["sim"], 9))
+        for r in ivf_topk(
+            load_ivf_cells(spark, path, [0, 1, 2, 3]), q, cents, k=5
+        ).collect()
+    ]
+
+    batch2 = spark.createDataFrame(
+        [(1000 + i, v) for i, v in rows[:50]],
+        "vec_id long, embedding array<float>",
+    )
+    save_ivf_index(ivf_assign(batch2, cents), path, mode="append")
+    assert max(_files_per_cell().values()) >= 2
+    n = compact_partitioned_parquet(spark, path, ["_c"], max_files_per_partition=1)
+    assert n >= 1 and max(_files_per_cell().values()) == 1
+
+    got_ids = {
+        r["vec_id"]
+        for r in ivf_topk(
+            load_ivf_cells(spark, path, [0, 1, 2, 3]), q, cents, k=5
+        ).collect()
+    }
+    # original top-5 unless displaced by an identical duplicate vector
+    for vid, _ in want:
+        assert vid in got_ids or (vid + 1000) in got_ids
+
+
 def test_incremental_index_roundtrip_wide_buckets(spark, tmp_path):
     """End-to-end guard for the overflow fix: build + probe with
     bucket_bits=28 (the widest legal value, 7 hex chars) still finds
