@@ -1044,6 +1044,37 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cluster_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-balanced data mixing (the clustering half of
+    SemDeDup-style curation): k-means cluster the embedding corpus
+    (the SAME cached fixed-point IVF assignment ann_ivf and
+    semantic_dedup share - an index is built once, consumed by every
+    downstream stage) and emit per-cluster mixing stats: size, corpus
+    share, and the balanced-sampling quota min(n, floor(total/k)) a
+    uniform-mix resampler would draw per cluster. The tiny k-row
+    aggregate rides one unpartitioned window (k=8 rows on one task -
+    bounded by construction). Value-exact: the oracle replays the
+    identical Lloyd step in SQL (_sql_ivf_asg_ctes) then the same
+    rollup."""
+    from pyspark.sql import Window
+
+    _, assigned = _ivf_index(spark, sf_dir)
+    counts = assigned.groupBy(F.col("_c").alias("cluster_id")).agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        F.min("vec_id").alias("first_vec"),
+    )
+    total = F.sum("n_vecs").over(Window.partitionBy())
+    return counts.select(
+        "cluster_id",
+        "n_vecs",
+        "first_vec",
+        F.round(F.col("n_vecs") / total, 6).alias("share"),
+        F.least(
+            F.col("n_vecs"), F.floor(total / F.lit(8)).cast("long")
+        ).alias("balanced_quota"),
+    )
+
+
 def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup (Abbas et al. 2023) semantic dedup: k-means cluster
     the embeddings (the cached IVF assignment - index built once,
@@ -2778,7 +2809,8 @@ _ORACLE_PRIORITY = [
     # implementation or plan changed this round (rollup collapse,
     # guarded salting, null-safe ranged asof, index write shape,
     # probe-split incremental dedup, streamed bowtie shards)
-    "streaming_index_dedup", "rollup_revenue", "salted_brand_revenue",
+    "streaming_index_dedup", "cluster_mix",
+    "rollup_revenue", "salted_brand_revenue",
     "asof_skew", "incremental_dedup", "bowtie_distributed",
     "curate_corpus", "curate_full", "duplicate_spans",
     "streaming_near_dup_ttl",
@@ -2890,6 +2922,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "plogo": q_plogo,
         "ann_lsh": q_ann_lsh,
         "ann_ivf": q_ann_ivf,
+        "cluster_mix": q_cluster_mix,
         "semantic_dedup": q_semantic_dedup,
         "insilico_library": q_insilico_library,
         "pairwise_hamming": q_pairwise_hamming,
@@ -4513,6 +4546,19 @@ FROM cells GROUP BY read_id
     sqls["cosine_topk"] = _sql_cosine_topk()
     sqls["ann_lsh"] = _sql_ann_lsh()
     sqls["ann_ivf"] = _sql_ann_ivf()
+
+    sqls["cluster_mix"] = f"""
+WITH {_sql_ivf_asg_ctes()},
+counts AS (
+  SELECT c_idx AS cluster_id, count(*) AS n_vecs, min(vec_id) AS first_vec
+  FROM asg1 GROUP BY c_idx
+)
+SELECT cluster_id, n_vecs, first_vec,
+       round(CAST(n_vecs AS DOUBLE) / sum(n_vecs) OVER (), 6) + 0.0 AS share,
+       CAST(least(n_vecs, CAST(floor(CAST(sum(n_vecs) OVER () AS DOUBLE) / 8)
+                               AS BIGINT)) AS BIGINT) AS balanced_quota
+FROM counts
+"""
     sqls["semantic_dedup"] = _sql_semantic_dedup()
     sqls["plogo"] = _sql_plogo()
 
