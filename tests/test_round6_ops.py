@@ -244,6 +244,31 @@ def test_streaming_near_dup_with_index_catches_cross_epoch(spark, tmp_path):
     assert not any(n in bad_new for n, _ in got)
 
 
+def test_parse_sam_lines_batches_equal_one_shot():
+    """ADVICE r5 (low): the streamed SAM shard parser must produce
+    the same rows as the one-shot parse at every batch boundary
+    (including a final partial batch and tag columns)."""
+    from seqtables_spark.sources.bowtie import _parse_sam_lines, _parse_sam_text
+
+    lines = ["@HD\tVN:1.6"]
+    for i in range(7):
+        lines.append(
+            f"r{i}\t0\tref\t{i + 1}\t42\t4M\t*\t0\t0\tACGT\tFFFF\t"
+            f"XM:i:{i}\tMD:Z:4"
+        )
+    text = "\n".join(lines)
+    keep = ("XM", "MD")
+    want = _parse_sam_text(text, keep)
+    for batch_rows in (1, 2, 3, 7, 100):
+        got: dict = {}
+        for cols in _parse_sam_lines(iter(text.splitlines()), keep, batch_rows):
+            for c, v in cols.items():
+                got.setdefault(c, []).extend(v)
+        assert got == want, f"batch_rows={batch_rows}"
+    assert want["XM"] == [str(i) for i in range(7)]
+    assert want["pos"] == list(range(1, 8))
+
+
 def test_curate_documents_skew_immune_parity(spark):
     """ADVICE r5 (low): the min-id survivor window serializes a
     mega-duplicated digest through one task; skew_immune=True must
