@@ -2289,6 +2289,37 @@ def q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return frame_sample_plan(media, every_n=30)
 
 
+def q_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal: REAL frame decode through video_frame_features —
+    printable-ASCII text bytes stand in for an 8x8 grayscale raw-frame
+    blob (the typed-metadata payload shape), every 2nd frame sampled,
+    per-frame mean intensity + motion vs the previous sampled frame.
+    A real codec (RAWV container / imageio splice) flows through the
+    identical operator; the oracle replays the byte math in SQL."""
+    from seqtables_spark.pipeline.multimodal import video_frame_features
+
+    docs = _t(spark, sf_dir, "documents")
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.encode(F.regexp_replace("text", "[^ -~]", ""), "utf-8").alias(
+            "payload"
+        ),
+        F.lit(8).cast("int").alias("width"),
+        F.lit(8).cast("int").alias("height"),
+    )
+    out = video_frame_features(
+        media, every_n=2, width_col="width", height_col="height"
+    )
+    return out.select(
+        "media_id",
+        "frame_idx",
+        "width",
+        "height",
+        F.round("mean_intensity", 6).alias("mean_intensity"),
+        F.round("motion", 6).alias("motion"),
+    )
+
+
 def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination: 13-gram overlap of every corpus doc
     (doc_id%100!=0) against the held-out eval slice (doc_id%100==0) —
@@ -2809,7 +2840,7 @@ _ORACLE_PRIORITY = [
     # implementation or plan changed this round (rollup collapse,
     # guarded salting, null-safe ranged asof, index write shape,
     # probe-split incremental dedup, streamed bowtie shards)
-    "streaming_index_dedup", "cluster_mix",
+    "video_frames", "streaming_index_dedup", "cluster_mix",
     "rollup_revenue", "salted_brand_revenue",
     "asof_skew", "incremental_dedup", "bowtie_distributed",
     "curate_corpus", "curate_full", "duplicate_spans",
@@ -2934,6 +2965,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "consensus_ins": q_consensus_ins,
         "contamination": q_contamination,
         "frame_sample": q_frame_sample,
+        "video_frames": q_video_frames,
         "hamming_setdiff": q_hamming_setdiff,
         "repetition": q_repetition,
         "pii_scan": q_pii_scan,
@@ -4915,6 +4947,35 @@ GROUP BY doc_id
 SELECT doc_id AS media_id,
        CAST(unnest(generate_series(0, (length(text) % 301) - 1, 30)) AS INTEGER) AS frame_idx
 FROM documents WHERE (length(text) % 301) >= 1
+"""
+
+    sqls["video_frames"] = """
+WITH cleaned AS (
+  SELECT doc_id AS media_id,
+         regexp_replace(text, '[^ -~]', '', 'g') AS s
+  FROM documents
+),
+meta AS (
+  SELECT media_id, s, length(s) // 64 AS n_frames
+  FROM cleaned WHERE length(s) // 64 >= 1
+),
+frames AS (
+  SELECT media_id, s,
+         CAST(unnest(generate_series(0, n_frames - 1, 2)) AS INTEGER) AS frame_idx
+  FROM meta
+),
+pix AS (
+  SELECT media_id, frame_idx,
+         ord(substring(s, frame_idx * 64 + i, 1)) AS cur,
+         CASE WHEN frame_idx >= 2
+              THEN ord(substring(s, (frame_idx - 2) * 64 + i, 1)) END AS prev
+  FROM frames, LATERAL (SELECT unnest(generate_series(1, 64)) AS i) t
+)
+SELECT media_id, frame_idx,
+       CAST(8 AS INTEGER) AS width, CAST(8 AS INTEGER) AS height,
+       round(avg(cur) / 255.0, 6) AS mean_intensity,
+       round(coalesce(avg(abs(cur - prev)), 0) / 255.0, 6) AS motion
+FROM pix GROUP BY media_id, frame_idx
 """
 
     sqls["contamination"] = """

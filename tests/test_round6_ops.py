@@ -456,3 +456,152 @@ def test_incremental_index_roundtrip_wide_buckets(spark, tmp_path):
     got = {(r["id_new"], r["id_corpus"]) for r in pairs.collect()}
     assert (10, 1) in got
     assert all(c == 1 for _, c in got)  # nothing lands on doc 2
+
+
+# ---------------------------------------------------------------------
+# Video decode (round-6 scope-edge closure): RAWV codec + the
+# video_frame_features operator over all three payload sources.
+# ---------------------------------------------------------------------
+
+
+def test_rawv_roundtrip():
+    import numpy as np
+
+    from seqtables_spark.pipeline.multimodal import decode_rawv, encode_rawv
+
+    rng = np.random.default_rng(7)
+    frames = rng.integers(0, 256, size=(5, 4, 6), dtype=np.uint8)
+    blob = encode_rawv(frames, fps=24)
+    w, h, n, fps, got = decode_rawv(blob)
+    assert (w, h, n, fps) == (6, 4, 5, 24)
+    assert (got == frames).all()
+    with pytest.raises(ValueError, match="not a RAWV"):
+        decode_rawv(b"JUNK" + blob[4:])
+    with pytest.raises(ValueError, match="truncated RAWV pixel"):
+        decode_rawv(blob[:-3])
+    with pytest.raises(ValueError, match="frames must be"):
+        encode_rawv(frames[0])
+
+
+def test_video_frame_features_rawv_matches_numpy(spark):
+    """Operator vs a direct numpy reference on RAWV payloads: every
+    sampled frame's mean intensity and motion (|diff| vs previous
+    SAMPLED frame) must match to float64 precision."""
+    import numpy as np
+
+    from seqtables_spark.pipeline.multimodal import (
+        encode_rawv, video_frame_features,
+    )
+
+    rng = np.random.default_rng(11)
+    vids = {
+        1: rng.integers(0, 256, size=(7, 3, 5), dtype=np.uint8),
+        2: rng.integers(0, 256, size=(1, 2, 2), dtype=np.uint8),
+        3: rng.integers(0, 256, size=(9, 4, 4), dtype=np.uint8),
+    }
+    df = spark.createDataFrame(
+        [(mid, bytearray(encode_rawv(fr))) for mid, fr in vids.items()],
+        "media_id long, payload binary",
+    )
+    out = video_frame_features(df, every_n=3)
+    got = {
+        (r["media_id"], r["frame_idx"]): r for r in out.collect()
+    }
+    want_rows = 0
+    for mid, fr in vids.items():
+        sel = np.arange(0, fr.shape[0], 3)
+        want_rows += sel.size
+        flat = fr[sel].reshape(sel.size, -1).astype(np.float64)
+        for k, fidx in enumerate(sel):
+            r = got[(mid, int(fidx))]
+            assert (r["width"], r["height"]) == (fr.shape[2], fr.shape[1])
+            assert r["mean_intensity"] == pytest.approx(
+                flat[k].mean() / 255.0, abs=1e-12
+            )
+            want_motion = (
+                0.0 if k == 0 else np.abs(flat[k] - flat[k - 1]).mean() / 255.0
+            )
+            assert r["motion"] == pytest.approx(want_motion, abs=1e-12)
+    assert len(got) == want_rows
+
+
+def test_video_frame_features_raw_metadata_path(spark):
+    """The typed-metadata raw path: n_frames = len(payload) // (w*h),
+    trailing partial-frame bytes are ignored, and a payload shorter
+    than one frame yields NO rows (frame_sample_plan contract)."""
+    import numpy as np
+
+    from seqtables_spark.pipeline.multimodal import video_frame_features
+
+    full = bytes(range(24))  # 2 frames of 3x4 + nothing left over
+    ragged = bytes(range(30))  # 2 frames + 6 trailing bytes, ignored
+    short = bytes(range(5))  # < one frame -> no rows
+    df = spark.createDataFrame(
+        [
+            (1, bytearray(full), 4, 3),
+            (2, bytearray(ragged), 4, 3),
+            (3, bytearray(short), 4, 3),
+        ],
+        "media_id long, payload binary, width int, height int",
+    )
+    out = video_frame_features(
+        df, every_n=1, width_col="width", height_col="height"
+    ).collect()
+    by_id = {}
+    for r in out:
+        by_id.setdefault(r["media_id"], []).append(r)
+    assert sorted(by_id) == [1, 2]
+    for mid in (1, 2):
+        rows = sorted(by_id[mid], key=lambda r: r["frame_idx"])
+        assert [r["frame_idx"] for r in rows] == [0, 1]
+        a = np.arange(0, 12, dtype=np.float64)
+        b = np.arange(12, 24, dtype=np.float64)
+        assert rows[0]["mean_intensity"] == pytest.approx(a.mean() / 255.0)
+        assert rows[1]["mean_intensity"] == pytest.approx(b.mean() / 255.0)
+        assert rows[0]["motion"] == 0.0
+        assert rows[1]["motion"] == pytest.approx(12 / 255.0)
+
+
+def test_video_codec_splice_returns_none_without_library():
+    """Without imageio/av the splice returns None (and the operator
+    raises the documented NotImplementedError for compressed
+    payloads) - never a silent wrong decode."""
+    for mod in ("av", "imageio"):
+        try:
+            __import__(mod)
+            pytest.skip(f"{mod} installed - splice would really decode")
+        except ImportError:
+            pass
+    from seqtables_spark.pipeline.multimodal import _codec_video_frames
+
+    assert _codec_video_frames(b"\x00\x00\x00 ftypmp42 junk") is None
+
+
+def test_video_frame_features_compressed_raises_without_codec(spark):
+    from seqtables_spark.pipeline.multimodal import video_frame_features
+
+    for mod in ("av", "imageio"):
+        try:
+            __import__(mod)
+            pytest.skip(f"{mod} installed - would really decode")
+        except ImportError:
+            pass
+    df = spark.createDataFrame(
+        [(1, bytearray(b"\x00\x00\x00 ftypmp42 junk"))],
+        "media_id long, payload binary",
+    )
+    with pytest.raises(Exception, match="NotImplementedError|imageio/av"):
+        video_frame_features(df, real_decode=True).collect()
+
+
+def test_video_frame_features_requires_metadata_or_rawv(spark):
+    from seqtables_spark.pipeline.multimodal import video_frame_features
+
+    df = spark.createDataFrame(
+        [(1, bytearray(b"raw bytes with no shape"))],
+        "media_id long, payload binary",
+    )
+    with pytest.raises(Exception, match="width_col/height_col"):
+        video_frame_features(df).collect()
+    with pytest.raises(ValueError, match="every_n"):
+        video_frame_features(df, every_n=0)
