@@ -2367,6 +2367,20 @@ def q_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_segment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text cleaning (RefinedWeb line-dedup family): segment_dedup at
+    word granularity — strip every token appearing in >= 100 distinct
+    documents (corpus boilerplate), rebuild each doc in order. The
+    synthetic corpus has no newlines, so word segments make the
+    cross-doc removal non-trivial; sep='\\n' is the same plan."""
+    from seqtables_spark.pipeline.text import segment_dedup
+
+    out = segment_dedup(
+        _t(spark, sf_dir, "documents"), sep=" ", min_doc_freq=100
+    )
+    return out.select("doc_id", "text_dedup", "n_segments", "n_removed")
+
+
 def q_pii_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Text cleaning: PII-pattern scan over the corpus with planted
     emails/URLs/digit-runs (every 10th/7th/13th doc), aggregated per
@@ -2840,7 +2854,7 @@ _ORACLE_PRIORITY = [
     # implementation or plan changed this round (rollup collapse,
     # guarded salting, null-safe ranged asof, index write shape,
     # probe-split incremental dedup, streamed bowtie shards)
-    "video_frames", "streaming_index_dedup", "cluster_mix",
+    "video_frames", "segment_dedup", "streaming_index_dedup", "cluster_mix",
     "rollup_revenue", "salted_brand_revenue",
     "asof_skew", "incremental_dedup", "bowtie_distributed",
     "curate_corpus", "curate_full", "duplicate_spans",
@@ -2968,6 +2982,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "video_frames": q_video_frames,
         "hamming_setdiff": q_hamming_setdiff,
         "repetition": q_repetition,
+        "segment_dedup": q_segment_dedup,
         "pii_scan": q_pii_scan,
         "pack_sequences": q_pack_sequences,
         "training_order": q_training_order,
@@ -4913,6 +4928,32 @@ SELECT doc_id,
        CAST(n_dup_tokens AS BIGINT) AS n_dup_tokens,
        round(n_dup_tokens / CAST(n_tokens AS DOUBLE), 6) AS dup_token_ratio
 FROM r WHERE n_dup_tokens > 0
+"""
+
+    sqls["segment_dedup"] = """
+WITH segs AS (
+  SELECT doc_id, i - 1 AS pos, parts[i] AS seg
+  FROM (SELECT doc_id, string_split(text, ' ') AS parts FROM documents),
+       LATERAL (SELECT unnest(generate_series(1, len(parts))) AS i) t
+),
+common AS (
+  SELECT seg FROM segs GROUP BY seg HAVING count(DISTINCT doc_id) >= 100
+),
+kept AS (
+  SELECT s.doc_id, s.pos, s.seg
+  FROM segs s ANTI JOIN common c ON s.seg = c.seg
+),
+rebuilt AS (
+  SELECT doc_id,
+         string_agg(seg, ' ' ORDER BY pos) AS text_dedup,
+         count(*) AS n_kept
+  FROM kept GROUP BY doc_id
+)
+SELECT d.doc_id,
+       coalesce(r.text_dedup, '') AS text_dedup,
+       CAST(len(string_split(d.text, ' ')) AS INTEGER) AS n_segments,
+       CAST(len(string_split(d.text, ' ')) - coalesce(r.n_kept, 0) AS INTEGER) AS n_removed
+FROM documents d LEFT JOIN rebuilt r USING (doc_id)
 """
 
     sqls["pii_scan"] = """

@@ -425,3 +425,74 @@ def bigram_logprob(
             (F.sum("lp_micro").cast("double") / F.count(F.lit(1))) / 1_000_000.0, 6
         ) + F.lit(0.0)).alias("avg_logprob"),
     )
+
+
+def segment_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    sep: str = "\n",
+    min_doc_freq: int = 2,
+) -> DataFrame:
+    """Segment-level boilerplate removal (RefinedWeb/CCNet line dedup,
+    generalized): drop every segment whose EXACT content appears in at
+    least `min_doc_freq` distinct documents, then stitch the survivors
+    back together in their original order. sep='\\n' gives classic
+    line-wise dedup, '\\n\\n' paragraphs, ' ' cross-corpus common-word
+    stripping; `sep` is always a LITERAL separator (regex-escaped
+    before Spark's regex-based split, rejoined verbatim).
+
+    Returns one row per input document: (id, text_dedup, n_segments,
+    n_removed). Documents whose every segment was removed come back
+    with text_dedup = '' (never dropped).
+
+    Scale shape: one groupBy on the segment string (map-side partial
+    count-distinct, so a segment repeated a million times in one
+    partition ships once per partition), a left_anti join against the
+    (small by construction - only segments crossing the doc-freq bar)
+    common-segment relation which AQE broadcasts when it fits, and one
+    groupBy on the doc id to rebuild - no window over a global order,
+    no all-pairs anything. The shuffle key is the segment text itself;
+    at petabyte scale swap in xxhash64(segment) to narrow the exchange
+    (collision odds documented in pipeline/dedup.py) - kept exact here
+    so the value oracle can replay it."""
+    import re as _re
+
+    if min_doc_freq < 1:
+        raise ValueError(f"min_doc_freq must be >= 1, got {min_doc_freq}")
+    segs = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), _re.escape(sep), -1)).alias(
+            "pos", "seg"
+        ),
+    )
+    common = (
+        segs.groupBy("seg")
+        .agg(F.count_distinct(F.col(id_col)).alias("df"))
+        .filter(F.col("df") >= min_doc_freq)
+        .select("seg")
+    )
+    kept = segs.join(common, "seg", "left_anti")
+    rebuilt = kept.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "seg"))),
+                lambda x: x["seg"],
+            ),
+            sep,
+        ).alias("text_dedup"),
+        F.count(F.lit(1)).alias("__n_kept__"),
+    )
+    n_segs = F.size(F.split(F.col(text_col), _re.escape(sep), -1))
+    return (
+        df.select(F.col(id_col), n_segs.alias("n_segments"))
+        .join(rebuilt, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("text_dedup", F.lit("")).alias("text_dedup"),
+            F.col("n_segments").cast("int").alias("n_segments"),
+            (
+                F.col("n_segments") - F.coalesce("__n_kept__", F.lit(0))
+            ).cast("int").alias("n_removed"),
+        )
+    )

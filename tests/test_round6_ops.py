@@ -605,3 +605,90 @@ def test_video_frame_features_requires_metadata_or_rawv(spark):
         video_frame_features(df).collect()
     with pytest.raises(ValueError, match="every_n"):
         video_frame_features(df, every_n=0)
+
+
+# ---------------------------------------------------------------------
+# segment_dedup: RefinedWeb-style line/segment boilerplate removal.
+# ---------------------------------------------------------------------
+
+
+def test_segment_dedup_line_semantics(spark):
+    """Cross-doc common lines are removed everywhere (including every
+    in-doc copy); a line repeated within ONE doc survives (doc-freq
+    counts distinct docs); order is preserved; a fully-boilerplate doc
+    comes back as '' (never dropped)."""
+    from seqtables_spark.pipeline.text import segment_dedup
+
+    docs = spark.createDataFrame(
+        [
+            (1, "keep me\nCOMMON\nunique one"),
+            (2, "COMMON\nother text\nCOMMON"),
+            (3, "solo line repeated\nsolo line repeated"),
+            (4, "COMMON"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: r
+        for r in segment_dedup(docs, min_doc_freq=2).collect()
+    }
+    assert got[1]["text_dedup"] == "keep me\nunique one"
+    assert (got[1]["n_segments"], got[1]["n_removed"]) == (3, 1)
+    assert got[2]["text_dedup"] == "other text"
+    assert (got[2]["n_segments"], got[2]["n_removed"]) == (3, 2)
+    assert got[3]["text_dedup"] == "solo line repeated\nsolo line repeated"
+    assert (got[3]["n_segments"], got[3]["n_removed"]) == (2, 0)
+    assert got[4]["text_dedup"] == ""
+    assert (got[4]["n_segments"], got[4]["n_removed"]) == (1, 1)
+    assert len(got) == 4
+
+
+def test_segment_dedup_literal_separator_and_empties(spark):
+    """sep is literal (regex metachars escaped); empty segments from
+    consecutive separators participate like any other segment."""
+    from seqtables_spark.pipeline.text import segment_dedup
+
+    docs = spark.createDataFrame(
+        [(1, "a..b"), (2, "c..d")],  # '.' must not act as regex any-char
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: r
+        for r in segment_dedup(docs, sep=".", min_doc_freq=2).collect()
+    }
+    # segments: doc1 [a, '', b], doc2 [c, '', d]; '' is in both docs
+    assert got[1]["text_dedup"] == "a.b"
+    assert (got[1]["n_segments"], got[1]["n_removed"]) == (3, 1)
+    assert got[2]["text_dedup"] == "c.d"
+    with pytest.raises(ValueError, match="min_doc_freq"):
+        segment_dedup(docs, min_doc_freq=0)
+
+
+def test_segment_dedup_matches_bruteforce_random(spark):
+    """Randomized parity vs a direct python implementation."""
+    import random
+
+    from seqtables_spark.pipeline.text import segment_dedup
+
+    rng = random.Random(13)
+    vocab = ["alpha", "beta", "gamma", "delta", "", "zz top"]
+    rows = [
+        (i, "\n".join(rng.choice(vocab) for _ in range(rng.randint(1, 6))))
+        for i in range(20)
+    ]
+    freq: dict[str, set[int]] = {}
+    for i, text in rows:
+        for seg in text.split("\n"):
+            freq.setdefault(seg, set()).add(i)
+    common = {s for s, docs in freq.items() if len(docs) >= 3}
+    want = {}
+    for i, text in rows:
+        segs = text.split("\n")
+        kept = [s for s in segs if s not in common]
+        want[i] = ("\n".join(kept), len(segs), len(segs) - len(kept))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["text_dedup"], r["n_segments"], r["n_removed"])
+        for r in segment_dedup(df, min_doc_freq=3).collect()
+    }
+    assert got == want
