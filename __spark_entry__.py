@@ -2381,6 +2381,29 @@ def q_segment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "text_dedup", "n_segments", "n_removed")
 
 
+def q_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-mix assembly: fill a 10k-token budget taking longest
+    documents first (n_chars desc, doc_id tiebreak) — the distributed
+    2-phase running sum (range exchange + bounded per-partition
+    window + P-row broadcast), never a single-task global window."""
+    from seqtables_spark.pipeline.sampling import sample_to_token_budget
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        "n_chars",
+        F.size(F.regexp_extract_all("text", F.lit(r"\S+"), 0))
+        .cast("long")
+        .alias("n_tokens"),
+    )
+    picked = sample_to_token_budget(
+        docs,
+        10_000,
+        "n_tokens",
+        [F.col("n_chars").desc(), F.col("doc_id")],
+    )
+    return picked.select("doc_id", "n_tokens", "cum_tokens")
+
+
 def q_pii_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Text cleaning: PII-pattern scan over the corpus with planted
     emails/URLs/digit-runs (every 10th/7th/13th doc), aggregated per
@@ -2854,7 +2877,8 @@ _ORACLE_PRIORITY = [
     # implementation or plan changed this round (rollup collapse,
     # guarded salting, null-safe ranged asof, index write shape,
     # probe-split incremental dedup, streamed bowtie shards)
-    "video_frames", "segment_dedup", "streaming_index_dedup", "cluster_mix",
+    "video_frames", "segment_dedup", "token_budget",
+    "streaming_index_dedup", "cluster_mix",
     "rollup_revenue", "salted_brand_revenue",
     "asof_skew", "incremental_dedup", "bowtie_distributed",
     "curate_corpus", "curate_full", "duplicate_spans",
@@ -2983,6 +3007,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hamming_setdiff": q_hamming_setdiff,
         "repetition": q_repetition,
         "segment_dedup": q_segment_dedup,
+        "token_budget": q_token_budget,
         "pii_scan": q_pii_scan,
         "pack_sequences": q_pack_sequences,
         "training_order": q_training_order,
@@ -4954,6 +4979,21 @@ SELECT d.doc_id,
        CAST(len(string_split(d.text, ' ')) AS INTEGER) AS n_segments,
        CAST(len(string_split(d.text, ' ')) - coalesce(r.n_kept, 0) AS INTEGER) AS n_removed
 FROM documents d LEFT JOIN rebuilt r USING (doc_id)
+"""
+
+    sqls["token_budget"] = """
+WITH t AS (
+  SELECT doc_id, n_chars,
+         CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) AS n_tokens
+  FROM documents
+),
+c AS (
+  SELECT doc_id, n_tokens,
+         sum(n_tokens) OVER (ORDER BY n_chars DESC, doc_id) AS cum_tokens
+  FROM t
+)
+SELECT doc_id, n_tokens, CAST(cum_tokens AS BIGINT) AS cum_tokens
+FROM c WHERE cum_tokens <= 10000
 """
 
     sqls["pii_scan"] = """

@@ -118,3 +118,52 @@ def global_ntile(
         .withColumn(out_col, tile.cast("int"))
         .drop("__pid__", "__lrn__", "__off__", "__n__")
     )
+
+
+def global_running_sum(
+    df: DataFrame,
+    order_by: Sequence[Column],
+    value_col: str,
+    out_col: str = "running_sum",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Exact INCLUSIVE `sum(value) OVER (ORDER BY ...)` semantics,
+    distributed — the same 2-phase shape as global_row_number but the
+    P-row offsets relation carries each partition's value SUM instead
+    of its row count: range-partition on the sort key, per-partition
+    windowed running sum (bounded state), then add the exclusive
+    running total of the partitions before it (broadcast of P rows).
+
+    Ties within `order_by` get an arbitrary order exactly as the
+    single-task window would; pass a unique tiebreaker column for a
+    deterministic cut. The running sum is long-typed: cast `value_col`
+    to a fixed-point integer upstream (cents/token counts), since a
+    float running sum is order-dependent and breaks exactness."""
+    order_by = list(order_by)
+    parts = int(
+        num_partitions
+        or df.sparkSession.sparkContext.defaultParallelism
+    )
+    rp = df.repartitionByRange(parts, *order_by).withColumn(
+        "__pid__", F.spark_partition_id()
+    )
+    v = F.col(value_col).cast("long")
+    w = (
+        Window.partitionBy("__pid__")
+        .orderBy(*order_by)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    local = rp.withColumn("__lsum__", F.sum(v).over(w))
+    wo = Window.orderBy("__pid__").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offsets = (
+        rp.groupBy("__pid__")
+        .agg(F.sum(v).alias("__s__"))
+        .withColumn("__off__", F.coalesce(F.sum("__s__").over(wo), F.lit(0)))
+    )
+    return (
+        local.join(F.broadcast(offsets.select("__pid__", "__off__")), "__pid__")
+        .withColumn(out_col, (F.col("__lsum__") + F.col("__off__")).cast("long"))
+        .drop("__pid__", "__lsum__")
+    )

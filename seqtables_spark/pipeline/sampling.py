@@ -214,3 +214,41 @@ def write_training_shards(
         .parquet(path)
     )
     return sharded
+
+
+def sample_to_token_budget(
+    df: DataFrame,
+    budget: int,
+    token_col: str,
+    order_by,
+    out_col: str = "cum_tokens",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Greedy budget fill: take rows in `order_by` priority order
+    while the INCLUSIVE running token total stays <= `budget` — the
+    "fill a 50B-token training mix from the best documents first"
+    selection step. Returns the selected rows with `out_col` (the
+    running total at that row, long).
+
+    A row that would overflow the budget is excluded, and so is
+    everything after it (contiguous prefix, not knapsack). Ties in
+    `order_by` cut arbitrarily — pass a unique tiebreaker for a
+    deterministic boundary.
+
+    Scale shape: the 2-phase distributed running sum
+    (operators/ranks.global_running_sum) — range exchange + bounded
+    per-partition window + P-row broadcast; the budget filter then
+    prunes AFTER the cumsum without another pass. No global
+    single-task sort anywhere."""
+    from ..operators.ranks import global_running_sum
+
+    if budget < 0:
+        raise ValueError(f"budget must be >= 0, got {budget}")
+    summed = global_running_sum(
+        df,
+        order_by,
+        token_col,
+        out_col=out_col,
+        num_partitions=num_partitions,
+    )
+    return summed.filter(F.col(out_col) <= int(budget))

@@ -692,3 +692,53 @@ def test_segment_dedup_matches_bruteforce_random(spark):
         for r in segment_dedup(df, min_doc_freq=3).collect()
     }
     assert got == want
+
+
+# ---------------------------------------------------------------------
+# Distributed running sum + token-budget sampling.
+# ---------------------------------------------------------------------
+
+
+def test_global_running_sum_matches_single_window(spark):
+    """2-phase distributed cumsum == the single-task window, on random
+    data with duplicate sort keys broken by a unique tiebreaker."""
+    import random
+
+    from pyspark.sql import Window
+    from seqtables_spark.operators.ranks import global_running_sum
+
+    rng = random.Random(5)
+    rows = [(i, rng.randint(0, 9), rng.randint(0, 50)) for i in range(500)]
+    df = spark.createDataFrame(rows, "id long, k long, v long")
+    order = [F.col("k").desc(), F.col("id")]
+    got = {
+        r["id"]: r["running_sum"]
+        for r in global_running_sum(df, order, "v", num_partitions=7).collect()
+    }
+    w = Window.orderBy(*order).rowsBetween(Window.unboundedPreceding, 0)
+    want = {
+        r["id"]: r["want"]
+        for r in df.withColumn("want", F.sum("v").over(w)).collect()
+    }
+    assert got == want
+
+
+def test_sample_to_token_budget_prefix_semantics(spark):
+    """The selection is the longest prefix whose inclusive total fits:
+    the first overflowing row is excluded and nothing after it sneaks
+    in (even a row small enough to fit the remainder)."""
+    from seqtables_spark.pipeline.sampling import sample_to_token_budget
+
+    df = spark.createDataFrame(
+        [(1, 40), (2, 40), (3, 40), (4, 5)],  # order by id: 40,80,120,125
+        "id long, tok long",
+    )
+    got = sorted(
+        (r["id"], r["cum_tokens"])
+        for r in sample_to_token_budget(
+            df, 100, "tok", [F.col("id")]
+        ).collect()
+    )
+    assert got == [(1, 40), (2, 80)]  # id=3 overflows; id=4 must NOT fill in
+    with pytest.raises(ValueError, match="budget"):
+        sample_to_token_budget(df, -1, "tok", [F.col("id")])
