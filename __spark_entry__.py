@@ -2381,6 +2381,19 @@ def q_segment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "text_dedup", "n_segments", "n_removed")
 
 
+def q_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus health per source: Zipf slope of ln(freq)~ln(rank) over
+    each source's top-200 terms (natural text ~ -1); explicit-sums
+    least squares so the oracle replays it, window state bounded by
+    per-source vocabulary."""
+    from seqtables_spark.pipeline.text import zipf_slope
+
+    out = zipf_slope(_t(spark, sf_dir, "documents"))
+    return out.select(
+        "source", "n_terms", F.round("slope", 6).alias("slope")
+    )
+
+
 def q_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Training-mix assembly: fill a 10k-token budget taking longest
     documents first (n_chars desc, doc_id tiebreak) — the distributed
@@ -2877,7 +2890,7 @@ _ORACLE_PRIORITY = [
     # implementation or plan changed this round (rollup collapse,
     # guarded salting, null-safe ranged asof, index write shape,
     # probe-split incremental dedup, streamed bowtie shards)
-    "video_frames", "segment_dedup", "token_budget",
+    "video_frames", "segment_dedup", "token_budget", "zipf_slope",
     "streaming_index_dedup", "cluster_mix",
     "rollup_revenue", "salted_brand_revenue",
     "asof_skew", "incremental_dedup", "bowtie_distributed",
@@ -3008,6 +3021,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition": q_repetition,
         "segment_dedup": q_segment_dedup,
         "token_budget": q_token_budget,
+        "zipf_slope": q_zipf_slope,
         "pii_scan": q_pii_scan,
         "pack_sequences": q_pack_sequences,
         "training_order": q_training_order,
@@ -4979,6 +4993,34 @@ SELECT d.doc_id,
        CAST(len(string_split(d.text, ' ')) AS INTEGER) AS n_segments,
        CAST(len(string_split(d.text, ' ')) - coalesce(r.n_kept, 0) AS INTEGER) AS n_removed
 FROM documents d LEFT JOIN rebuilt r USING (doc_id)
+"""
+
+    sqls["zipf_slope"] = """
+WITH tok AS (
+  SELECT source, unnest(regexp_extract_all(lower(text), '[a-z]{2,}')) AS term
+  FROM documents
+),
+freq AS (
+  SELECT source, term, count(*) AS cnt FROM tok GROUP BY source, term
+),
+ranked AS (
+  SELECT source, cnt,
+         row_number() OVER (PARTITION BY source ORDER BY cnt DESC, term ASC) AS rank
+  FROM freq
+),
+head AS (SELECT * FROM ranked WHERE rank <= 200),
+sums AS (
+  SELECT source,
+         CAST(count(*) AS DOUBLE) AS n,
+         sum(ln(rank)) AS sx,
+         sum(ln(cnt)) AS sy,
+         sum(ln(rank) * ln(cnt)) AS sxy,
+         sum(ln(rank) * ln(rank)) AS sxx
+  FROM head GROUP BY source
+)
+SELECT source, CAST(n AS BIGINT) AS n_terms,
+       round((sxy - sx * sy / n) / (sxx - sx * sx / n), 6) AS slope
+FROM sums
 """
 
     sqls["token_budget"] = """

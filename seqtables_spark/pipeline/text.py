@@ -496,3 +496,61 @@ def segment_dedup(
             ).cast("int").alias("n_removed"),
         )
     )
+
+
+def zipf_slope(
+    df: DataFrame,
+    text_col: str = "text",
+    source_col: str = "source",
+    min_len: int = 2,
+    max_rank: int = 200,
+) -> DataFrame:
+    """Zipf-law fit per source: least-squares slope of ln(freq) vs
+    ln(rank) over each source's top-`max_rank` terms — natural text
+    sits near -1; generated/templated corpora drift, so the slope is
+    a cheap corpus-health signal per data source.
+
+    Rank ties break on term ASC (deterministic). The slope uses the
+    explicit sums formula (n*Sxy - Sx*Sy over n*Sxx - Sx^2 scaled)
+    rather than an engine builtin so any SQL oracle can replay it
+    bit-for-bit modulo rounding.
+
+    Scale shape: tokenize+count is one combinable groupBy on
+    (source, term); the per-source rank window's state is bounded by
+    each source's VOCABULARY (sublinear in corpus size), never by
+    corpus rows, and the head filter cuts to max_rank rows per source
+    before the tiny fitting aggregate."""
+    from pyspark.sql import Window
+
+    tok = df.select(
+        F.col(source_col).alias("source"),
+        F.explode(
+            F.regexp_extract_all(
+                F.lower(F.col(text_col)), F.lit(rf"[a-z]{{{min_len},}}"), 0
+            )
+        ).alias("term"),
+    )
+    freq = tok.groupBy("source", "term").agg(F.count(F.lit(1)).alias("cnt"))
+    w = Window.partitionBy("source").orderBy(
+        F.col("cnt").desc(), F.col("term").asc()
+    )
+    ranked = freq.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= max_rank
+    )
+    x = F.log(F.col("rank").cast("double"))
+    y = F.log(F.col("cnt").cast("double"))
+    sums = ranked.groupBy("source").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(x).alias("sx"),
+        F.sum(y).alias("sy"),
+        F.sum(x * y).alias("sxy"),
+        F.sum(x * x).alias("sxx"),
+    )
+    slope = (F.col("sxy") - F.col("sx") * F.col("sy") / F.col("n")) / (
+        F.col("sxx") - F.col("sx") * F.col("sx") / F.col("n")
+    )
+    return sums.select(
+        "source",
+        F.col("n").cast("long").alias("n_terms"),
+        slope.alias("slope"),
+    )

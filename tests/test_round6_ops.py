@@ -742,3 +742,49 @@ def test_sample_to_token_budget_prefix_semantics(spark):
     assert got == [(1, 40), (2, 80)]  # id=3 overflows; id=4 must NOT fill in
     with pytest.raises(ValueError, match="budget"):
         sample_to_token_budget(df, -1, "tok", [F.col("id")])
+
+
+def test_zipf_slope_exact_small_fit(spark):
+    """Slope matches a numpy least-squares fit on a hand-built corpus
+    (one source, known term frequencies), and a perfectly Zipfian
+    corpus (freq = C/rank) comes out at slope ~= -1."""
+    import math
+
+    import numpy as np
+
+    from seqtables_spark.pipeline.text import zipf_slope
+
+    # freq: aa=8, bb=4, cc=2, dd=1 -> ranks 1..4
+    words = ["aa"] * 8 + ["bb"] * 4 + ["cc"] * 2 + ["dd"]
+    docs = spark.createDataFrame(
+        [(1, " ".join(words), "s1")], "doc_id long, text string, source string"
+    )
+    got = zipf_slope(docs).collect()
+    assert len(got) == 1 and got[0]["n_terms"] == 4
+    x = np.log(np.arange(1, 5, dtype=float))
+    y = np.log(np.array([8.0, 4.0, 2.0, 1.0]))
+    want = np.polyfit(x, y, 1)[0]
+    assert got[0]["slope"] == pytest.approx(want, abs=1e-9)
+    # freq exactly C/rank -> slope exactly -1 in log-log space
+    zipfy = []
+    for rank, term in enumerate(["ta", "tb", "tc", "td", "te", "tf"], 1):
+        zipfy += [term] * (60 // rank)
+    docs2 = spark.createDataFrame(
+        [(1, " ".join(zipfy), "z")], "doc_id long, text string, source string"
+    )
+    got2 = zipf_slope(docs2).collect()[0]
+    assert got2["slope"] == pytest.approx(-1.0, abs=0.02)  # 60//rank rounding
+    assert math.isfinite(got2["slope"])
+
+
+def test_zipf_slope_rank_ties_and_max_rank(spark):
+    """Equal-frequency terms rank by term ASC; max_rank truncates the
+    head before fitting (n_terms reflects the cut)."""
+    from seqtables_spark.pipeline.text import zipf_slope
+
+    docs = spark.createDataFrame(
+        [(1, "pp pp qq qq rr rr ss", "s")],
+        "doc_id long, text string, source string",
+    )
+    got = zipf_slope(docs, max_rank=3).collect()[0]
+    assert got["n_terms"] == 3  # pp,qq,rr kept (ties by term asc), ss cut
