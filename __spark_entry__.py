@@ -2381,6 +2381,36 @@ def q_segment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "text_dedup", "n_segments", "n_removed")
 
 
+def q_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal: nearest-neighbor thumbnailing through
+    resize_images — 8x8 grayscale rasters (printable-ASCII text
+    bytes, typed-metadata payload shape) downsampled to 4x4, pixels
+    exploded to rows so the oracle replays the integer gather math.
+    Docs shorter than one full frame contribute no rows."""
+    from seqtables_spark.pipeline.multimodal import resize_images
+
+    docs = _t(spark, sf_dir, "documents")
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.encode(F.regexp_replace("text", "[^ -~]", ""), "utf-8").alias(
+            "payload"
+        ),
+        F.lit(8).cast("int").alias("width"),
+        F.lit(8).cast("int").alias("height"),
+    )
+    thumbs = resize_images(
+        media, 4, 4, width_col="width", height_col="height"
+    )
+    return thumbs.select(
+        "media_id", F.posexplode("pixels").alias("idx", "v")
+    ).select(
+        "media_id",
+        (F.col("idx") / 4).cast("int").alias("r"),
+        (F.col("idx") % 4).cast("int").alias("c"),
+        F.col("v").cast("int").alias("v"),
+    )
+
+
 def q_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus health per source: Zipf slope of ln(freq)~ln(rank) over
     each source's top-200 terms (natural text ~ -1); explicit-sums
@@ -2891,7 +2921,7 @@ _ORACLE_PRIORITY = [
     # guarded salting, null-safe ranged asof, index write shape,
     # probe-split incremental dedup, streamed bowtie shards)
     "video_frames", "segment_dedup", "token_budget", "zipf_slope",
-    "streaming_index_dedup", "cluster_mix",
+    "image_resize", "streaming_index_dedup", "cluster_mix",
     "rollup_revenue", "salted_brand_revenue",
     "asof_skew", "incremental_dedup", "bowtie_distributed",
     "curate_corpus", "curate_full", "duplicate_spans",
@@ -3022,6 +3052,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "segment_dedup": q_segment_dedup,
         "token_budget": q_token_budget,
         "zipf_slope": q_zipf_slope,
+        "image_resize": q_image_resize,
         "pii_scan": q_pii_scan,
         "pack_sequences": q_pack_sequences,
         "training_order": q_training_order,
@@ -4993,6 +5024,24 @@ SELECT d.doc_id,
        CAST(len(string_split(d.text, ' ')) AS INTEGER) AS n_segments,
        CAST(len(string_split(d.text, ' ')) - coalesce(r.n_kept, 0) AS INTEGER) AS n_removed
 FROM documents d LEFT JOIN rebuilt r USING (doc_id)
+"""
+
+    sqls["image_resize"] = """
+WITH imgs AS (
+  SELECT doc_id AS media_id,
+         regexp_replace(text, '[^ -~]', '', 'g') AS s
+  FROM documents
+),
+ok AS (SELECT media_id, s FROM imgs WHERE length(s) >= 64),
+grid AS (
+  SELECT media_id, s, r.r, c.c
+  FROM ok,
+       LATERAL (SELECT unnest(generate_series(0, 3)) AS r) r,
+       LATERAL (SELECT unnest(generate_series(0, 3)) AS c) c
+)
+SELECT media_id, CAST(r AS INTEGER) AS r, CAST(c AS INTEGER) AS c,
+       CAST(ord(substring(s, (2 * r) * 8 + 2 * c + 1, 1)) AS INTEGER) AS v
+FROM grid
 """
 
     sqls["zipf_slope"] = """

@@ -674,3 +674,101 @@ def video_frame_features(
             )
 
     return df.select(*cols).mapInPandas(_decode, VIDEO_FRAME_SCHEMA)
+
+
+RESIZED_SCHEMA = (
+    "media_id long, src_w int, src_h int, out_w int, out_h int, "
+    "pixels array<int>"
+)
+
+
+def resize_images(
+    df: DataFrame,
+    out_w: int,
+    out_h: int,
+    payload_col: str = "payload",
+    id_col: str = "media_id",
+    width_col: str | None = None,
+    height_col: str | None = None,
+) -> DataFrame:
+    """mapInPandas image resize (the brief's decode/feature/resize/
+    frame-sample quartet): binary payload -> nearest-neighbor
+    grayscale thumbnail, returned as a row-major array<int> in
+    [0,255] so downstream similarity/dedup ops (and the value oracle)
+    consume it without touching binary again.
+
+    Payload sources: PPM/PGM (decode_ppm, RGB averaged to luma),
+    RAWV (frame 0), or - with width_col/height_col metadata - a raw
+    grayscale blob (first frame when the blob holds several).
+    Nearest-neighbor is the deliberate choice: integer-exact and
+    engine-portable (src pixel = (r*src_h)//out_h, (c*src_w)//out_w),
+    where bilinear would introduce float rounding the oracle cannot
+    replay; swap the gather line for cv2/PIL interpolation in
+    production, the operator shape is unchanged. Images smaller than
+    1x1 never occur (decoders reject); payloads shorter than one raw
+    frame yield no row, matching the video operator's contract."""
+    import numpy as np  # noqa: F401  (used in the closure)
+
+    if out_w < 1 or out_h < 1:
+        raise ValueError(f"out dims must be >= 1, got {out_w}x{out_h}")
+    typed_meta = width_col is not None and height_col is not None
+    if (width_col is None) != (height_col is None):
+        raise ValueError("pass both width_col and height_col, or neither")
+    cols = [F.col(id_col), F.col(payload_col)]
+    if typed_meta:
+        cols += [F.col(width_col), F.col(height_col)]
+
+    def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        rs = np.arange(out_h)
+        cs = np.arange(out_w)
+        for pdf in batches:
+            ids, sws, shs, pixels = [], [], [], []
+            for j in range(len(pdf)):
+                payload = bytes(pdf[payload_col].iloc[j])
+                if payload[:2] in (b"P6", b"P5"):
+                    w, h, _ch, mat = decode_ppm(payload)
+                    # rint, not a bare cast: decode_ppm normalizes to
+                    # [0,1] and x/255*255 can land epsilon below x in
+                    # float32, which a truncating cast would off-by-one
+                    gray = np.rint(mat.mean(axis=2) * 255.0).astype(np.uint8)
+                elif payload[: len(RAWV_MAGIC)] == RAWV_MAGIC:
+                    w, h, n, _fps, frames = decode_rawv(payload)
+                    if n < 1:
+                        continue
+                    gray = frames[0]
+                elif typed_meta:
+                    w = int(pdf[width_col].iloc[j])
+                    h = int(pdf[height_col].iloc[j])
+                    if w <= 0 or h <= 0:
+                        raise ValueError(f"bad frame dims {w}x{h}")
+                    if len(payload) < w * h:
+                        continue
+                    gray = np.frombuffer(
+                        payload, np.uint8, count=w * h
+                    ).reshape(h, w)
+                else:
+                    raise ValueError(
+                        "payload is not PPM/PGM/RAWV and no "
+                        "width_col/height_col metadata was given"
+                    )
+                src_r = (rs * h) // out_h
+                src_c = (cs * w) // out_w
+                thumb = gray[np.ix_(src_r, src_c)]
+                ids.append(int(pdf[id_col].iloc[j]))
+                sws.append(w)
+                shs.append(h)
+                pixels.append(thumb.reshape(-1).astype(np.int32))
+            yield pd.DataFrame(
+                {
+                    "media_id": pd.Series(ids, dtype="int64"),
+                    "src_w": pd.Series(sws, dtype="int32"),
+                    "src_h": pd.Series(shs, dtype="int32"),
+                    "out_w": pd.Series([out_w] * len(ids), dtype="int32"),
+                    "out_h": pd.Series([out_h] * len(ids), dtype="int32"),
+                    "pixels": pd.Series(pixels, dtype="object"),
+                }
+            )
+
+    return df.select(*cols).mapInPandas(_resize, RESIZED_SCHEMA)

@@ -788,3 +788,49 @@ def test_zipf_slope_rank_ties_and_max_rank(spark):
     )
     got = zipf_slope(docs, max_rank=3).collect()[0]
     assert got["n_terms"] == 3  # pp,qq,rr kept (ties by term asc), ss cut
+
+
+def test_resize_images_nearest_all_sources(spark):
+    """Nearest-neighbor resize parity vs numpy gather across all three
+    payload sources (PGM, RAWV frame 0, raw+metadata), including
+    upscaling; short raw payloads yield no row."""
+    import numpy as np
+
+    from seqtables_spark.pipeline.multimodal import (
+        encode_rawv, resize_images,
+    )
+
+    rng = np.random.default_rng(3)
+    g1 = rng.integers(0, 256, size=(6, 8), dtype=np.uint8)   # pgm 8x6
+    g2 = rng.integers(0, 256, size=(2, 5, 7), dtype=np.uint8)  # rawv
+    g3 = rng.integers(0, 256, size=(3, 3), dtype=np.uint8)   # raw blob
+    pgm = b"P5\n8 6\n255\n" + g1.tobytes()
+    df = spark.createDataFrame(
+        [
+            (1, bytearray(pgm), None, None),
+            (2, bytearray(encode_rawv(g2)), None, None),
+            (3, bytearray(g3.tobytes()), 3, 3),
+            (4, bytearray(b"\x01\x02"), 3, 3),  # < one frame -> dropped
+        ],
+        "media_id long, payload binary, width int, height int",
+    )
+    out = {
+        r["media_id"]: r
+        for r in resize_images(
+            df, 4, 4, width_col="width", height_col="height"
+        ).collect()
+    }
+    assert sorted(out) == [1, 2, 3]
+
+    def nn(gray, ow, oh):
+        h, w = gray.shape
+        return gray[
+            np.ix_((np.arange(oh) * h) // oh, (np.arange(ow) * w) // ow)
+        ].reshape(-1).tolist()
+
+    assert out[1]["pixels"] == nn(g1, 4, 4)
+    assert (out[1]["src_w"], out[1]["src_h"]) == (8, 6)
+    assert out[2]["pixels"] == nn(g2[0], 4, 4)  # frame 0 only
+    assert out[3]["pixels"] == nn(g3, 4, 4)  # upscale 3x3 -> 4x4
+    with pytest.raises(ValueError, match="out dims"):
+        resize_images(df, 0, 4)
