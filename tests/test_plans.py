@@ -418,3 +418,45 @@ def test_minhash_band_keys_is_shuffle_free(spark):
     )
     plan = _plan(minhash_band_keys(docs, n_hashes=8, bands=2, k=5))
     assert "Exchange" not in plan
+
+
+def test_global_running_sum_no_full_relation_global_window(spark):
+    """The 2-phase running sum must never plan an unpartitioned window
+    over the data relation: the data-side window partitions by __pid__
+    (bounded state), the range exchange carries the rows once, and the
+    P-row offsets join back as a broadcast."""
+    from seqtables_spark.operators.ranks import global_running_sum
+
+    df = spark.range(2000).selectExpr("id", "id % 13 AS v")
+    out = global_running_sum(
+        df, [F.col("v").desc(), F.col("id")], "v", num_partitions=4
+    )
+    plan = _plan(out)
+    assert "rangepartitioning" in plan.lower()
+    assert "BroadcastHashJoin" in plan
+    # every window over the full relation is keyed by __pid__; the
+    # only unpartitioned window is the one over the P-row offsets agg
+    import re as _re
+
+    data_windows = [
+        ln for ln in plan.splitlines() if "Window [sum" in ln
+    ]
+    assert data_windows, plan
+    assert all("__pid__" in ln for ln in data_windows if "__lsum__" in ln)
+
+
+def test_segment_dedup_no_global_window_and_partial_countdistinct(spark):
+    """segment_dedup plans two keyed aggregations (segment doc-freq,
+    doc rebuild) and an anti-join - no window over a global order, and
+    the count-distinct expands with a partial_count before the final
+    exchange (map-side combine)."""
+    from seqtables_spark.pipeline.text import segment_dedup
+
+    df = spark.range(500).selectExpr(
+        "id AS doc_id",
+        "concat('line', CAST(id % 7 AS STRING), '\\nmore') AS text",
+    )
+    plan = _plan(segment_dedup(df))
+    assert "Window" not in plan  # rebuild is groupBy+array_sort, not a window
+    assert "partial_count" in plan or "partial_" in plan
+    assert "LeftAnti" in plan
