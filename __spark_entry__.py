@@ -2381,6 +2381,35 @@ def q_segment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "text_dedup", "n_segments", "n_removed")
 
 
+def q_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-mix assembly: temperature-scaled source sampling
+    (alpha=0.5) — rates from corpus shares (p^alpha renormalized,
+    subsample-only), applied as the deterministic hash-Bernoulli ppm
+    filter; reports per-source kept counts vs expectation. The rates
+    relation is built once and reused for both the filter join and
+    the reported columns."""
+    from seqtables_spark.pipeline.hashing import portable_string_hash
+    from seqtables_spark.pipeline.sampling import temperature_rates
+
+    docs = _t(spark, sf_dir, "documents")
+    rates = temperature_rates(docs, alpha=0.5)
+    ppm = F.round(F.col("keep_rate") * 1_000_000).cast("long")
+    h = portable_string_hash(F.col("doc_id").cast("string")) % F.lit(
+        1_000_000
+    )
+    kept = docs.join(
+        F.broadcast(rates.select("source", ppm.alias("__ppm__"))), "source"
+    ).filter(h < F.col("__ppm__"))
+    stats = kept.groupBy("source").agg(F.count(F.lit(1)).alias("n_kept"))
+    return stats.join(rates, "source").select(
+        "source",
+        "n",
+        "n_kept",
+        "exp_kept",
+        F.round("keep_rate", 6).alias("keep_rate"),
+    )
+
+
 def q_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal: nearest-neighbor thumbnailing through
     resize_images — 8x8 grayscale rasters (printable-ASCII text
@@ -2921,7 +2950,8 @@ _ORACLE_PRIORITY = [
     # guarded salting, null-safe ranged asof, index write shape,
     # probe-split incremental dedup, streamed bowtie shards)
     "video_frames", "segment_dedup", "token_budget", "zipf_slope",
-    "image_resize", "streaming_index_dedup", "cluster_mix",
+    "image_resize", "temperature_mix",
+    "streaming_index_dedup", "cluster_mix",
     "rollup_revenue", "salted_brand_revenue",
     "asof_skew", "incremental_dedup", "bowtie_distributed",
     "curate_corpus", "curate_full", "duplicate_spans",
@@ -3053,6 +3083,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_budget": q_token_budget,
         "zipf_slope": q_zipf_slope,
         "image_resize": q_image_resize,
+        "temperature_mix": q_temperature_mix,
         "pii_scan": q_pii_scan,
         "pack_sequences": q_pack_sequences,
         "training_order": q_training_order,
@@ -5208,6 +5239,30 @@ GROUP BY source
     _ph_shuf = _SQL_PORTABLE_HASH.format(
         x=f"concat_ws(':', '{TRAINING_ORDER_SEED}', CAST(doc_id AS VARCHAR))"
     )
+    sqls["temperature_mix"] = f"""
+WITH counts AS (SELECT source, count(*) AS n FROM documents GROUP BY source),
+shares AS (
+  SELECT source, n, pow(n / CAST(sum(n) OVER () AS DOUBLE), 0.5) AS sc
+  FROM counts
+),
+targets AS (
+  SELECT source, n, sc / sum(sc) OVER () / n AS ratio FROM shares
+),
+rates AS (
+  SELECT source, n, ratio / max(ratio) OVER () AS keep_rate FROM targets
+),
+kept AS (
+  SELECT d.source, count(*) AS n_kept
+  FROM documents d JOIN rates r USING (source)
+  WHERE ({ph_doc}) % 1000000 < round(r.keep_rate * 1000000)
+  GROUP BY d.source
+)
+SELECT source, n, n_kept,
+       CAST(round(keep_rate * n) AS BIGINT) AS exp_kept,
+       round(keep_rate, 6) AS keep_rate
+FROM rates JOIN kept USING (source)
+"""
+
     sqls["training_order"] = f"""
 WITH k AS (SELECT doc_id, {_ph_shuf} AS h FROM documents)
 SELECT doc_id,

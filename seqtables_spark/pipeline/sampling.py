@@ -252,3 +252,70 @@ def sample_to_token_budget(
         num_partitions=num_partitions,
     )
     return summed.filter(F.col(out_col) <= int(budget))
+
+
+def temperature_rates(
+    df: DataFrame,
+    alpha: float = 0.3,
+    source_col: str = "source",
+) -> DataFrame:
+    """Temperature-scaled source mixing rates (the mT5/multilingual
+    standard): target share q_s = p_s^alpha / sum_t p_t^alpha, where
+    p_s is each source's corpus share — alpha < 1 flattens the mix
+    toward rare sources, alpha = 1 keeps natural proportions.
+
+    Rates are for SUBSAMPLING only (no upsampling): keep_rate_s =
+    (q_s / n_s) normalized so the largest implied multiplier is
+    exactly 1 — the biggest relative gainer is kept whole and every
+    other source is thinned to match the target proportions.
+
+    Returns the tiny per-source relation (source, n, share,
+    target_share, keep_rate, exp_kept). Every window/aggregate here
+    runs over #sources rows, never corpus rows; the one corpus pass
+    is the combinable groupBy count."""
+    from pyspark.sql import Window
+
+    if alpha <= 0:
+        raise ValueError(f"alpha must be > 0, got {alpha}")
+    counts = df.groupBy(F.col(source_col).alias("source")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    everything = Window.partitionBy()
+    share = F.col("n") / F.sum("n").over(everything)
+    scaled = F.pow(share, F.lit(float(alpha)))
+    tshare = scaled / F.sum(scaled).over(everything)
+    ratio = tshare / F.col("n")
+    keep = ratio / F.max(ratio).over(everything)
+    return counts.select(
+        "source",
+        "n",
+        share.alias("share"),
+        tshare.alias("target_share"),
+        keep.alias("keep_rate"),
+        F.round(keep * F.col("n")).cast("long").alias("exp_kept"),
+    )
+
+
+def temperature_mix(
+    df: DataFrame,
+    alpha: float = 0.3,
+    source_col: str = "source",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Apply temperature_rates as a deterministic hash-Bernoulli
+    filter (same portable-hash trick as mix_sources: keep iff
+    hash(id) mod 1e6 < round(keep_rate * 1e6)) — row-local decision,
+    zero shuffle on the corpus; the per-source rate relation joins
+    back as a broadcast. The ppm rounding makes the cut boundary an
+    integer so engines computing pow() a ulp apart still agree."""
+    rates = temperature_rates(df, alpha=alpha, source_col=source_col)
+    ppm = F.round(F.col("keep_rate") * 1_000_000).cast("long").alias("__ppm__")
+    h = portable_string_hash(F.col(id_col).cast("string")) % F.lit(1_000_000)
+    return (
+        df.join(
+            F.broadcast(rates.select(F.col("source").alias(source_col), ppm)),
+            source_col,
+        )
+        .filter(h < F.col("__ppm__"))
+        .drop("__ppm__")
+    )

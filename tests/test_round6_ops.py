@@ -834,3 +834,58 @@ def test_resize_images_nearest_all_sources(spark):
     assert out[3]["pixels"] == nn(g3, 4, 4)  # upscale 3x3 -> 4x4
     with pytest.raises(ValueError, match="out dims"):
         resize_images(df, 0, 4)
+
+
+# ---------------------------------------------------------------------
+# Temperature-scaled source mixing (mT5-style alpha sampling).
+# ---------------------------------------------------------------------
+
+
+def test_temperature_rates_math_and_edges(spark):
+    """alpha=1 keeps natural proportions (all keep_rates 1); alpha<1
+    flattens: the LARGEST source gets thinned hardest, the smallest
+    is kept whole; target shares sum to 1."""
+    import math
+
+    from seqtables_spark.pipeline.sampling import temperature_rates
+
+    rows = [(i, "big" if i < 80 else "small") for i in range(100)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    nat = {
+        r["source"]: r for r in temperature_rates(df, alpha=1.0).collect()
+    }
+    assert nat["big"]["keep_rate"] == pytest.approx(1.0)
+    assert nat["small"]["keep_rate"] == pytest.approx(1.0)
+    flat = {
+        r["source"]: r for r in temperature_rates(df, alpha=0.5).collect()
+    }
+    assert flat["small"]["keep_rate"] == pytest.approx(1.0)
+    # q_big/q_small = (0.8/0.2)^0.5 = 2 -> keep_big = 2*20/80 = 0.5
+    assert flat["big"]["keep_rate"] == pytest.approx(0.5)
+    assert flat["big"]["exp_kept"] == 40
+    s = sum(r["target_share"] for r in flat.values())
+    assert s == pytest.approx(1.0)
+    assert math.isclose(
+        flat["big"]["share"], 0.8
+    ) and flat["big"]["n"] == 80
+    with pytest.raises(ValueError, match="alpha"):
+        temperature_rates(df, alpha=0.0)
+
+
+def test_temperature_mix_deterministic_and_proportional(spark):
+    """The applied filter is deterministic (same rows kept on rerun /
+    repartition) and lands near the expected per-source counts."""
+    from seqtables_spark.pipeline.sampling import temperature_mix
+
+    rows = [(i, "big" if i % 10 < 8 else "small") for i in range(1000)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    kept1 = sorted(r["doc_id"] for r in temperature_mix(df, 0.5).collect())
+    kept2 = sorted(
+        r["doc_id"] for r in temperature_mix(df.repartition(13), 0.5).collect()
+    )
+    assert kept1 == kept2
+    by_src = {"big": 0, "small": 0}
+    for r in temperature_mix(df, 0.5).collect():
+        by_src[r["source"]] += 1
+    assert by_src["small"] == 200          # kept whole
+    assert abs(by_src["big"] - 400) < 60   # ~0.5 of 800, hash-Bernoulli
