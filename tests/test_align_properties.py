@@ -169,3 +169,42 @@ def test_align_record_batch_matches_align_read(batch, win_lo, win_width):
             ]
             assert got == list(map(tuple, ei))
             assert d["pos_start"][i] == mn and d["read_id"][i] == str(base + i)
+
+
+# ---------------------------------------------------------------------
+# RAWV video container: encode/decode roundtrip invariants (pure
+# python/numpy kernel - same strategy as the CIGAR property suite).
+# ---------------------------------------------------------------------
+
+
+@given(
+    n=st.integers(1, 6),
+    h=st.integers(1, 9),
+    w=st.integers(1, 9),
+    fps=st.integers(1, 120),
+    seed=st.integers(0, 2**16),
+)
+@settings(max_examples=150, deadline=None)
+def test_rawv_roundtrip_properties(n, h, w, fps, seed):
+    import numpy as np
+
+    from seqtables_spark.pipeline.multimodal import (
+        _RAWV_HDR_LEN, decode_rawv, encode_rawv,
+    )
+
+    rng = np.random.default_rng(seed)
+    frames = rng.integers(0, 256, size=(n, h, w), dtype=np.uint8)
+    blob = encode_rawv(frames, fps=fps)
+    assert len(blob) == _RAWV_HDR_LEN + n * h * w
+    rw, rh, rn, rfps, back = decode_rawv(blob)
+    assert (rw, rh, rn, rfps) == (w, h, n, fps)
+    assert (back == frames).all()
+    # trailing garbage after the declared frames is ignored
+    rw2, rh2, rn2, _, back2 = decode_rawv(blob + b"\x99" * 7)
+    assert rn2 == n and (back2 == frames).all()
+    # any truncation INSIDE the pixel data must raise, never mis-shape
+    if n * h * w >= 1:
+        import pytest
+
+        with pytest.raises(ValueError):
+            decode_rawv(blob[:-1])
