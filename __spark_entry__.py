@@ -2381,6 +2381,33 @@ def q_segment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "text_dedup", "n_segments", "n_removed")
 
 
+def q_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus health: estimated pairwise shingle-Jaccard between ALL
+    sources from per-source KMV sketches — one sketch build over the
+    corpus, then array math on 128-element arrays per source pair;
+    the pairwise stage never touches data rows. Deterministic
+    (portable hash), so the oracle replays the estimator exactly."""
+    from seqtables_spark.pipeline.dedup import shingle_array
+    from seqtables_spark.pipeline.sketch import (
+        kmv_pairwise_jaccard, kmv_sketch,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    sh = docs.filter(F.length("text") >= SHINGLE_K).select(
+        "source",
+        F.explode(shingle_array("text", SHINGLE_K)).alias("sh"),
+    )
+    sk = kmv_sketch(sh, "sh", k=128, group_by=["source"])
+    out = kmv_pairwise_jaccard(sk, k=128)
+    return out.select(
+        "src_a",
+        "src_b",
+        "n_union_sketch",
+        "n_shared_sketch",
+        F.round("jaccard_est", 6).alias("jaccard_est"),
+    )
+
+
 def q_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Training-mix assembly: temperature-scaled source sampling
     (alpha=0.5) — rates from corpus shares (p^alpha renormalized,
@@ -2950,7 +2977,7 @@ _ORACLE_PRIORITY = [
     # guarded salting, null-safe ranged asof, index write shape,
     # probe-split incremental dedup, streamed bowtie shards)
     "video_frames", "segment_dedup", "token_budget", "zipf_slope",
-    "image_resize", "temperature_mix",
+    "image_resize", "temperature_mix", "source_overlap",
     "streaming_index_dedup", "cluster_mix",
     "rollup_revenue", "salted_brand_revenue",
     "asof_skew", "incremental_dedup", "bowtie_distributed",
@@ -3084,6 +3111,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zipf_slope": q_zipf_slope,
         "image_resize": q_image_resize,
         "temperature_mix": q_temperature_mix,
+        "source_overlap": q_source_overlap,
         "pii_scan": q_pii_scan,
         "pack_sequences": q_pack_sequences,
         "training_order": q_training_order,
@@ -5239,6 +5267,54 @@ GROUP BY source
     _ph_shuf = _SQL_PORTABLE_HASH.format(
         x=f"concat_ws(':', '{TRAINING_ORDER_SEED}', CAST(doc_id AS VARCHAR))"
     )
+    ph_shingle = _SQL_PORTABLE_HASH.format(x="shingle")
+    sqls["source_overlap"] = f"""
+WITH shingled AS (
+  SELECT DISTINCT source, substring(t, CAST(i AS INTEGER), {SHINGLE_K}) AS shingle
+  FROM (
+    SELECT source, lower(text) AS t,
+           unnest(generate_series(1, greatest(length(text) - {SHINGLE_K - 1}, 1))) AS i
+    FROM documents WHERE length(text) >= {SHINGLE_K}
+  )
+  WHERE length(substring(t, CAST(i AS INTEGER), {SHINGLE_K})) = {SHINGLE_K}
+),
+h AS (SELECT DISTINCT source, {ph_shingle} AS h FROM shingled),
+ranked AS (
+  SELECT source, h, row_number() OVER (PARTITION BY source ORDER BY h) AS rk
+  FROM h
+),
+sk AS (SELECT source, h FROM ranked WHERE rk <= 128),
+srcs AS (SELECT DISTINCT source FROM sk),
+pairs AS (
+  SELECT a.source AS src_a, b.source AS src_b
+  FROM srcs a JOIN srcs b ON a.source < b.source
+),
+uni AS (
+  SELECT p.src_a, p.src_b, s.h
+  FROM pairs p JOIN sk s ON s.source IN (p.src_a, p.src_b)
+  GROUP BY p.src_a, p.src_b, s.h
+),
+xr AS (
+  SELECT src_a, src_b, h,
+         row_number() OVER (PARTITION BY src_a, src_b ORDER BY h) AS rk
+  FROM uni
+),
+xk AS (SELECT src_a, src_b, h FROM xr WHERE rk <= 128),
+nx AS (SELECT src_a, src_b, count(*) AS n_union FROM xk GROUP BY src_a, src_b),
+shared AS (
+  SELECT xk.src_a, xk.src_b, count(*) AS n_shared
+  FROM xk
+  JOIN sk sa ON sa.source = xk.src_a AND sa.h = xk.h
+  JOIN sk sb ON sb.source = xk.src_b AND sb.h = xk.h
+  GROUP BY xk.src_a, xk.src_b
+)
+SELECT n.src_a, n.src_b,
+       CAST(n.n_union AS INTEGER) AS n_union_sketch,
+       CAST(coalesce(s.n_shared, 0) AS INTEGER) AS n_shared_sketch,
+       round(coalesce(s.n_shared, 0) / CAST(n.n_union AS DOUBLE), 6) AS jaccard_est
+FROM nx n LEFT JOIN shared s ON s.src_a = n.src_a AND s.src_b = n.src_b
+"""
+
     sqls["temperature_mix"] = f"""
 WITH counts AS (SELECT source, count(*) AS n FROM documents GROUP BY source),
 shares AS (

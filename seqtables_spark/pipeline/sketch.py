@@ -190,3 +190,41 @@ def bloom_probe(
         .agg((F.count("__in__") == F.lit(n_hashes)).alias("bloom_hit"))
     )
     return df.join(hits, id_col, "left")
+
+
+def kmv_pairwise_jaccard(
+    sketches: DataFrame,
+    k: int,
+    group_col: str = "source",
+    kmv_col: str = "kmv",
+) -> DataFrame:
+    """All-pairs Jaccard ESTIMATE between groups from their KMV
+    sketches (k-min-values estimator, Bar-Yossef/Beyer et al.):
+    X = the k smallest of A union B, j ~= |X ∩ A ∩ B| / |X|.
+
+    The corpus-scale property: the pairwise comparison runs over the
+    SKETCH relation (one <=k array per group, #groups^2 candidate
+    pairs), never the underlying data — estimating every
+    source-vs-source overlap of a 100 TB corpus costs one sketch
+    build plus array ops on 128-element arrays. Deterministic given
+    the portable hash, so a SQL oracle replays it exactly.
+
+    Groups whose sketch is empty produce NULL estimates (no
+    evidence); pairs are emitted once with group_a < group_b."""
+    a = sketches.select(
+        F.col(group_col).alias("src_a"), F.col(kmv_col).alias("__a__")
+    )
+    b = sketches.select(
+        F.col(group_col).alias("src_b"), F.col(kmv_col).alias("__b__")
+    )
+    pairs = a.join(b, F.col("src_a") < F.col("src_b"))
+    u = F.slice(F.array_sort(F.array_union("__a__", "__b__")), 1, int(k))
+    both = F.array_intersect("__a__", "__b__")
+    shared = F.size(F.array_intersect(u, both))
+    return pairs.select(
+        "src_a",
+        "src_b",
+        F.size(u).alias("n_union_sketch"),
+        shared.alias("n_shared_sketch"),
+        (shared / F.size(u)).alias("jaccard_est"),
+    )

@@ -889,3 +889,55 @@ def test_temperature_mix_deterministic_and_proportional(spark):
         by_src[r["source"]] += 1
     assert by_src["small"] == 200          # kept whole
     assert abs(by_src["big"] - 400) < 60   # ~0.5 of 800, hash-Bernoulli
+
+
+# ---------------------------------------------------------------------
+# KMV pairwise Jaccard (sketch-based source overlap).
+# ---------------------------------------------------------------------
+
+
+def test_kmv_pairwise_jaccard_estimator(spark):
+    """Hand-built sketches: identical groups estimate 1.0, disjoint
+    groups 0.0, and a partial overlap matches the |X ∩ A ∩ B| / |X|
+    arithmetic done by hand. k larger than the union -> the estimate
+    is EXACT Jaccard."""
+    from seqtables_spark.pipeline.sketch import kmv_pairwise_jaccard
+
+    sk = spark.createDataFrame(
+        [
+            ("a", [1, 2, 3, 4]),
+            ("b", [1, 2, 3, 4]),
+            ("c", [10, 20, 30, 40]),
+            ("d", [1, 2, 10, 20]),
+        ],
+        "source string, kmv array<long>",
+    )
+    got = {
+        (r["src_a"], r["src_b"]): r
+        for r in kmv_pairwise_jaccard(sk, k=8).collect()
+    }
+    assert got[("a", "b")]["jaccard_est"] == pytest.approx(1.0)
+    assert got[("a", "c")]["jaccard_est"] == pytest.approx(0.0)
+    # a vs d: union {1,2,3,4,10,20} (6 <= k so X = union, exact),
+    # intersection {1,2} -> 2/6
+    r = got[("a", "d")]
+    assert r["n_union_sketch"] == 6 and r["n_shared_sketch"] == 2
+    assert r["jaccard_est"] == pytest.approx(2 / 6)
+    assert len(got) == 6  # emitted once per unordered pair
+
+
+def test_kmv_pairwise_jaccard_truncated_window(spark):
+    """k smaller than the union: only the k smallest union hashes
+    vote — matches the estimator computed by hand."""
+    from seqtables_spark.pipeline.sketch import kmv_pairwise_jaccard
+
+    sk = spark.createDataFrame(
+        [("a", [1, 3, 5, 7]), ("b", [2, 3, 6, 7])],
+        "source string, kmv array<long>",
+    )
+    got = kmv_pairwise_jaccard(sk, k=4).collect()[0]
+    # union sorted = [1,2,3,5,6,7]; X = [1,2,3,5]; A∩B = {3,7};
+    # X ∩ A∩B = {3} -> 1/4
+    assert got["n_union_sketch"] == 4
+    assert got["n_shared_sketch"] == 1
+    assert got["jaccard_est"] == pytest.approx(0.25)
