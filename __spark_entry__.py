@@ -2381,6 +2381,31 @@ def q_segment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "text_dedup", "n_segments", "n_removed")
 
 
+def q_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSONL interchange through REAL files: write the documents table
+    as JSON-lines (distributed write.text, line-safe escaping), read
+    it back schema-PINNED with quarantine semantics, return the clean
+    rows — value-checked against the original table. Exercises type
+    fidelity (longs), unicode/escape roundtrip, and the PERMISSIVE
+    corrupt-record plumbing on a file Spark actually scanned."""
+    import os
+
+    from seqtables_spark.sources.jsonl import (
+        read_jsonl, split_corrupt, write_jsonl,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    path = _rt_tmp("seqtables_jsonl_rt", sf_dir)
+    write_jsonl(docs, path)
+    back = read_jsonl(
+        spark,
+        os.path.join(path, "part-*"),
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    clean, _bad = split_corrupt(back)
+    return clean.select("doc_id", "text", "lang", "source", "n_chars")
+
+
 def q_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus health: estimated pairwise shingle-Jaccard between ALL
     sources from per-source KMV sketches — one sketch build over the
@@ -2978,7 +3003,7 @@ _ORACLE_PRIORITY = [
     # probe-split incremental dedup, streamed bowtie shards)
     "video_frames", "segment_dedup", "token_budget", "zipf_slope",
     "image_resize", "temperature_mix", "source_overlap",
-    "streaming_index_dedup", "cluster_mix",
+    "jsonl_roundtrip", "streaming_index_dedup", "cluster_mix",
     "rollup_revenue", "salted_brand_revenue",
     "asof_skew", "incremental_dedup", "bowtie_distributed",
     "curate_corpus", "curate_full", "duplicate_spans",
@@ -3112,6 +3137,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_resize": q_image_resize,
         "temperature_mix": q_temperature_mix,
         "source_overlap": q_source_overlap,
+        "jsonl_roundtrip": q_jsonl_roundtrip,
         "pii_scan": q_pii_scan,
         "pack_sequences": q_pack_sequences,
         "training_order": q_training_order,
@@ -5267,6 +5293,10 @@ GROUP BY source
     _ph_shuf = _SQL_PORTABLE_HASH.format(
         x=f"concat_ws(':', '{TRAINING_ORDER_SEED}', CAST(doc_id AS VARCHAR))"
     )
+    sqls["jsonl_roundtrip"] = """
+SELECT doc_id, text, lang, source, n_chars FROM documents
+"""
+
     ph_shingle = _SQL_PORTABLE_HASH.format(x="shingle")
     sqls["source_overlap"] = f"""
 WITH shingled AS (

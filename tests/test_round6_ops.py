@@ -941,3 +941,73 @@ def test_kmv_pairwise_jaccard_truncated_window(spark):
     assert got["n_union_sketch"] == 4
     assert got["n_shared_sketch"] == 1
     assert got["jaccard_est"] == pytest.approx(0.25)
+
+
+# ---------------------------------------------------------------------
+# JSONL source: schema-pinned read, quarantine semantics, roundtrip.
+# ---------------------------------------------------------------------
+
+
+def test_jsonl_roundtrip_preserves_newlines_and_types(spark, tmp_path):
+    """Values containing literal newlines/tabs/quotes survive the
+    write->read roundtrip (to_json escapes them, keeping the file
+    line-safe), and pinned types come back intact."""
+    from seqtables_spark.sources.jsonl import read_jsonl, write_jsonl
+
+    rows = [
+        (1, 'line1\nline2\t"quoted"', 7),
+        (2, "plain", None),
+    ]
+    df = spark.createDataFrame(rows, "id long, text string, n long")
+    path = str(tmp_path / "docs_jsonl")
+    write_jsonl(df, path)
+    back = read_jsonl(spark, path, "id long, text string, n long")
+    got = {r["id"]: (r["text"], r["n"]) for r in back.collect()}
+    assert got == {1: ('line1\nline2\t"quoted"', 7), 2: ("plain", None)}
+    assert all(
+        r["_corrupt_record"] is None for r in back.collect()
+    )
+
+
+def test_jsonl_quarantine_and_drop_modes(spark, tmp_path):
+    """Malformed lines land in _corrupt_record (never silently lost);
+    split_corrupt separates them; DROPMALFORMED drops them; a missing
+    schema raises."""
+    from seqtables_spark.sources.jsonl import (
+        read_jsonl, split_corrupt, write_jsonl,
+    )
+
+    path = str(tmp_path / "mixed")
+    spark.createDataFrame(
+        [('{"id": 1, "text": "ok"}',), ("{broken json",), ('{"id": 3}',)],
+        "value string",
+    ).coalesce(1).write.mode("overwrite").text(path)
+    df = read_jsonl(spark, path, "id long, text string")
+    clean, bad = split_corrupt(df)
+    got = {r["id"]: r["text"] for r in clean.collect()}
+    assert got == {1: "ok", 3: None}  # missing field -> NULL, not corrupt
+    bad_rows = bad.collect()
+    assert [r["_corrupt_record"] for r in bad_rows] == ["{broken json"]
+    assert all(r["id"] is None and r["text"] is None for r in bad_rows)
+    dropped = read_jsonl(spark, path, "id long, text string", keep_corrupt=False)
+    assert sorted(r["id"] for r in dropped.collect()) == [1, 3]
+    with pytest.raises(ValueError, match="schema"):
+        read_jsonl(spark, path, None)
+    with pytest.raises(ValueError, match="_corrupt_record"):
+        split_corrupt(dropped)
+
+
+def test_jsonl_structtype_schema_quarantine(spark, tmp_path):
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    from seqtables_spark.sources.jsonl import read_jsonl
+
+    path = str(tmp_path / "st")
+    spark.createDataFrame([('{"id": 9}',), ("nope",)], "value string") \
+        .coalesce(1).write.mode("overwrite").text(path)
+    st = StructType([StructField("id", LongType())])
+    back = read_jsonl(spark, path, st)
+    vals = sorted(
+        ((r["id"], r["_corrupt_record"]) for r in back.collect()), key=repr
+    )
+    assert (9, None) in vals and (None, "nope") in vals
