@@ -56,11 +56,19 @@ def shingle_array(
     """Column expr: the document's character k-shingles as an array.
     Dedup happens INSIDE the row (array_distinct) - a shingle's home is
     its own row, so per-doc distinctness never needs a shuffle. Only
-    valid where length(text) >= k (callers filter)."""
+    valid where length(text) >= k (callers filter).
+
+    Implementation: overlapping windows via a lookahead-capture regex
+    ((?=(.{k})) matches at every position, capturing the k chars) -
+    regexp_extract_all runs JVM-side in whole-stage codegen. The
+    obvious transform(sequence(...), substr) formulation is a
+    higher-order function, which Catalyst evaluates INTERPRETED per
+    element: measured 5.6-8.6 s vs 0.7-0.9 s for the regex on 1M
+    shingles at sf0.1 (8x) with identical output. (?s) keeps '.'
+    matching newlines so documents with line breaks shingle whole."""
     txt = F.lower(F.col(text_col)) if lowercase else F.col(text_col)
-    arr = F.transform(
-        F.sequence(F.lit(1), F.length(txt) - F.lit(k - 1)),
-        lambda i: txt.substr(i, F.lit(k)),
+    arr = F.regexp_extract_all(
+        txt, F.lit(f"(?s)(?=(.{{{int(k)}}}))"), 1
     )
     return F.array_distinct(arr) if distinct else arr
 

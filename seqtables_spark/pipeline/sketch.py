@@ -200,31 +200,67 @@ def kmv_pairwise_jaccard(
 ) -> DataFrame:
     """All-pairs Jaccard ESTIMATE between groups from their KMV
     sketches (k-min-values estimator, Bar-Yossef/Beyer et al.):
-    X = the k smallest of A union B, j ~= |X ∩ A ∩ B| / |X|.
+    X = the k smallest of A union B, j ~= |X n A n B| / |X|.
 
     The corpus-scale property: the pairwise comparison runs over the
-    SKETCH relation (one <=k array per group, #groups^2 candidate
-    pairs), never the underlying data — estimating every
-    source-vs-source overlap of a 100 TB corpus costs one sketch
-    build plus array ops on 128-element arrays. Deterministic given
-    the portable hash, so a SQL oracle replays it exactly.
+    SKETCH relation (one <=k array per group), never the underlying
+    data - estimating every source-vs-source overlap of a 100 TB
+    corpus costs one sketch build plus set math on k-element sets.
+    Deterministic given the portable hash, so a SQL oracle replays it
+    exactly. Groups with empty sketches contribute no pairs; pairs
+    are emitted once with src_a < src_b (string order).
 
-    Groups whose sketch is empty produce NULL estimates (no
-    evidence); pairs are emitted once with group_a < group_b."""
-    a = sketches.select(
-        F.col(group_col).alias("src_a"), F.col(kmv_col).alias("__a__")
+    Shape: the sketch relation funnels into ONE task (repartition(1)
+    of #groups rows - bounded by construction, like the P-row rank
+    offsets) and a mapInPandas computes all pairs in plain python.
+    This is deliberate, and three pure-DataFrame formulations were
+    measured and rejected on source_overlap at sf0.1: a lazy
+    self-join re-executes the entire sketch-build subtree twice
+    (Catalyst never dedups common subtrees, ~2x build cost); routing
+    the collected sketches back through createDataFrame rides the
+    Python-RDD scan path where EVERY downstream action pays a
+    per-partition python-worker roundtrip (coalesce(1) drained 32
+    such partitions serially, ~5 s for 20 rows); and pyspark's
+    F.array_sort is the comparator-lambda HOF, interpreted per
+    comparison (~8 s for 190 pairs - use F.sort_array if you ever
+    need sorted arrays in a hot path). The one-task stage does
+    O(G^2 * k log k) python work: fine to thousands of groups; band
+    the groups first if you have millions."""
+    kk = int(k)
+
+    def _pairs(batches):
+        import pandas as pd
+
+        sets: dict = {}
+        for pdf in batches:
+            for g, kmv in zip(pdf["__g__"], pdf["__kmv__"]):
+                sets[str(g)] = frozenset(int(v) for v in kmv)
+        out = {
+            "src_a": [], "src_b": [], "n_union_sketch": [],
+            "n_shared_sketch": [], "jaccard_est": [],
+        }
+        names = sorted(sets)
+        for i, ga in enumerate(names):
+            sa = sets[ga]
+            for gb in names[i + 1 :]:
+                sb = sets[gb]
+                x = sorted(sa | sb)[:kk]
+                if not x:
+                    continue
+                shared = sum(1 for h in x if h in sa and h in sb)
+                out["src_a"].append(ga)
+                out["src_b"].append(gb)
+                out["n_union_sketch"].append(len(x))
+                out["n_shared_sketch"].append(shared)
+                out["jaccard_est"].append(shared / float(len(x)))
+        yield pd.DataFrame(out)
+
+    narrow = sketches.select(
+        F.col(group_col).cast("string").alias("__g__"),
+        F.col(kmv_col).alias("__kmv__"),
     )
-    b = sketches.select(
-        F.col(group_col).alias("src_b"), F.col(kmv_col).alias("__b__")
-    )
-    pairs = a.join(b, F.col("src_a") < F.col("src_b"))
-    u = F.slice(F.array_sort(F.array_union("__a__", "__b__")), 1, int(k))
-    both = F.array_intersect("__a__", "__b__")
-    shared = F.size(F.array_intersect(u, both))
-    return pairs.select(
-        "src_a",
-        "src_b",
-        F.size(u).alias("n_union_sketch"),
-        shared.alias("n_shared_sketch"),
-        (shared / F.size(u)).alias("jaccard_est"),
+    return narrow.repartition(1).mapInPandas(
+        _pairs,
+        "src_a string, src_b string, n_union_sketch int, "
+        "n_shared_sketch int, jaccard_est double",
     )
