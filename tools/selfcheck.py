@@ -86,6 +86,13 @@ PERF_ADJUDICATED = {
     "bam_roundtrip": "real file I/O + BGZF codec on both engines, fixture harness",
     "fastq_roundtrip": "real file I/O fixture harness",
     "sam_roundtrip": "real file I/O fixture harness",
+    "jsonl_roundtrip": "real file I/O fixture harness (write + schema-pinned read-back)",
+    "image_resize": "mapInPandas Arrow roundtrip of 5k blobs; per-blob work is numpy gather; gap = python-worker floor",
+    "video_frames": "same mapInPandas blob-decode floor",
+    "token_budget": "2-phase distributed cumsum pays two exchanges + P-row broadcast BY DESIGN (bounded state)",
+    "segment_dedup": "segs subtree evaluates on both anti-join sides (Catalyst has no common-subtree dedup) + rebuild agg; gap = stage floor over 3 cheap scans",
+    "temperature_mix": "rate build + filtered count are two corpus passes by construction; gap = stage floor",
+    "source_overlap": "sketch build = corpus md5 + distinct exchange (duck's vectorized md5 ~3x faster); pairwise stage is one bounded task (see kmv_pairwise_jaccard docstring)",
 }
 
 
