@@ -40,6 +40,10 @@ QUERIES = [
     "events_hourly", "event_quantiles", "kmv_users",
     # fact-table relational
     "pricing_summary", "customer_deciles",
+    # round-6 additions: map-heavy multimodal decode, anti-join
+    # boilerplate removal, 2-phase cumsum, sketch-pair overlap
+    "video_frames", "image_resize", "segment_dedup", "token_budget",
+    "zipf_slope", "source_overlap", "temperature_mix",
 ]
 
 SHIFTS = {
@@ -81,6 +85,8 @@ def build_replica(spark, src: str, dst: str, mult: int) -> None:
 def main() -> int:
     mults = [int(m) for m in (sys.argv[1:] or ["1", "8"])]
     src = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    only = os.environ.get("SCALE_QUERIES")
+    queries = [q for q in (only.split(",") if only else QUERIES) if q]
 
     from seqtables_spark import get_spark
 
@@ -108,7 +114,7 @@ def main() -> int:
             # plan build is forced off-clock.
             qs = entry.queries(cached=False)
             per = {}
-            for name in QUERIES:
+            for name in queries:
                 times = []
                 for _ in range(3):
                     df = qs[name](spark, sf_dir)
@@ -125,7 +131,7 @@ def main() -> int:
         for m in mults:
             hdr += f"  x{m}cold".rjust(10) + f"  x{m}warm".rjust(10)
         print(hdr + "  cold-ratio")
-        for name in QUERIES:
+        for name in queries:
             row = f"{name:26s}"
             for m in mults:
                 c, w = results[m][name]
