@@ -2406,6 +2406,70 @@ def q_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return clean.select("doc_id", "text", "lang", "source", "n_chars")
 
 
+def q_warc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WARC interchange through REAL archive files (the Common Crawl
+    ingest format): write the documents table as WARC shards (table
+    columns carried as X- extension headers, text as the
+    Content-Length-framed payload), stream-parse them back one file
+    per task, and reconstruct the original rows — value-checked
+    against the source table. Exercises CRLF framing, utf-8 payload
+    fidelity, and the header side-channel."""
+    from seqtables_spark.sources.warc import read_warc, write_warc
+
+    docs = _t(spark, sf_dir, "documents")
+    path = _rt_tmp("seqtables_warc_rt", sf_dir)
+    write_warc(
+        docs.repartition(8),
+        path,
+        payload_col="text",
+        uri_col=None,
+        record_id_col="doc_id",
+        header_cols={
+            "X-Doc-Id": "doc_id",
+            "X-Lang": "lang",
+            "X-Source": "source",
+            "X-N-Chars": "n_chars",
+        },
+    )
+    back = read_warc(spark, f"{path}/part-*.warc")
+    h = F.col("headers")
+    return back.select(
+        h["X-Doc-Id"].cast("long").alias("doc_id"),
+        F.col("payload").alias("text"),
+        h["X-Lang"].alias("lang"),
+        h["X-Source"].alias("source"),
+        h["X-N-Chars"].cast("long").alias("n_chars"),
+    )
+
+
+def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BPE tokenizer training (Sennrich 2016 / GPT-2
+    word-pretokenized variant): one corpus-wide vocab aggregation,
+    then 8 merge rounds over the cached (word, cnt) relation — each
+    round one small pair-count agg + a 1-row argmax. Fully
+    deterministic (ties by (lhs, rhs) asc), so the oracle replays
+    training exactly with 8 unrolled CTE rounds. Like the streaming
+    drain queries, the iterative driver loop runs eagerly at plan
+    build; the returned relation is the learned rule table."""
+    from seqtables_spark.pipeline.bpe import bpe_rules_df, train_bpe
+
+    rules = train_bpe(_t(spark, sf_dir, "documents"), num_merges=8)
+    return bpe_rules_df(spark, rules)
+
+
+def q_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-scale BPE encode: train 8 merges (eager, as above),
+    then count each document's BPE tokens by replaying the merges as
+    literal cell-string replaces — a pure map-side codegen chain
+    (no UDF, no shuffle), the plan shape that pipelines scan->sink
+    at 100 TB."""
+    from seqtables_spark.pipeline.bpe import bpe_token_count, train_bpe
+
+    docs = _t(spark, sf_dir, "documents")
+    rules = train_bpe(docs, num_merges=8)
+    return bpe_token_count(docs, rules)
+
+
 def q_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus health: estimated pairwise shingle-Jaccard between ALL
     sources from per-source KMV sketches — one sketch build over the
@@ -3001,6 +3065,7 @@ _ORACLE_PRIORITY = [
     # implementation or plan changed this round (rollup collapse,
     # guarded salting, null-safe ranged asof, index write shape,
     # probe-split incremental dedup, streamed bowtie shards)
+    "bpe_merges", "bpe_tokens", "warc_roundtrip",
     "video_frames", "segment_dedup", "token_budget", "zipf_slope",
     "image_resize", "temperature_mix", "source_overlap",
     "jsonl_roundtrip", "streaming_index_dedup", "cluster_mix",
@@ -3132,6 +3197,9 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hamming_setdiff": q_hamming_setdiff,
         "repetition": q_repetition,
         "segment_dedup": q_segment_dedup,
+        "bpe_merges": q_bpe_merges,
+        "bpe_tokens": q_bpe_tokens,
+        "warc_roundtrip": q_warc_roundtrip,
         "token_budget": q_token_budget,
         "zipf_slope": q_zipf_slope,
         "image_resize": q_image_resize,
@@ -5297,6 +5365,10 @@ GROUP BY source
 SELECT doc_id, text, lang, source, n_chars FROM documents
 """
 
+    sqls["warc_roundtrip"] = """
+SELECT doc_id, text, lang, source, n_chars FROM documents
+"""
+
     ph_shingle = _SQL_PORTABLE_HASH.format(x="shingle")
     sqls["source_overlap"] = f"""
 WITH shingled AS (
@@ -5655,6 +5727,67 @@ cut AS (
 SELECT decile, count(*) AS n_cust,
        CAST(sum(rev_cents) AS BIGINT) AS revenue_cents
 FROM cut GROUP BY 1
+"""
+
+    # --- BPE: 8 unrolled merge rounds, replayed exactly ------------
+    # v0 = (word, cnt, cells) vocab; per round r: p{r} adjacent-pair
+    # counts, b{r} deterministic argmax, v{r} literal cell replace.
+    # The cell encoding '<t><o><k>' makes plain left-to-right
+    # non-overlapping replace() identical to the greedy BPE merge
+    # (matches align with whole cells — see pipeline/bpe.py).
+    _BPE_K = 8
+    _bpe_ctes = [
+        r"""v0 AS (
+  SELECT w AS word, CAST(count(*) AS BIGINT) AS cnt,
+         regexp_replace(w, '([a-z])', '<\1>', 'g') AS cells
+  FROM (SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w
+        FROM documents)
+  GROUP BY w
+)"""
+    ]
+    for _r in range(1, _BPE_K + 1):
+        _bpe_ctes.append(f"""p{_r} AS (
+  SELECT ts[i] AS lhs, ts[i + 1] AS rhs, CAST(sum(cnt) AS BIGINT) AS c
+  FROM (SELECT cnt, string_split(trim(cells, '<>'), '><') AS ts
+        FROM v{_r - 1}),
+       LATERAL (SELECT unnest(generate_series(1, len(ts) - 1)) AS i) g
+  GROUP BY lhs, rhs
+)""")
+        _bpe_ctes.append(
+            f"b{_r} AS (SELECT lhs, rhs, c FROM p{_r} "
+            "ORDER BY c DESC, lhs ASC, rhs ASC LIMIT 1)"
+        )
+        if _r < _BPE_K:
+            _bpe_ctes.append(f"""v{_r} AS (
+  SELECT word, cnt,
+         replace(cells, '<' || b.lhs || '><' || b.rhs || '>',
+                 '<' || b.lhs || b.rhs || '>') AS cells
+  FROM v{_r - 1}, b{_r} b
+)""")
+    _bpe_with = "WITH " + ",\n".join(_bpe_ctes)
+    _bpe_union = "\nUNION ALL\n".join(
+        f"SELECT {_r} AS r, lhs, rhs, c FROM b{_r}" for _r in range(1, _BPE_K + 1)
+    )
+    sqls["bpe_merges"] = f"""{_bpe_with}
+SELECT CAST(r AS INTEGER) AS merge_rank, lhs, rhs, c AS pair_count
+FROM ({_bpe_union})
+"""
+
+    _bpe_doc_s = (
+        r"regexp_replace(trim(regexp_replace(lower(text), '[^a-z]+', '|', 'g'),"
+        r" '|'), '([a-z])', '<\1>', 'g')"
+    )
+    for _r in range(1, _BPE_K + 1):
+        _bpe_doc_s = (
+            f"replace({_bpe_doc_s}, "
+            f"(SELECT '<' || lhs || '><' || rhs || '>' FROM b{_r}), "
+            f"(SELECT '<' || lhs || rhs || '>' FROM b{_r}))"
+        )
+    sqls["bpe_tokens"] = f"""{_bpe_with}
+SELECT doc_id,
+       CAST(length(s) - length(replace(s, '<', '')) AS BIGINT) AS n_bpe_tokens,
+       CAST(length(regexp_replace(lower(text), '[^a-z]', '', 'g')) AS BIGINT) AS n_letters
+FROM (SELECT doc_id, text, {_bpe_doc_s} AS s FROM documents)
 """
 
     return sqls

@@ -1,0 +1,190 @@
+"""Distributed byte-pair-encoding (BPE) tokenizer training + encode.
+
+The canonical subword-vocabulary algorithm of modern LLM pipelines
+(Sennrich et al. 2016; the GPT-2 tokenizer is the word-pretokenized
+variant implemented here). Spark-first shape:
+
+- the corpus is touched ONCE: an explode + groupBy collapses ~any
+  amount of text into a (word, count) vocab relation whose size is
+  the *distinct-word* count, not the corpus size. At 100 TB that is
+  the only corpus-wide shuffle; every training round afterwards runs
+  on the cached vocab relation (millions of rows at most).
+- each merge round is one small aggregation (adjacent-pair counts
+  weighted by word frequency) + a 1-row argmax collect — the
+  per-round driver synchronization is inherent to the algorithm
+  (the winning pair defines round r+1's rewrite).
+- the rewrite is a literal `replace` on a self-delimiting cell
+  encoding (below): pure whole-stage-codegen string ops, no UDF,
+  no interpreted higher-order function (SCALING.md round-6 rule).
+- encoding documents with the learned rules is a lazy, purely
+  map-side chain of `replace` calls — embarrassingly parallel and
+  safe at any scale.
+
+Cell encoding: a token list [ab, c] is the string "<ab><c>". Each
+token cell is self-delimited, so a literal left-to-right
+non-overlapping replace of "<a><b>" with "<ab>" is EXACTLY the BPE
+greedy merge step: matches align with whole cells, adjacent matches
+never share boundary characters (the classic " a a a " separator
+bug), and a token that merely ends/starts with the pair's chars
+cannot false-match because its cell brackets intervene. Tokens are
+restricted to [a-z]+ by the pre-tokenizer so the brackets can never
+collide with content.
+
+Everything is deterministic (ties broken by (lhs, rhs) ascending),
+so a DuckDB oracle replays training exactly via unrolled CTEs —
+see __spark_entry__.oracle_sql()['bpe_merges'].
+
+Reference scope note: the seqtables reference has no tokenizer
+training; this operator family comes from the LLM-pipeline brief
+(training-data preparation at 100 TB).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, functions as F
+
+__all__ = [
+    "word_vocab",
+    "train_bpe",
+    "bpe_rules_df",
+    "bpe_token_count",
+]
+
+
+def _char_cells(col: Column) -> Column:
+    """'chat' -> '<c><h><a><t>' (each char wrapped as a token cell)."""
+    return F.regexp_replace(col, r"([a-z])", r"<$1>")
+
+
+def word_vocab(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """(word, cnt) over the [a-z]+ runs of lowercased text — the one
+    corpus-wide pass of BPE training. Word order inside documents is
+    irrelevant to BPE, so this collapses 100 TB of text into a
+    distinct-word relation before any iteration starts."""
+    words = F.explode(
+        F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(r"[a-z]+"), 0)
+    ).alias("word")
+    return df.select(words).groupBy("word").agg(F.count("*").alias("cnt"))
+
+
+def train_bpe(
+    df: DataFrame,
+    num_merges: int = 8,
+    text_col: str = "text",
+) -> list[dict]:
+    """Learn `num_merges` BPE merge rules from a corpus.
+
+    Returns [{"merge_rank": 1, "lhs": "t", "rhs": "h",
+    "pair_count": N}, ...] in training order. Stops early if the
+    vocabulary runs out of adjacent pairs.
+
+    Per-round cost is independent of corpus size: the pair
+    aggregation runs over the cached vocab relation (round r applies
+    r accumulated literal replaces to it first — O(num_merges^2)
+    string rewrites over the small relation in total). Ties on
+    pair count break by (lhs, rhs) ascending, making training fully
+    deterministic and oracle-replayable.
+    """
+    base = word_vocab(df, text_col).withColumn(
+        "cells", _char_cells(F.col("word"))
+    ).persist()
+    vocab = base
+    rules: list[dict] = []
+    try:
+        cells = F.col("cells")
+        for rank in range(1, num_merges + 1):
+            ts = F.split(F.btrim(F.col("cells"), F.lit("<>")), "><")
+            pairs = (
+                vocab.select(
+                    F.col("cnt"),
+                    F.explode(
+                        F.arrays_zip(
+                            F.slice(ts, 1, F.greatest(F.size(ts) - 1, F.lit(0))),
+                            F.slice(ts, 2, F.greatest(F.size(ts) - 1, F.lit(0))),
+                        )
+                    ).alias("pr"),
+                )
+                .select(
+                    F.col("pr")["0"].alias("lhs"),
+                    F.col("pr")["1"].alias("rhs"),
+                    F.col("cnt"),
+                )
+                .groupBy("lhs", "rhs")
+                .agg(F.sum("cnt").alias("pair_count"))
+                .orderBy(F.desc("pair_count"), F.asc("lhs"), F.asc("rhs"))
+                .limit(1)
+            )
+            best = pairs.collect()
+            if not best:
+                break
+            l, r, c = best[0]["lhs"], best[0]["rhs"], best[0]["pair_count"]
+            rules.append(
+                {"merge_rank": rank, "lhs": l, "rhs": r, "pair_count": int(c)}
+            )
+            vocab = vocab.withColumn(
+                "cells",
+                F.replace(cells, F.lit(f"<{l}><{r}>"), F.lit(f"<{l}{r}>")),
+            )
+    finally:
+        # unpersist the BASE relation (the loop's vocab is a child
+        # plan over it, so every round reused the cached scan)
+        base.unpersist(False)
+    return rules
+
+
+def bpe_rules_df(spark: SparkSession, rules: list[dict]) -> DataFrame:
+    """Rules as a JVM-born LocalRelation (SQL VALUES — NOT
+    createDataFrame, whose python-RDD scan pays a per-partition
+    python-worker roundtrip on every downstream action;
+    SCALING.md round-6 trap #1). Tokens are [a-z]+ so inlining the
+    literals is injection-safe."""
+    if not rules:
+        return spark.sql(
+            "SELECT CAST(NULL AS INT) AS merge_rank, '' AS lhs, '' AS rhs, "
+            "CAST(NULL AS BIGINT) AS pair_count WHERE 1=0"
+        )
+    rows = ", ".join(
+        f"({r['merge_rank']}, '{r['lhs']}', '{r['rhs']}', "
+        f"CAST({r['pair_count']} AS BIGINT))"
+        for r in rules
+    )
+    return spark.sql(
+        f"SELECT * FROM VALUES {rows} AS t(merge_rank, lhs, rhs, pair_count)"
+    )
+
+
+def bpe_token_count(
+    df: DataFrame,
+    rules: list[dict],
+    text_col: str = "text",
+    id_cols: tuple[str, ...] = ("doc_id",),
+) -> DataFrame:
+    """Encode each document with the learned merges and count its
+    BPE tokens — the corpus-scale consumer of train_bpe.
+
+    Pure map-side whole-stage-codegen: normalize (non-letter runs
+    become a '|' word separator no merge can cross), wrap chars into
+    cells, then replay the merge rules in order as literal replaces.
+    Token count = number of '<' cells remaining. No shuffle, no UDF;
+    at 100 TB this pipelines straight from scan to sink.
+    """
+    s = F.lower(F.col(text_col))
+    s = F.regexp_replace(s, r"[^a-z]+", "|")
+    s = F.btrim(s, F.lit("|"))
+    s = _char_cells(s)
+    for r in rules:
+        s = F.replace(
+            s,
+            F.lit(f"<{r['lhs']}><{r['rhs']}>"),
+            F.lit(f"<{r['lhs']}{r['rhs']}>"),
+        )
+    n_tok = (F.length(s) - F.length(F.replace(s, F.lit("<"), F.lit("")))).cast(
+        "long"
+    )
+    return df.select(
+        *id_cols,
+        n_tok.alias("n_bpe_tokens"),
+        F.length(F.regexp_replace(F.lower(F.col(text_col)), r"[^a-z]", "")).cast(
+            "long"
+        ).alias("n_letters"),
+    )

@@ -1,0 +1,102 @@
+"""WARC source/sink: byte-exact framing, Content-Length-driven parse."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from seqtables_spark.sources.warc import read_warc, write_warc
+
+
+DOCS = [
+    (1, "plain ascii text", "en"),
+    (2, "unicode: café — 中文 \U0001f600", "und"),
+    (3, "", "en"),  # empty payload
+    # adversarial: payload that LOOKS like a record boundary + version
+    # line — only Content-Length framing parses this correctly
+    (4, "before\r\n\r\nWARC/1.0\r\nWARC-Type: fake\r\n\r\nafter", "en"),
+    (5, "trailing newlines\n\n\n", "de"),
+]
+
+
+def _docs_df(spark):
+    rows = ", ".join(
+        "({}, '{}', '{}')".format(i, t.replace("'", "''"), l) for i, t, l in DOCS
+    )
+    return spark.sql(f"SELECT * FROM VALUES {rows} AS t(doc_id, text, lang)")
+
+
+def test_roundtrip(spark, tmp_path):
+    path = str(tmp_path / "rt")
+    df = _docs_df(spark).repartition(2)
+    manifest = write_warc(
+        df,
+        path,
+        payload_col="text",
+        uri_col=None,
+        record_id_col="doc_id",
+        header_cols={"X-Doc-Id": "doc_id", "X-Lang": "lang"},
+    )
+    m = manifest.collect()
+    assert sum(r["n_records"] for r in m) == len(DOCS)
+    assert all(os.path.exists(r["path"]) for r in m)
+
+    back = read_warc(spark, os.path.join(path, "part-*.warc"))
+    rows = {
+        int(r["headers"]["X-Doc-Id"]): r for r in back.collect()
+    }
+    assert set(rows) == {i for i, _, _ in DOCS}
+    for i, t, l in DOCS:
+        r = rows[i]
+        assert r["payload"] == t, i
+        assert r["headers"]["X-Lang"] == l
+        assert r["warc_type"] == "response"
+        assert r["record_id"] == f"<{i}>"
+        assert r["content_length"] == len(t.encode("utf-8"))
+
+
+def test_reader_tolerates_extra_separators(spark, tmp_path):
+    p = tmp_path / "pad.warc"
+    rec = (
+        b"WARC/1.0\r\nWARC-Type: response\r\nContent-Length: 5\r\n\r\n"
+        b"hello\r\n\r\n"
+    )
+    p.write_bytes(b"\r\n\n" + rec + b"\n\n\r\n" + rec)
+    out = read_warc(spark, str(p)).collect()
+    assert [r["payload"] for r in out] == ["hello", "hello"]
+
+
+def test_reader_rejects_truncation(spark, tmp_path):
+    p = tmp_path / "trunc.warc"
+    p.write_bytes(b"WARC/1.0\r\nContent-Length: 100\r\n\r\nshort")
+    with pytest.raises(Exception, match="truncated"):
+        read_warc(spark, str(p)).collect()
+
+
+def test_reader_rejects_garbage(spark, tmp_path):
+    p = tmp_path / "bad.warc"
+    p.write_bytes(b"not a warc file\r\n")
+    with pytest.raises(Exception, match="version line"):
+        read_warc(spark, str(p)).collect()
+
+
+def test_small_batches_stream(spark, tmp_path):
+    path = str(tmp_path / "batched")
+    write_warc(
+        _docs_df(spark).coalesce(1), path, payload_col="text",
+        record_id_col="doc_id",
+    )
+    back = read_warc(spark, os.path.join(path, "*.warc"), batch_rows=2)
+    assert back.count() == len(DOCS)
+
+
+def test_one_task_per_file(spark, tmp_path):
+    path = str(tmp_path / "many")
+    write_warc(
+        _docs_df(spark).repartition(3), path, payload_col="text",
+        record_id_col="doc_id",
+    )
+    files = sorted(os.listdir(path))
+    back = read_warc(spark, os.path.join(path, "*.warc"))
+    assert back.rdd.getNumPartitions() == len(files)
