@@ -2406,6 +2406,30 @@ def q_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return clean.select("doc_id", "text", "lang", "source", "n_chars")
 
 
+def q_fuzzy_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FUZZY benchmark decontamination (GPT-3 appendix-A style):
+    flag corpus docs that MinHash-band-collide with a synthetic
+    benchmark built from truncated corpus items (the realistic leak:
+    a benchmark question scraped from a training page, shortened).
+    Complements the exact 13-gram `contamination` query: same guard
+    pattern, but candidate generation is the row-local banded
+    signature — the join input is docs x bands rows, never
+    docs x shingles."""
+    from seqtables_spark.pipeline.dedup import near_dup_contamination
+
+    docs = _t(spark, sf_dir, "documents")
+    evals = docs.filter(F.col("doc_id") % 100 == 0).select(
+        (F.col("doc_id") + 10_000_000).alias("doc_id"),
+        F.expr("substring(text, 1, greatest(length(text) - 5, 10))").alias(
+            "text"
+        ),
+    )
+    out = near_dup_contamination(
+        docs, evals, n_hashes=MINHASH_N, bands=LSH_BANDS, k=LSH_K
+    )
+    return out.select("doc_id", "n_eval_matches", "first_eval_id")
+
+
 def q_warc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """WARC interchange through REAL archive files (the Common Crawl
     ingest format): write the documents table as WARC shards (table
@@ -3065,7 +3089,7 @@ _ORACLE_PRIORITY = [
     # implementation or plan changed this round (rollup collapse,
     # guarded salting, null-safe ranged asof, index write shape,
     # probe-split incremental dedup, streamed bowtie shards)
-    "bpe_merges", "bpe_tokens", "warc_roundtrip",
+    "bpe_merges", "bpe_tokens", "warc_roundtrip", "fuzzy_contamination",
     "video_frames", "segment_dedup", "token_budget", "zipf_slope",
     "image_resize", "temperature_mix", "source_overlap",
     "jsonl_roundtrip", "streaming_index_dedup", "cluster_mix",
@@ -3200,6 +3224,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_merges": q_bpe_merges,
         "bpe_tokens": q_bpe_tokens,
         "warc_roundtrip": q_warc_roundtrip,
+        "fuzzy_contamination": q_fuzzy_contamination,
         "token_budget": q_token_budget,
         "zipf_slope": q_zipf_slope,
         "image_resize": q_image_resize,
@@ -5367,6 +5392,23 @@ SELECT doc_id, text, lang, source, n_chars FROM documents
 
     sqls["warc_roundtrip"] = """
 SELECT doc_id, text, lang, source, n_chars FROM documents
+"""
+
+    sqls["fuzzy_contamination"] = f"""
+WITH corpus AS (SELECT doc_id, text FROM documents),
+evals AS (
+  SELECT doc_id + 10000000 AS doc_id,
+         substring(text, 1, greatest(length(text) - 5, 10)) AS text
+  FROM documents WHERE doc_id % 100 = 0
+),
+{_sql_lsh_chain("corpus", "c")},
+{_sql_lsh_chain("evals", "e")}
+SELECT c.doc_id,
+       CAST(count(DISTINCT e.doc_id) AS BIGINT) AS n_eval_matches,
+       CAST(min(e.doc_id) AS BIGINT) AS first_eval_id
+FROM cbanded c JOIN ebanded e
+  ON c.band_idx = e.band_idx AND c.band_hash = e.band_hash
+GROUP BY c.doc_id
 """
 
     ph_shingle = _SQL_PORTABLE_HASH.format(x="shingle")

@@ -958,6 +958,57 @@ def contamination_check(
     )
 
 
+def near_dup_contamination(
+    corpus: DataFrame,
+    eval_set: DataFrame,
+    n_hashes: int = 16,
+    bands: int = 4,
+    k: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    seed: int = 42,
+    max_broadcast_rows: int | None = 1_000_000,
+) -> DataFrame:
+    """FUZZY benchmark decontamination: corpus documents that are
+    MinHash-band near-duplicates of any eval-set document.
+
+    `contamination_check` (above) is the exact 13-gram-overlap test;
+    this is its near-duplicate complement — a paraphrased or
+    truncated benchmark item won't share long exact grams with its
+    source, but still collides with it in an LSH band (the GPT-3
+    appendix-A style fuzzy decontamination).
+
+    Scale shape: both sides reduce to their banded-key relations
+    first — ROW-LOCAL signature folds, no explode of shingles into a
+    shuffle (see minhash_band_keys) — so the join input is
+    (docs x bands) rows, not (docs x shingles). The eval side is
+    tiny by construction (a benchmark); a count guard (same pattern
+    and rationale as contamination_check's) broadcasts it when it
+    fits, else forces shuffle-merge. Output aggregates back to one
+    row per flagged corpus doc.
+
+    Returns DF(id, n_eval_matches bigint, first_eval_id) — corpus
+    docs with at least one banded collision; drop them (or route to
+    human review) before training.
+    """
+    cb = minhash_band_keys(
+        corpus, n_hashes, bands, k, text_col, id_col, seed
+    )
+    eb = minhash_band_keys(
+        eval_set, n_hashes, bands, k, text_col, id_col, seed
+    ).withColumnRenamed(id_col, "_eval_id")
+    if max_broadcast_rows is not None:
+        if eb.count() <= int(max_broadcast_rows):
+            eb = F.broadcast(eb)
+        else:
+            eb = eb.hint("shuffle_merge")
+    hits = cb.join(eb, ["band_idx", "band_hash"])
+    return hits.groupBy(id_col).agg(
+        F.countDistinct("_eval_id").cast("long").alias("n_eval_matches"),
+        F.min("_eval_id").alias("first_eval_id"),
+    )
+
+
 def duplicate_spans(
     df: DataFrame,
     span_tokens: int = 15,

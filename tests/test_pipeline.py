@@ -887,3 +887,39 @@ def test_detect_media_type_magic_bytes(spark):
         for r in df.select("media_id", detect_media_type().alias("mt")).collect()
     }
     assert got == {1: "png", 2: "jpeg", 3: "ppm", 4: "riff", 5: "unknown"}
+
+
+def test_near_dup_contamination(spark):
+    from seqtables_spark.pipeline.dedup import near_dup_contamination
+
+    corpus = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog tonight"),
+            (2, "a completely different document about spark planning"),
+            (3, "yet another unrelated piece of text entirely here"),
+        ],
+        "doc_id long, text string",
+    )
+    # eval item 900 is doc 1 truncated (the scraped-benchmark leak)
+    evals = spark.createDataFrame(
+        [
+            (900, "the quick brown fox jumps over the lazy dog"),
+            (901, "no relation to anything in the corpus at all ok"),
+        ],
+        "doc_id long, text string",
+    )
+    out = near_dup_contamination(corpus, evals, n_hashes=8, bands=4, k=5)
+    rows = {r["doc_id"]: r for r in out.collect()}
+    assert 1 in rows and rows[1]["first_eval_id"] == 900
+    assert 2 not in rows and 3 not in rows
+
+    # guard: forcing the non-broadcast path gives identical results
+    out2 = near_dup_contamination(
+        corpus, evals, n_hashes=8, bands=4, k=5, max_broadcast_rows=0
+    )
+    assert sorted(map(tuple, out2.collect())) == sorted(map(tuple, out.collect()))
+    # and the broadcast path really broadcasts
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    plan2 = out2._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" not in plan2
