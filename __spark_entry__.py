@@ -2406,6 +2406,30 @@ def q_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return clean.select("doc_id", "text", "lang", "source", "n_chars")
 
 
+def q_intra_doc_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WITHIN-document repeated-segment removal (C4 repeated-span /
+    RefinedWeb intra-doc rule) at word granularity: keep each doc's
+    first occurrence of every word, in order. Entirely row-local
+    (split + order-preserving array_distinct + rejoin) — the plan is
+    one codegen projection, zero exchanges."""
+    from seqtables_spark.pipeline.text import intra_doc_segment_dedup
+
+    return intra_doc_segment_dedup(
+        _t(spark, sf_dir, "documents"), sep=" "
+    ).select("doc_id", "text_dedup", "n_segments", "n_removed")
+
+
+def q_gopher_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-rule quality filter with an audit trail: keep/drop per
+    document plus WHICH rules failed (stable comma-joined reasons).
+    Pure map-side arithmetic; the keep/drop boundary is exact-int
+    IEEE division so the oracle replays decisions bit-identically."""
+    from seqtables_spark.pipeline.text import gopher_quality_filter
+
+    out = gopher_quality_filter(_t(spark, sf_dir, "documents"))
+    return out.select("doc_id", "keep", "reasons")
+
+
 def q_fuzzy_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     """FUZZY benchmark decontamination (GPT-3 appendix-A style):
     flag corpus docs that MinHash-band-collide with a synthetic
@@ -3090,6 +3114,7 @@ _ORACLE_PRIORITY = [
     # guarded salting, null-safe ranged asof, index write shape,
     # probe-split incremental dedup, streamed bowtie shards)
     "bpe_merges", "bpe_tokens", "warc_roundtrip", "fuzzy_contamination",
+    "intra_doc_dedup", "gopher_filter",
     "video_frames", "segment_dedup", "token_budget", "zipf_slope",
     "image_resize", "temperature_mix", "source_overlap",
     "jsonl_roundtrip", "streaming_index_dedup", "cluster_mix",
@@ -3225,6 +3250,8 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_tokens": q_bpe_tokens,
         "warc_roundtrip": q_warc_roundtrip,
         "fuzzy_contamination": q_fuzzy_contamination,
+        "intra_doc_dedup": q_intra_doc_dedup,
+        "gopher_filter": q_gopher_filter,
         "token_budget": q_token_budget,
         "zipf_slope": q_zipf_slope,
         "image_resize": q_image_resize,
@@ -5392,6 +5419,61 @@ SELECT doc_id, text, lang, source, n_chars FROM documents
 
     sqls["warc_roundtrip"] = """
 SELECT doc_id, text, lang, source, n_chars FROM documents
+"""
+
+    sqls["intra_doc_dedup"] = """
+WITH segs AS (
+  SELECT doc_id, i - 1 AS pos, parts[i] AS seg
+  FROM (SELECT doc_id, string_split(text, ' ') AS parts FROM documents),
+       LATERAL (SELECT unnest(generate_series(1, len(parts))) AS i) t
+),
+firsts AS (
+  SELECT doc_id, seg, min(pos) AS pos FROM segs GROUP BY doc_id, seg
+),
+rebuilt AS (
+  SELECT doc_id, string_agg(seg, ' ' ORDER BY pos) AS text_dedup,
+         count(*) AS n_kept
+  FROM firsts GROUP BY doc_id
+)
+SELECT d.doc_id,
+       coalesce(r.text_dedup, '') AS text_dedup,
+       CAST(len(string_split(d.text, ' ')) AS INTEGER) AS n_segments,
+       CAST(len(string_split(d.text, ' ')) - coalesce(r.n_kept, 0) AS INTEGER) AS n_removed
+FROM documents d LEFT JOIN rebuilt r USING (doc_id)
+"""
+
+    sqls["gopher_filter"] = r"""
+WITH f AS (
+  SELECT doc_id,
+         length(text) AS n_chars,
+         len(regexp_extract_all(text, '\S+')) AS n_tokens,
+         length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS n_alpha,
+         length(regexp_replace(text, '[^0-9]', '', 'g')) AS n_digit,
+         len(regexp_extract_all(lower(text), '\b(the|and|of|to|is|in|a|that|it|for)\b')) AS n_stop
+  FROM documents
+),
+r AS (
+  SELECT doc_id,
+         CASE WHEN n_tokens > 0 THEN n_alpha * 1.0 / n_tokens ELSE 0.0 END AS mwl,
+         CASE WHEN n_chars > 0 THEN n_alpha * 1.0 / n_chars ELSE 0.0 END AS alpha_ratio,
+         CASE WHEN n_chars > 0 THEN n_digit * 1.0 / n_chars ELSE 0.0 END AS digit_ratio,
+         CASE WHEN n_tokens > 0 THEN n_stop * 1.0 / n_tokens ELSE 0.0 END AS stop_ratio,
+         n_tokens
+  FROM f
+),
+j AS (
+  SELECT doc_id,
+         concat_ws(',',
+           CASE WHEN n_tokens < 20 THEN 'too_few_tokens' END,
+           CASE WHEN n_tokens > 100000 THEN 'too_many_tokens' END,
+           CASE WHEN mwl < 3.0 OR mwl > 10.0 THEN 'mean_word_len' END,
+           CASE WHEN alpha_ratio < 0.7 THEN 'low_alpha' END,
+           CASE WHEN stop_ratio < 0.02 THEN 'low_stopword' END,
+           CASE WHEN digit_ratio > 0.2 THEN 'high_digit' END
+         ) AS reasons
+  FROM r
+)
+SELECT doc_id, reasons = '' AS keep, reasons FROM j
 """
 
     sqls["fuzzy_contamination"] = f"""

@@ -498,6 +498,83 @@ def segment_dedup(
     )
 
 
+def intra_doc_segment_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    sep: str = "\n",
+) -> DataFrame:
+    """WITHIN-document repeated-segment removal (C4's repeated-span
+    rule / RefinedWeb intra-document line dedup, generalized): keep
+    only the FIRST occurrence of each exact segment inside each
+    document, preserving order. Complements segment_dedup above
+    (cross-document boilerplate): that one needs a corpus-wide
+    frequency exchange; this one is entirely ROW-LOCAL — split,
+    order-preserving array_distinct, rejoin — a pure
+    whole-stage-codegen projection with NO shuffle at any scale.
+    Same output contract as segment_dedup: (id, text_dedup,
+    n_segments, n_removed)."""
+    import re as _re
+
+    parts = F.split(F.col(text_col), _re.escape(sep), -1)
+    kept = F.array_distinct(parts)  # documented order-preserving
+    return df.select(
+        F.col(id_col),
+        F.array_join(kept, sep).alias("text_dedup"),
+        F.size(parts).cast("int").alias("n_segments"),
+        (F.size(parts) - F.size(kept)).cast("int").alias("n_removed"),
+    )
+
+
+# rule names in output order; each is (name, predicate-builder) over
+# the text_quality_features columns. Thresholds are the public Gopher
+# paper's document-quality rules, loosened where the synthetic corpus
+# sits (its docs are shorter than web pages).
+def gopher_quality_filter(
+    df: DataFrame,
+    text_col: str = "text",
+    min_tokens: int = 20,
+    max_tokens: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    min_alpha_ratio: float = 0.7,
+    min_stopword_ratio: float = 0.02,
+    max_digit_ratio: float = 0.2,
+) -> DataFrame:
+    """Gopher-style rule filter (Rae et al. 2021 §A1.1): drop
+    documents failing any documented quality rule; report WHICH rules
+    failed as a stable comma-joined reason string (the audit trail a
+    100 TB curation run needs — aggregate reasons per source to see
+    what a filter is actually doing before committing to it).
+
+    Pure map-side arithmetic over text_quality_features (no UDF, no
+    shuffle); every predicate is integer arithmetic or an IEEE double
+    division of two exact ints, so external engines replay keep/drop
+    decisions bit-identically.
+
+    Returns df + (keep boolean, reasons string — '' when kept)."""
+    feats = text_quality_features(df, text_col)
+    rules = [
+        ("too_few_tokens", F.col("n_tokens") < min_tokens),
+        ("too_many_tokens", F.col("n_tokens") > max_tokens),
+        (
+            "mean_word_len",
+            (F.col("mean_word_len") < min_mean_word_len)
+            | (F.col("mean_word_len") > max_mean_word_len),
+        ),
+        ("low_alpha", F.col("alpha_ratio") < min_alpha_ratio),
+        ("low_stopword", F.col("stopword_ratio") < min_stopword_ratio),
+        ("high_digit", F.col("digit_ratio") > max_digit_ratio),
+    ]
+    reasons = F.concat_ws(
+        ",", *[F.when(cond, F.lit(name)) for name, cond in rules]
+    )
+    out = feats.withColumn("reasons", reasons).withColumn(
+        "keep", F.col("reasons") == ""
+    )
+    return out
+
+
 def zipf_slope(
     df: DataFrame,
     text_col: str = "text",

@@ -923,3 +923,66 @@ def test_near_dup_contamination(spark):
     assert "BroadcastHashJoin" in plan
     plan2 = out2._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" not in plan2
+
+
+def test_intra_doc_segment_dedup(spark):
+    from seqtables_spark.pipeline.text import intra_doc_segment_dedup
+
+    df = spark.createDataFrame(
+        [
+            (1, "a b a c b a"),
+            (2, "x x x"),
+            (3, ""),
+            (4, "unique words only here"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in intra_doc_segment_dedup(df, sep=" ").collect()}
+    assert out[1]["text_dedup"] == "a b c"
+    assert (out[1]["n_segments"], out[1]["n_removed"]) == (6, 3)
+    assert out[2]["text_dedup"] == "x"
+    assert out[3]["text_dedup"] == "" and out[3]["n_segments"] == 1
+    assert out[4]["n_removed"] == 0
+    # row-local contract: the plan has no exchange at all
+    plan = (
+        intra_doc_segment_dedup(df, sep=" ")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan
+
+
+def test_intra_doc_dedup_regex_sep_literal(spark):
+    from seqtables_spark.pipeline.text import intra_doc_segment_dedup
+
+    df = spark.createDataFrame([(1, "a.b.a.b")], "doc_id long, text string")
+    r = intra_doc_segment_dedup(df, sep=".").collect()[0]
+    assert r["text_dedup"] == "a.b" and r["n_segments"] == 4
+
+
+def test_gopher_quality_filter(spark):
+    from seqtables_spark.pipeline.text import gopher_quality_filter
+
+    long_good = (
+        "the cat and the dog ran to the park and it was good for them "
+        "that they could play there all day with many other friends too"
+    )
+    df = spark.createDataFrame(
+        [
+            (1, long_good),
+            (2, "short text"),  # too few tokens
+            (3, "1234 5678 " * 30),  # digits + no stopwords
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in gopher_quality_filter(df).collect()}
+    assert out[1]["keep"] and out[1]["reasons"] == ""
+    assert not out[2]["keep"] and "too_few_tokens" in out[2]["reasons"]
+    assert not out[3]["keep"]
+    assert "high_digit" in out[3]["reasons"]
+    assert "low_stopword" in out[3]["reasons"]
+    # reasons order is stable (output-schema contract)
+    assert out[3]["reasons"].index("low_stopword") < out[3]["reasons"].index(
+        "high_digit"
+    )
