@@ -44,6 +44,12 @@ QUERIES = [
     # boilerplate removal, 2-phase cumsum, sketch-pair overlap
     "video_frames", "image_resize", "segment_dedup", "token_budget",
     "zipf_slope", "source_overlap", "temperature_mix",
+    # round-6 continuation: row-local intra-doc dedup, rule filter,
+    # banded A-vs-B decontamination, BPE encode (train runs eagerly
+    # off-clock - its corpus-size scaling is measured separately in
+    # tools/bpe_scaling.py), WARC write+parse roundtrip
+    "intra_doc_dedup", "gopher_filter", "fuzzy_contamination",
+    "bpe_tokens", "warc_roundtrip",
 ]
 
 SHIFTS = {
