@@ -2430,6 +2430,57 @@ def q_gopher_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "keep", "reasons")
 
 
+def q_curate_llm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed LLM-curation flagship: Gopher-rule filter ->
+    fuzzy (MinHash-band) benchmark decontamination -> within-document
+    word dedup -> BPE trained ON THE CLEANED CORPUS -> per-source
+    token accounting (what a tokenizer-budget planner consumes).
+
+    Composition notes that matter at scale: the cleaned relation is
+    localCheckpointed once (eager) because BOTH BPE training's vocab
+    pass and the encode pass consume it and Catalyst never dedups
+    common subtrees (round-5 sweep); everything upstream of that
+    boundary is map-side except the banded-key join and the word
+    groupBy. The oracle chains the exact same per-stage replays the
+    standalone oracles use."""
+    from seqtables_spark.pipeline.bpe import bpe_token_count, train_bpe
+    from seqtables_spark.pipeline.dedup import near_dup_contamination
+    from seqtables_spark.pipeline.text import (
+        gopher_quality_filter,
+        intra_doc_segment_dedup,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    g = (
+        gopher_quality_filter(docs)
+        .filter(F.col("keep"))
+        .select("doc_id", "text", "source")
+    )
+    evals = docs.filter(F.col("doc_id") % 100 == 0).select(
+        (F.col("doc_id") + 10_000_000).alias("doc_id"),
+        F.expr("substring(text, 1, greatest(length(text) - 5, 10))").alias(
+            "text"
+        ),
+    )
+    flagged = near_dup_contamination(
+        g, evals, n_hashes=MINHASH_N, bands=LSH_BANDS, k=LSH_K
+    ).select("doc_id")
+    kept0 = g.join(flagged, "doc_id", "left_anti")
+    dd = intra_doc_segment_dedup(kept0, sep=" ")
+    clean = (
+        dd.select("doc_id", F.col("text_dedup").alias("text"))
+        .join(kept0.select("doc_id", "source"), "doc_id")
+        .localCheckpoint(eager=True)
+    )
+    rules = train_bpe(clean, num_merges=8)
+    toks = bpe_token_count(clean, rules, id_cols=("doc_id", "source"))
+    return toks.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_bpe_tokens").alias("total_bpe_tokens"),
+        F.sum("n_letters").alias("total_letters"),
+    )
+
+
 def q_fuzzy_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     """FUZZY benchmark decontamination (GPT-3 appendix-A style):
     flag corpus docs that MinHash-band-collide with a synthetic
@@ -3114,7 +3165,7 @@ _ORACLE_PRIORITY = [
     # guarded salting, null-safe ranged asof, index write shape,
     # probe-split incremental dedup, streamed bowtie shards)
     "bpe_merges", "bpe_tokens", "warc_roundtrip", "fuzzy_contamination",
-    "intra_doc_dedup", "gopher_filter",
+    "intra_doc_dedup", "gopher_filter", "curate_llm",
     "video_frames", "segment_dedup", "token_budget", "zipf_slope",
     "image_resize", "temperature_mix", "source_overlap",
     "jsonl_roundtrip", "streaming_index_dedup", "cluster_mix",
@@ -3252,6 +3303,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fuzzy_contamination": q_fuzzy_contamination,
         "intra_doc_dedup": q_intra_doc_dedup,
         "gopher_filter": q_gopher_filter,
+        "curate_llm": q_curate_llm,
         "token_budget": q_token_budget,
         "zipf_slope": q_zipf_slope,
         "image_resize": q_image_resize,
@@ -3647,6 +3699,121 @@ _SQL_CORPUS = """corpus AS (
          substring(text, 1, greatest(length(text) - 5, 10)) AS text
   FROM documents WHERE doc_id % 50 = 0
 )"""
+
+
+_BPE_K = 8
+
+
+def _sql_gopher_reasons(src: str, prefix: str = "") -> str:
+    """One CTE `{p}gr(doc_id, reasons)` replaying the Gopher-rule
+    reason string over relation `src` (must expose doc_id, text)."""
+    p = prefix
+    return rf"""{p}gr AS (
+  SELECT doc_id,
+         concat_ws(',',
+           CASE WHEN n_tokens < 20 THEN 'too_few_tokens' END,
+           CASE WHEN n_tokens > 100000 THEN 'too_many_tokens' END,
+           CASE WHEN mwl < 3.0 OR mwl > 10.0 THEN 'mean_word_len' END,
+           CASE WHEN alpha_ratio < 0.7 THEN 'low_alpha' END,
+           CASE WHEN stop_ratio < 0.02 THEN 'low_stopword' END,
+           CASE WHEN digit_ratio > 0.2 THEN 'high_digit' END
+         ) AS reasons
+  FROM (
+    SELECT doc_id, n_tokens,
+           CASE WHEN n_tokens > 0 THEN n_alpha * 1.0 / n_tokens ELSE 0.0 END AS mwl,
+           CASE WHEN n_chars > 0 THEN n_alpha * 1.0 / n_chars ELSE 0.0 END AS alpha_ratio,
+           CASE WHEN n_chars > 0 THEN n_digit * 1.0 / n_chars ELSE 0.0 END AS digit_ratio,
+           CASE WHEN n_tokens > 0 THEN n_stop * 1.0 / n_tokens ELSE 0.0 END AS stop_ratio
+    FROM (
+      SELECT doc_id,
+             length(text) AS n_chars,
+             len(regexp_extract_all(text, '\S+')) AS n_tokens,
+             length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS n_alpha,
+             length(regexp_replace(text, '[^0-9]', '', 'g')) AS n_digit,
+             len(regexp_extract_all(lower(text), '\b(the|and|of|to|is|in|a|that|it|for)\b')) AS n_stop
+      FROM {src}
+    )
+  )
+)"""
+
+
+def _sql_word_dedup(src: str, prefix: str = "") -> str:
+    """CTE chain ending in `{p}wd(doc_id, text_dedup, n_segments,
+    n_removed)` — first-occurrence word dedup over `src` (doc_id,
+    text), replaying intra_doc_segment_dedup(sep=' ')."""
+    p = prefix
+    return f"""{p}wsegs AS (
+  SELECT doc_id, i - 1 AS pos, parts[i] AS seg
+  FROM (SELECT doc_id, string_split(text, ' ') AS parts FROM {src}),
+       LATERAL (SELECT unnest(generate_series(1, len(parts))) AS i) t
+),
+{p}wfirsts AS (
+  SELECT doc_id, seg, min(pos) AS pos FROM {p}wsegs GROUP BY doc_id, seg
+),
+{p}wreb AS (
+  SELECT doc_id, string_agg(seg, ' ' ORDER BY pos) AS text_dedup,
+         count(*) AS n_kept
+  FROM {p}wfirsts GROUP BY doc_id
+),
+{p}wd AS (
+  SELECT d.doc_id,
+         coalesce(r.text_dedup, '') AS text_dedup,
+         CAST(len(string_split(d.text, ' ')) AS INTEGER) AS n_segments,
+         CAST(len(string_split(d.text, ' ')) - coalesce(r.n_kept, 0) AS INTEGER) AS n_removed
+  FROM {src} d LEFT JOIN {p}wreb r USING (doc_id)
+)"""
+
+
+def _sql_bpe_chain(src: str, prefix: str = "") -> str:
+    """BPE training replay over `src` (doc_id, text): CTEs
+    `{p}v0..{p}v{K-1}` (vocab states) and `{p}b1..{p}bK` (per-round
+    winning rules). Cell encoding + replace semantics documented in
+    pipeline/bpe.py."""
+    p = prefix
+    ctes = [rf"""{p}v0 AS (
+  SELECT w AS word, CAST(count(*) AS BIGINT) AS cnt,
+         regexp_replace(w, '([a-z])', '<\1>', 'g') AS cells
+  FROM (SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w
+        FROM {src})
+  GROUP BY w
+)"""]
+    for r in range(1, _BPE_K + 1):
+        ctes.append(f"""{p}p{r} AS (
+  SELECT ts[i] AS lhs, ts[i + 1] AS rhs, CAST(sum(cnt) AS BIGINT) AS c
+  FROM (SELECT cnt, string_split(trim(cells, '<>'), '><') AS ts
+        FROM {p}v{r - 1}),
+       LATERAL (SELECT unnest(generate_series(1, len(ts) - 1)) AS i) g
+  GROUP BY lhs, rhs
+)""")
+        ctes.append(
+            f"{p}b{r} AS (SELECT lhs, rhs, c FROM {p}p{r} "
+            "ORDER BY c DESC, lhs ASC, rhs ASC LIMIT 1)"
+        )
+        if r < _BPE_K:
+            ctes.append(f"""{p}v{r} AS (
+  SELECT word, cnt,
+         replace(cells, '<' || b.lhs || '><' || b.rhs || '>',
+                 '<' || b.lhs || b.rhs || '>') AS cells
+  FROM {p}v{r - 1}, {p}b{r} b
+)""")
+    return ",\n".join(ctes)
+
+
+def _sql_bpe_doc_expr(prefix: str = "") -> str:
+    """Scalar expression encoding `text` with the `{p}b1..bK` learned
+    rules (nested literal replaces over the cell string)."""
+    p = prefix
+    s = (
+        r"regexp_replace(trim(regexp_replace(lower(text), '[^a-z]+', '|', 'g'),"
+        r" '|'), '([a-z])', '<\1>', 'g')"
+    )
+    for r in range(1, _BPE_K + 1):
+        s = (
+            f"replace({s}, "
+            f"(SELECT '<' || lhs || '><' || rhs || '>' FROM {p}b{r}), "
+            f"(SELECT '<' || lhs || rhs || '>' FROM {p}b{r}))"
+        )
+    return s
 
 
 def _sql_lsh_chain(src: str, prefix: str = "") -> str:
@@ -5421,60 +5588,66 @@ SELECT doc_id, text, lang, source, n_chars FROM documents
 SELECT doc_id, text, lang, source, n_chars FROM documents
 """
 
-    sqls["intra_doc_dedup"] = """
-WITH segs AS (
-  SELECT doc_id, i - 1 AS pos, parts[i] AS seg
-  FROM (SELECT doc_id, string_split(text, ' ') AS parts FROM documents),
-       LATERAL (SELECT unnest(generate_series(1, len(parts))) AS i) t
-),
-firsts AS (
-  SELECT doc_id, seg, min(pos) AS pos FROM segs GROUP BY doc_id, seg
-),
-rebuilt AS (
-  SELECT doc_id, string_agg(seg, ' ' ORDER BY pos) AS text_dedup,
-         count(*) AS n_kept
-  FROM firsts GROUP BY doc_id
-)
-SELECT d.doc_id,
-       coalesce(r.text_dedup, '') AS text_dedup,
-       CAST(len(string_split(d.text, ' ')) AS INTEGER) AS n_segments,
-       CAST(len(string_split(d.text, ' ')) - coalesce(r.n_kept, 0) AS INTEGER) AS n_removed
-FROM documents d LEFT JOIN rebuilt r USING (doc_id)
+    sqls["intra_doc_dedup"] = f"""
+WITH {_sql_word_dedup("documents")}
+SELECT doc_id, text_dedup, n_segments, n_removed FROM wd
 """
 
-    sqls["gopher_filter"] = r"""
-WITH f AS (
-  SELECT doc_id,
-         length(text) AS n_chars,
-         len(regexp_extract_all(text, '\S+')) AS n_tokens,
-         length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS n_alpha,
-         length(regexp_replace(text, '[^0-9]', '', 'g')) AS n_digit,
-         len(regexp_extract_all(lower(text), '\b(the|and|of|to|is|in|a|that|it|for)\b')) AS n_stop
-  FROM documents
-),
-r AS (
-  SELECT doc_id,
-         CASE WHEN n_tokens > 0 THEN n_alpha * 1.0 / n_tokens ELSE 0.0 END AS mwl,
-         CASE WHEN n_chars > 0 THEN n_alpha * 1.0 / n_chars ELSE 0.0 END AS alpha_ratio,
-         CASE WHEN n_chars > 0 THEN n_digit * 1.0 / n_chars ELSE 0.0 END AS digit_ratio,
-         CASE WHEN n_tokens > 0 THEN n_stop * 1.0 / n_tokens ELSE 0.0 END AS stop_ratio,
-         n_tokens
-  FROM f
-),
-j AS (
-  SELECT doc_id,
-         concat_ws(',',
-           CASE WHEN n_tokens < 20 THEN 'too_few_tokens' END,
-           CASE WHEN n_tokens > 100000 THEN 'too_many_tokens' END,
-           CASE WHEN mwl < 3.0 OR mwl > 10.0 THEN 'mean_word_len' END,
-           CASE WHEN alpha_ratio < 0.7 THEN 'low_alpha' END,
-           CASE WHEN stop_ratio < 0.02 THEN 'low_stopword' END,
-           CASE WHEN digit_ratio > 0.2 THEN 'high_digit' END
-         ) AS reasons
-  FROM r
-)
-SELECT doc_id, reasons = '' AS keep, reasons FROM j
+    sqls["gopher_filter"] = f"""
+WITH {_sql_gopher_reasons("documents")}
+SELECT doc_id, reasons = '' AS keep, reasons FROM gr
 """
+
+    # --- the composed LLM-curation flagship ------------------------
+    # gopher keep -> fuzzy decontaminate -> intra-doc word dedup ->
+    # BPE train on the cleaned corpus -> encode -> per-source token
+    # accounting. Every stage is the SAME replay the standalone
+    # oracles use, chained.
+    # every CTE is forced MATERIALIZED: duckdb 1.0 inlines CTEs by
+    # default, and this statement references clean/flagged/zb{r}
+    # many times (16 scalar subqueries alone) — inlined, the whole
+    # upstream chain re-executes per reference and the oracle runs
+    # for minutes instead of seconds.
+    _curate_llm_sql = f"""
+WITH {_sql_gopher_reasons("documents")},
+gdocs AS (
+  SELECT d.doc_id, d.text, d.source
+  FROM documents d JOIN gr USING (doc_id) WHERE gr.reasons = ''
+),
+evals AS (
+  SELECT doc_id + 10000000 AS doc_id,
+         substring(text, 1, greatest(length(text) - 5, 10)) AS text
+  FROM documents WHERE doc_id % 100 = 0
+),
+{_sql_lsh_chain("gdocs", "c")},
+{_sql_lsh_chain("evals", "e")},
+flagged AS (
+  SELECT DISTINCT c.doc_id
+  FROM cbanded c JOIN ebanded e
+    ON c.band_idx = e.band_idx AND c.band_hash = e.band_hash
+),
+kept0 AS (
+  SELECT g.doc_id, g.text, g.source
+  FROM gdocs g ANTI JOIN flagged f ON g.doc_id = f.doc_id
+),
+{_sql_word_dedup("kept0", "k")},
+clean AS (
+  SELECT w.doc_id, w.text_dedup AS text, k0.source
+  FROM kwd w JOIN kept0 k0 USING (doc_id)
+),
+{_sql_bpe_chain("clean", "z")}
+SELECT source,
+       count(*) AS n_docs,
+       CAST(sum(length(s) - length(replace(s, '<', ''))) AS BIGINT) AS total_bpe_tokens,
+       CAST(sum(length(regexp_replace(lower(text), '[^a-z]', '', 'g'))) AS BIGINT) AS total_letters
+FROM (SELECT source, text, {_sql_bpe_doc_expr("z")} AS s FROM clean)
+GROUP BY source
+"""
+    import re as _re_mod
+
+    sqls["curate_llm"] = _re_mod.sub(
+        r"(\w+) AS \(", r"\1 AS MATERIALIZED (", _curate_llm_sql
+    )
 
     sqls["fuzzy_contamination"] = f"""
 WITH corpus AS (SELECT doc_id, text FROM documents),
@@ -5854,64 +6027,21 @@ FROM cut GROUP BY 1
 """
 
     # --- BPE: 8 unrolled merge rounds, replayed exactly ------------
-    # v0 = (word, cnt, cells) vocab; per round r: p{r} adjacent-pair
-    # counts, b{r} deterministic argmax, v{r} literal cell replace.
-    # The cell encoding '<t><o><k>' makes plain left-to-right
-    # non-overlapping replace() identical to the greedy BPE merge
-    # (matches align with whole cells — see pipeline/bpe.py).
-    _BPE_K = 8
-    _bpe_ctes = [
-        r"""v0 AS (
-  SELECT w AS word, CAST(count(*) AS BIGINT) AS cnt,
-         regexp_replace(w, '([a-z])', '<\1>', 'g') AS cells
-  FROM (SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w
-        FROM documents)
-  GROUP BY w
-)"""
-    ]
-    for _r in range(1, _BPE_K + 1):
-        _bpe_ctes.append(f"""p{_r} AS (
-  SELECT ts[i] AS lhs, ts[i + 1] AS rhs, CAST(sum(cnt) AS BIGINT) AS c
-  FROM (SELECT cnt, string_split(trim(cells, '<>'), '><') AS ts
-        FROM v{_r - 1}),
-       LATERAL (SELECT unnest(generate_series(1, len(ts) - 1)) AS i) g
-  GROUP BY lhs, rhs
-)""")
-        _bpe_ctes.append(
-            f"b{_r} AS (SELECT lhs, rhs, c FROM p{_r} "
-            "ORDER BY c DESC, lhs ASC, rhs ASC LIMIT 1)"
-        )
-        if _r < _BPE_K:
-            _bpe_ctes.append(f"""v{_r} AS (
-  SELECT word, cnt,
-         replace(cells, '<' || b.lhs || '><' || b.rhs || '>',
-                 '<' || b.lhs || b.rhs || '>') AS cells
-  FROM v{_r - 1}, b{_r} b
-)""")
-    _bpe_with = "WITH " + ",\n".join(_bpe_ctes)
+    # (builders: _sql_bpe_chain / _sql_bpe_doc_expr, shared with the
+    # composed curate_llm oracle)
     _bpe_union = "\nUNION ALL\n".join(
         f"SELECT {_r} AS r, lhs, rhs, c FROM b{_r}" for _r in range(1, _BPE_K + 1)
     )
-    sqls["bpe_merges"] = f"""{_bpe_with}
+    sqls["bpe_merges"] = f"""WITH {_sql_bpe_chain("documents")}
 SELECT CAST(r AS INTEGER) AS merge_rank, lhs, rhs, c AS pair_count
 FROM ({_bpe_union})
 """
 
-    _bpe_doc_s = (
-        r"regexp_replace(trim(regexp_replace(lower(text), '[^a-z]+', '|', 'g'),"
-        r" '|'), '([a-z])', '<\1>', 'g')"
-    )
-    for _r in range(1, _BPE_K + 1):
-        _bpe_doc_s = (
-            f"replace({_bpe_doc_s}, "
-            f"(SELECT '<' || lhs || '><' || rhs || '>' FROM b{_r}), "
-            f"(SELECT '<' || lhs || rhs || '>' FROM b{_r}))"
-        )
-    sqls["bpe_tokens"] = f"""{_bpe_with}
+    sqls["bpe_tokens"] = f"""WITH {_sql_bpe_chain("documents")}
 SELECT doc_id,
        CAST(length(s) - length(replace(s, '<', '')) AS BIGINT) AS n_bpe_tokens,
        CAST(length(regexp_replace(lower(text), '[^a-z]', '', 'g')) AS BIGINT) AS n_letters
-FROM (SELECT doc_id, text, {_bpe_doc_s} AS s FROM documents)
+FROM (SELECT doc_id, text, {_sql_bpe_doc_expr()} AS s FROM documents)
 """
 
     return sqls
