@@ -3704,6 +3704,19 @@ _SQL_CORPUS = """corpus AS (
 _BPE_K = 8
 
 
+def _mat(sql: str) -> str:
+    """Force every CTE in `sql` MATERIALIZED. DuckDB 1.0 inlines
+    CTEs by default; a CTE referenced k times re-evaluates its whole
+    upstream chain k times, which is exponential for the BPE round
+    chain (each b{r} is referenced by v{r} AND the output) and took
+    the composed curate_llm oracle from 0.3 s to minutes. The
+    `NAME AS (` pattern only ever matches CTE heads in these
+    statements (column aliases never precede an open paren)."""
+    import re as _re_mod
+
+    return _re_mod.sub(r"(\w+) AS \(", r"\1 AS MATERIALIZED (", sql)
+
+
 def _sql_gopher_reasons(src: str, prefix: str = "") -> str:
     """One CTE `{p}gr(doc_id, reasons)` replaying the Gopher-rule
     reason string over relation `src` (must expose doc_id, text)."""
@@ -5643,11 +5656,7 @@ SELECT source,
 FROM (SELECT source, text, {_sql_bpe_doc_expr("z")} AS s FROM clean)
 GROUP BY source
 """
-    import re as _re_mod
-
-    sqls["curate_llm"] = _re_mod.sub(
-        r"(\w+) AS \(", r"\1 AS MATERIALIZED (", _curate_llm_sql
-    )
+    sqls["curate_llm"] = _mat(_curate_llm_sql)
 
     sqls["fuzzy_contamination"] = f"""
 WITH corpus AS (SELECT doc_id, text FROM documents),
@@ -6032,16 +6041,16 @@ FROM cut GROUP BY 1
     _bpe_union = "\nUNION ALL\n".join(
         f"SELECT {_r} AS r, lhs, rhs, c FROM b{_r}" for _r in range(1, _BPE_K + 1)
     )
-    sqls["bpe_merges"] = f"""WITH {_sql_bpe_chain("documents")}
+    sqls["bpe_merges"] = _mat(f"""WITH {_sql_bpe_chain("documents")}
 SELECT CAST(r AS INTEGER) AS merge_rank, lhs, rhs, c AS pair_count
 FROM ({_bpe_union})
-"""
+""")
 
-    sqls["bpe_tokens"] = f"""WITH {_sql_bpe_chain("documents")}
+    sqls["bpe_tokens"] = _mat(f"""WITH {_sql_bpe_chain("documents")}
 SELECT doc_id,
        CAST(length(s) - length(replace(s, '<', '')) AS BIGINT) AS n_bpe_tokens,
        CAST(length(regexp_replace(lower(text), '[^a-z]', '', 'g')) AS BIGINT) AS n_letters
 FROM (SELECT doc_id, text, {_sql_bpe_doc_expr()} AS s FROM documents)
-"""
+""")
 
     return sqls

@@ -67,10 +67,50 @@ def word_vocab(df: DataFrame, text_col: str = "text") -> DataFrame:
     return df.select(words).groupBy("word").agg(F.count("*").alias("cnt"))
 
 
+def _merge_tokens(toks: tuple, l: str, r: str) -> tuple:
+    """Greedy left-to-right merge of pair (l, r) in one token tuple —
+    the local mirror of the cell-string replace."""
+    out, i = [], 0
+    n = len(toks)
+    while i < n:
+        if i + 1 < n and toks[i] == l and toks[i + 1] == r:
+            out.append(l + r)
+            i += 2
+        else:
+            out.append(toks[i])
+            i += 1
+    return tuple(out)
+
+
+def _train_local(vocab: dict, num_merges: int) -> list[dict]:
+    """Driver-side merge loop over a collected (word-tuple -> count)
+    vocab — identical semantics to the distributed rounds."""
+    rules: list[dict] = []
+    for rank in range(1, num_merges + 1):
+        pairs: dict = {}
+        for toks, c in vocab.items():
+            for i in range(len(toks) - 1):
+                p = (toks[i], toks[i + 1])
+                pairs[p] = pairs.get(p, 0) + c
+        if not pairs:
+            break
+        (l, r), c = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))
+        rules.append(
+            {"merge_rank": rank, "lhs": l, "rhs": r, "pair_count": int(c)}
+        )
+        new: dict = {}
+        for toks, cnt in vocab.items():
+            m = _merge_tokens(toks, l, r)
+            new[m] = new.get(m, 0) + cnt
+        vocab = new
+    return rules
+
+
 def train_bpe(
     df: DataFrame,
     num_merges: int = 8,
     text_col: str = "text",
+    max_local_vocab: int | None = 1_000_000,
 ) -> list[dict]:
     """Learn `num_merges` BPE merge rules from a corpus.
 
@@ -78,18 +118,35 @@ def train_bpe(
     "pair_count": N}, ...] in training order. Stops early if the
     vocabulary runs out of adjacent pairs.
 
-    Per-round cost is independent of corpus size: the pair
-    aggregation runs over the cached vocab relation (round r applies
-    r accumulated literal replaces to it first — O(num_merges^2)
-    string rewrites over the small relation in total). Ties on
-    pair count break by (lhs, rhs) ascending, making training fully
-    deterministic and oracle-replayable.
+    The corpus-size-bound stage is ALWAYS distributed (the one vocab
+    aggregation). The iteration stage is count-guarded, the same
+    pattern as connected_components' driver union-find: a vocab of
+    <= max_local_vocab distinct words collects to the driver and the
+    merge loop runs locally (a million-word vocab is a few tens of
+    MB — this is how production BPE trainers work: aggregate counts,
+    iterate in memory); above the cap the rounds run as Spark jobs
+    over the cached vocab relation (round r applies r accumulated
+    literal replaces — O(num_merges^2) rewrites over the small
+    relation in total). Both paths are the same greedy algorithm with
+    ties on pair count broken by (lhs, rhs) ascending — fully
+    deterministic, oracle-replayable, and pinned equal to each other
+    in tests. Pass max_local_vocab=None/0 to force the distributed
+    rounds.
     """
     base = word_vocab(df, text_col).withColumn(
         "cells", _char_cells(F.col("word"))
     ).persist()
     vocab = base
     rules: list[dict] = []
+    if max_local_vocab:
+        n_vocab = base.count()
+        if n_vocab <= int(max_local_vocab):
+            local = {
+                tuple(r["word"]): r["cnt"]
+                for r in base.select("word", "cnt").collect()
+            }
+            base.unpersist(False)
+            return _train_local(local, num_merges)
     try:
         cells = F.col("cells")
         for rank in range(1, num_merges + 1):

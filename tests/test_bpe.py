@@ -101,12 +101,18 @@ def test_word_vocab_matches_reference(spark):
 
 @pytest.mark.parametrize("k", [1, 4, 10])
 def test_train_matches_reference(spark, k):
-    assert train_bpe(_mkdocs(spark), num_merges=k) == _ref_train(CORPUS, k)
+    ref = _ref_train(CORPUS, k)
+    # local (vocab under the cap) and forced-distributed paths must
+    # both equal the reference — the count-guard changes cost, never
+    # results
+    assert train_bpe(_mkdocs(spark), num_merges=k) == ref
+    assert train_bpe(_mkdocs(spark), num_merges=k, max_local_vocab=0) == ref
 
 
-def test_train_exhaustion_stops_early(spark):
+@pytest.mark.parametrize("cap", [1_000_000, 0])
+def test_train_exhaustion_stops_early(spark, cap):
     docs = spark.sql("SELECT * FROM VALUES (0, 'ab ab'), (1, 'c d') AS t(doc_id, text)")
-    rules = train_bpe(docs, num_merges=50)
+    rules = train_bpe(docs, num_merges=50, max_local_vocab=cap)
     # only 'a b' is ever adjacent; after merging it no pairs remain
     assert [r["merge_rank"] for r in rules] == [1]
     assert (rules[0]["lhs"], rules[0]["rhs"]) == ("a", "b")
