@@ -100,3 +100,33 @@ def test_one_task_per_file(spark, tmp_path):
     files = sorted(os.listdir(path))
     back = read_warc(spark, os.path.join(path, "*.warc"))
     assert back.rdd.getNumPartitions() == len(files)
+
+
+def test_property_roundtrip_random_payloads(spark, tmp_path):
+    """Property: ANY unicode payload (including CRLF runs, WARC-like
+    version lines, blank lines, empty strings) survives the
+    write->parse roundtrip byte-exactly, because framing is
+    Content-Length-driven."""
+    import random
+
+    rng = random.Random(99)
+    pieces = [
+        "WARC/1.0", "\r\n", "\n\n", "Content-Length: 7", ": ", "",
+        "plain", "café", "中文", "\t", "a" * 200, "--boundary--",
+    ]
+    docs = [
+        (i, "".join(rng.choice(pieces) for _ in range(rng.randint(0, 8))))
+        for i in range(40)
+    ]
+    import pandas as pd
+
+    df = spark.createDataFrame(
+        pd.DataFrame(docs, columns=["doc_id", "text"])
+    ).repartition(4)
+    path = str(tmp_path / "prop")
+    write_warc(df, path, payload_col="text", record_id_col="doc_id")
+    back = read_warc(spark, os.path.join(path, "*.warc"), batch_rows=7)
+    got = {
+        int(r["record_id"].strip("<>")): r["payload"] for r in back.collect()
+    }
+    assert got == dict(docs)
