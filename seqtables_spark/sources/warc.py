@@ -218,18 +218,26 @@ def write_warc(
                     out = open(fname, "wb")
                 for t in b.itertuples(index=False):
                     payload = ("" if t[0] is None else str(t[0])).encode("utf-8")
-                    rid = t[2] if t[2] is not None else f"urn:part:{pid}:{n}"
+                    # header VALUES are line-framed: a stray CR/LF in a
+                    # metadata column would terminate the header block
+                    # early and corrupt the record (payloads are safe -
+                    # they are length-framed). Sanitize, never raise:
+                    # one bad row must not kill a 100 TB write.
+                    clean = lambda v: str(v).replace("\r", " ").replace("\n", " ")  # noqa: E731
+                    rid = (
+                        clean(t[2]) if t[2] is not None else f"urn:part:{pid}:{n}"
+                    )
                     head = [f"WARC/1.0\r\nWARC-Type: {warc_type}"]
                     head.append(f"WARC-Record-ID: <{rid}>")
                     head.append(f"WARC-Date: {warc_date}")
                     if t[1] is not None:
-                        head.append(f"WARC-Target-URI: {t[1]}")
+                        head.append(f"WARC-Target-URI: {clean(t[1])}")
                     head.append(f"Content-Type: {content_type}")
                     head.append(f"Content-Length: {len(payload)}")
                     for j, h in enumerate(hnames):
                         v = t[3 + j]
                         if v is not None:
-                            head.append(f"{h}: {v}")
+                            head.append(f"{h}: {clean(v)}")
                     rec = ("\r\n".join(head) + "\r\n\r\n").encode("utf-8")
                     rec += payload + b"\r\n\r\n"
                     out.write(rec)

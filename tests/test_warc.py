@@ -130,3 +130,22 @@ def test_property_roundtrip_random_payloads(spark, tmp_path):
         int(r["record_id"].strip("<>")): r["payload"] for r in back.collect()
     }
     assert got == dict(docs)
+
+
+def test_header_injection_sanitized(spark, tmp_path):
+    """CR/LF in metadata columns must not break record framing."""
+    df = spark.createDataFrame(
+        [(1, "payload one", "evil\r\nX-Injected: yes"), (2, "payload two", "ok")],
+        "doc_id long, text string, lang string",
+    ).coalesce(1)
+    path = str(tmp_path / "inj")
+    write_warc(
+        df, path, payload_col="text", record_id_col="doc_id",
+        header_cols={"X-Lang": "lang"},
+    )
+    back = read_warc(spark, os.path.join(path, "*.warc")).collect()
+    rows = {int(r["record_id"].strip("<>")): r for r in back}
+    assert len(rows) == 2
+    assert rows[1]["headers"]["X-Lang"] == "evil  X-Injected: yes"
+    assert "X-Injected" not in rows[1]["headers"]
+    assert rows[1]["payload"] == "payload one"
