@@ -2430,6 +2430,40 @@ def q_gopher_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "keep", "reasons")
 
 
+def q_streaming_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality gating AT INGEST: the Gopher rule filter is stateless
+    (pure projection), so it composes with Structured Streaming
+    UNCHANGED — the same gopher_quality_filter call runs on a
+    documents file-source stream, append mode, no state store. The
+    drained per-doc decisions aggregate to a per-source funnel
+    (docs in / kept / dropped / worst rule) — the monitoring view an
+    ingest pipeline alerts on. Oracle replays filter + funnel in
+    batch SQL (a single availableNow drain sees exactly the batch
+    data)."""
+    from seqtables_spark.pipeline.text import gopher_quality_filter
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+    )
+    gated = gopher_quality_filter(stream).select(
+        "doc_id", "source", "keep", "reasons"
+    )
+    tbl = _drain_stream(spark, gated, "docs_quality_gate_stream", "append")
+    kept = F.sum(F.col("keep").cast("long"))
+    return tbl.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        kept.alias("n_kept"),
+        (F.count(F.lit(1)) - kept).alias("n_dropped"),
+        F.min(F.when(F.col("reasons") != "", F.col("reasons"))).alias(
+            "first_reasons"
+        ),
+    )
+
+
 def q_curate_llm(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The composed LLM-curation flagship: Gopher-rule filter ->
     fuzzy (MinHash-band) benchmark decontamination -> within-document
@@ -3166,6 +3200,7 @@ _ORACLE_PRIORITY = [
     # probe-split incremental dedup, streamed bowtie shards)
     "bpe_merges", "bpe_tokens", "warc_roundtrip", "fuzzy_contamination",
     "intra_doc_dedup", "gopher_filter", "curate_llm",
+    "streaming_quality_gate",
     "video_frames", "segment_dedup", "token_budget", "zipf_slope",
     "image_resize", "temperature_mix", "source_overlap",
     "jsonl_roundtrip", "streaming_index_dedup", "cluster_mix",
@@ -3304,6 +3339,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "intra_doc_dedup": q_intra_doc_dedup,
         "gopher_filter": q_gopher_filter,
         "curate_llm": q_curate_llm,
+        "streaming_quality_gate": q_streaming_quality_gate,
         "token_budget": q_token_budget,
         "zipf_slope": q_zipf_slope,
         "image_resize": q_image_resize,
@@ -5609,6 +5645,17 @@ SELECT doc_id, text_dedup, n_segments, n_removed FROM wd
     sqls["gopher_filter"] = f"""
 WITH {_sql_gopher_reasons("documents")}
 SELECT doc_id, reasons = '' AS keep, reasons FROM gr
+"""
+
+    sqls["streaming_quality_gate"] = f"""
+WITH {_sql_gopher_reasons("documents")}
+SELECT d.source,
+       count(*) AS n_docs,
+       CAST(sum(CASE WHEN gr.reasons = '' THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       CAST(sum(CASE WHEN gr.reasons = '' THEN 0 ELSE 1 END) AS BIGINT) AS n_dropped,
+       min(CASE WHEN gr.reasons <> '' THEN gr.reasons END) AS first_reasons
+FROM documents d JOIN gr USING (doc_id)
+GROUP BY d.source
 """
 
     # --- the composed LLM-curation flagship ------------------------
