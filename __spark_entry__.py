@@ -2430,6 +2430,44 @@ def q_gopher_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "keep", "reasons")
 
 
+def q_curate_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curation observability: document survival per pipeline stage
+    (raw -> quality-kept -> decontaminated), as ONE plan — a union of
+    three single-row aggregates collected in one job, the report a
+    100 TB curation run logs per batch. Stage keys are ordinal
+    strings so the relation sorts into funnel order."""
+    from seqtables_spark.pipeline.dedup import near_dup_contamination
+    from seqtables_spark.pipeline.text import gopher_quality_filter
+
+    docs = _t(spark, sf_dir, "documents")
+    g = (
+        gopher_quality_filter(docs)
+        .filter(F.col("keep"))
+        .select("doc_id", "text")
+    )
+    evals = docs.filter(F.col("doc_id") % 100 == 0).select(
+        (F.col("doc_id") + 10_000_000).alias("doc_id"),
+        F.expr("substring(text, 1, greatest(length(text) - 5, 10))").alias(
+            "text"
+        ),
+    )
+    flagged = near_dup_contamination(
+        g, evals, n_hashes=MINHASH_N, bands=LSH_BANDS, k=LSH_K
+    ).select("doc_id")
+    kept0 = g.join(flagged, "doc_id", "left_anti")
+
+    def _stage(df: DataFrame, key: str) -> DataFrame:
+        return df.agg(F.count(F.lit(1)).alias("n_docs")).select(
+            F.lit(key).alias("stage"), "n_docs"
+        )
+
+    return (
+        _stage(docs, "1_raw")
+        .unionByName(_stage(g, "2_quality_kept"))
+        .unionByName(_stage(kept0, "3_decontaminated"))
+    )
+
+
 def q_streaming_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality gating AT INGEST: the Gopher rule filter is stateless
     (pure projection), so it composes with Structured Streaming
@@ -3200,7 +3238,7 @@ _ORACLE_PRIORITY = [
     # probe-split incremental dedup, streamed bowtie shards)
     "bpe_merges", "bpe_tokens", "warc_roundtrip", "fuzzy_contamination",
     "intra_doc_dedup", "gopher_filter", "curate_llm",
-    "streaming_quality_gate",
+    "streaming_quality_gate", "curate_funnel",
     "video_frames", "segment_dedup", "token_budget", "zipf_slope",
     "image_resize", "temperature_mix", "source_overlap",
     "jsonl_roundtrip", "streaming_index_dedup", "cluster_mix",
@@ -3340,6 +3378,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gopher_filter": q_gopher_filter,
         "curate_llm": q_curate_llm,
         "streaming_quality_gate": q_streaming_quality_gate,
+        "curate_funnel": q_curate_funnel,
         "token_budget": q_token_budget,
         "zipf_slope": q_zipf_slope,
         "image_resize": q_image_resize,
@@ -5704,6 +5743,34 @@ FROM (SELECT source, text, {_sql_bpe_doc_expr("z")} AS s FROM clean)
 GROUP BY source
 """
     sqls["curate_llm"] = _mat(_curate_llm_sql)
+
+    sqls["curate_funnel"] = _mat(f"""
+WITH {_sql_gopher_reasons("documents")},
+gdocs AS (
+  SELECT d.doc_id, d.text
+  FROM documents d JOIN gr USING (doc_id) WHERE gr.reasons = ''
+),
+evals AS (
+  SELECT doc_id + 10000000 AS doc_id,
+         substring(text, 1, greatest(length(text) - 5, 10)) AS text
+  FROM documents WHERE doc_id % 100 = 0
+),
+{_sql_lsh_chain("gdocs", "c")},
+{_sql_lsh_chain("evals", "e")},
+flagged AS (
+  SELECT DISTINCT c.doc_id
+  FROM cbanded c JOIN ebanded e
+    ON c.band_idx = e.band_idx AND c.band_hash = e.band_hash
+),
+kept0 AS (
+  SELECT g.doc_id FROM gdocs g ANTI JOIN flagged f ON g.doc_id = f.doc_id
+)
+SELECT '1_raw' AS stage, count(*) AS n_docs FROM documents
+UNION ALL
+SELECT '2_quality_kept', count(*) FROM gdocs
+UNION ALL
+SELECT '3_decontaminated', count(*) FROM kept0
+""")
 
     sqls["fuzzy_contamination"] = f"""
 WITH corpus AS (SELECT doc_id, text FROM documents),

@@ -169,3 +169,17 @@ def test_property_random_corpora(spark):
         }
         for i, t in enumerate(texts):
             assert got[i] == _ref_encode_count(t, ref), (trial, i, t)
+
+
+def test_encode_plan_is_shuffle_free(spark):
+    """bpe_token_count is a pure map-side codegen chain — the plan
+    must contain no Exchange and no python-worker node."""
+    rules = _ref_train(CORPUS, 4)
+    plan = (
+        bpe_token_count(_mkdocs(spark), rules)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan
+    assert "Python" not in plan  # no BatchEvalPython / ArrowEvalPython
