@@ -2432,19 +2432,20 @@ def q_gopher_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_curate_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Curation observability: document survival per pipeline stage
-    (raw -> quality-kept -> decontaminated), as ONE plan — a union of
-    three single-row aggregates collected in one job, the report a
-    100 TB curation run logs per batch. Stage keys are ordinal
-    strings so the relation sorts into funnel order."""
+    (raw -> quality-kept -> decontaminated), the report a 100 TB
+    curation run logs per batch. Scale shape: ONE conditional
+    aggregation over the annotated corpus (keep flag + left-join
+    contamination flag), then stack() unpivots the single row into
+    funnel rows — never one scan per stage (a 3-branch union of
+    aggregates re-executed the gopher/LSH subtrees per branch and
+    measured 3x this plan at x32 in the sweep). Stage keys are
+    ordinal strings so the relation sorts into funnel order."""
     from seqtables_spark.pipeline.dedup import near_dup_contamination
     from seqtables_spark.pipeline.text import gopher_quality_filter
 
     docs = _t(spark, sf_dir, "documents")
-    g = (
-        gopher_quality_filter(docs)
-        .filter(F.col("keep"))
-        .select("doc_id", "text")
-    )
+    docs_ann = gopher_quality_filter(docs).select("doc_id", "text", "keep")
+    g = docs_ann.filter(F.col("keep")).select("doc_id", "text")
     evals = docs.filter(F.col("doc_id") % 100 == 0).select(
         (F.col("doc_id") + 10_000_000).alias("doc_id"),
         F.expr("substring(text, 1, greatest(length(text) - 5, 10))").alias(
@@ -2453,18 +2454,20 @@ def q_curate_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     flagged = near_dup_contamination(
         g, evals, n_hashes=MINHASH_N, bands=LSH_BANDS, k=LSH_K
-    ).select("doc_id")
-    kept0 = g.join(flagged, "doc_id", "left_anti")
-
-    def _stage(df: DataFrame, key: str) -> DataFrame:
-        return df.agg(F.count(F.lit(1)).alias("n_docs")).select(
-            F.lit(key).alias("stage"), "n_docs"
+    ).select("doc_id", F.lit(True).alias("_contaminated"))
+    ann = docs_ann.join(flagged, "doc_id", "left")
+    agg = ann.agg(
+        F.count(F.lit(1)).alias("n_raw"),
+        F.sum(F.col("keep").cast("long")).alias("n_quality"),
+        F.sum(
+            (F.col("keep") & F.col("_contaminated").isNull()).cast("long")
+        ).alias("n_decon"),
+    )
+    return agg.select(
+        F.expr(
+            "stack(3, '1_raw', n_raw, '2_quality_kept', n_quality, "
+            "'3_decontaminated', n_decon) AS (stage, n_docs)"
         )
-
-    return (
-        _stage(docs, "1_raw")
-        .unionByName(_stage(g, "2_quality_kept"))
-        .unionByName(_stage(kept0, "3_decontaminated"))
     )
 
 

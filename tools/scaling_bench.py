@@ -50,6 +50,9 @@ QUERIES = [
     # tools/bpe_scaling.py), WARC write+parse roundtrip
     "intra_doc_dedup", "gopher_filter", "fuzzy_contamination",
     "bpe_tokens", "warc_roundtrip",
+    # composed curation (train/checkpoint run eagerly at plan build;
+    # the timed part is encode + accounting) and the funnel report
+    "curate_llm", "curate_funnel",
 ]
 
 SHIFTS = {
