@@ -2444,7 +2444,9 @@ def q_curate_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     from seqtables_spark.pipeline.text import gopher_quality_filter
 
     docs = _t(spark, sf_dir, "documents")
-    docs_ann = gopher_quality_filter(docs).select("doc_id", "text", "keep")
+    docs_ann = gopher_quality_filter(_wide(spark, docs)).select(
+        "doc_id", "text", "keep"
+    )
     g = docs_ann.filter(F.col("keep")).select("doc_id", "text")
     evals = docs.filter(F.col("doc_id") % 100 == 0).select(
         (F.col("doc_id") + 10_000_000).alias("doc_id"),
@@ -2527,7 +2529,7 @@ def q_curate_llm(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _t(spark, sf_dir, "documents")
     g = (
-        gopher_quality_filter(docs)
+        gopher_quality_filter(_wide(spark, docs))
         .filter(F.col("keep"))
         .select("doc_id", "text", "source")
     )
@@ -2575,7 +2577,7 @@ def q_fuzzy_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     out = near_dup_contamination(
-        docs, evals, n_hashes=MINHASH_N, bands=LSH_BANDS, k=LSH_K
+        _wide(spark, docs), evals, n_hashes=MINHASH_N, bands=LSH_BANDS, k=LSH_K
     )
     return out.select("doc_id", "n_eval_matches", "first_eval_id")
 
