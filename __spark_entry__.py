@@ -2629,7 +2629,9 @@ def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     build; the returned relation is the learned rule table."""
     from seqtables_spark.pipeline.bpe import bpe_rules_df, train_bpe
 
-    rules = train_bpe(_t(spark, sf_dir, "documents"), num_merges=8)
+    rules = train_bpe(
+        _wide(spark, _t(spark, sf_dir, "documents")), num_merges=8
+    )
     return bpe_rules_df(spark, rules)
 
 
@@ -2641,7 +2643,7 @@ def q_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     at 100 TB."""
     from seqtables_spark.pipeline.bpe import bpe_token_count, train_bpe
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _wide(spark, _t(spark, sf_dir, "documents"))
     rules = train_bpe(docs, num_merges=8)
     return bpe_token_count(docs, rules)
 
