@@ -2092,7 +2092,7 @@ def q_curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     stats."""
     from seqtables_spark.pipeline.curate import curate_documents
 
-    cur = curate_documents(_t(spark, sf_dir, "documents"))
+    cur = curate_documents(_wide(spark, _t(spark, sf_dir, "documents")))
     return cur.groupBy("source", "pred_lang").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_tokens").alias("total_tokens"),
@@ -2155,7 +2155,7 @@ def q_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     from seqtables_spark.pipeline.dedup import duplicate_spans
 
     return duplicate_spans(
-        _t(spark, sf_dir, "documents"), span_tokens=15, stride=5
+        _wide(spark, _t(spark, sf_dir, "documents")), span_tokens=15, stride=5
     )
 
 
@@ -2659,7 +2659,7 @@ def q_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         kmv_pairwise_jaccard, kmv_sketch,
     )
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _wide(spark, _t(spark, sf_dir, "documents"))
     sh = docs.filter(F.length("text") >= SHINGLE_K).select(
         "source",
         F.explode(shingle_array("text", SHINGLE_K)).alias("sh"),
