@@ -1,4 +1,10 @@
 from .hashing import portable_string_hash, HASH_PRIME
+from .bpe import (
+    bpe_rules_df,
+    bpe_token_count,
+    train_bpe,
+    word_vocab,
+)
 from .dedup import (
     exact_dedup,
     shingles,
@@ -12,6 +18,7 @@ from .dedup import (
     connected_components,
     dedup_survivors,
     contamination_check,
+    near_dup_contamination,
 )
 from .text import (
     token_count,
@@ -23,6 +30,9 @@ from .text import (
     quality_score,
     language_id,
     document_fingerprint,
+    gopher_quality_filter,
+    intra_doc_segment_dedup,
+    segment_dedup,
 )
 from .sampling import (
     dsir_weights,

@@ -958,6 +958,37 @@ def contamination_check(
     )
 
 
+def lsh_design(n_hashes: int, bands: int) -> dict:
+    """Design math for a banded-MinHash configuration (pure driver
+    arithmetic, no data): with r = n_hashes/bands rows per band, a
+    pair with true Jaccard similarity s collides in at least one band
+    with probability 1 - (1 - s^r)^bands (the classic S-curve), and
+    the curve's steepest point — the effective similarity threshold —
+    is (1/bands)^(1/r). Use it to pick (n_hashes, bands) BEFORE
+    running a corpus-scale job: at 100 TB, a threshold 0.1 too low is
+    billions of extra candidate pairs.
+
+    Returns {"rows_per_band", "threshold", "p_collide": s -> p}.
+    """
+    n_hashes, bands = int(n_hashes), int(bands)
+    if bands < 1 or n_hashes < 1 or n_hashes % bands != 0:
+        raise ValueError(
+            f"bands must divide n_hashes: got {n_hashes=} {bands=}"
+        )
+    r = n_hashes // bands
+
+    def p_collide(s: float) -> float:
+        if not 0.0 <= s <= 1.0:
+            raise ValueError(f"similarity must be in [0,1], got {s}")
+        return 1.0 - (1.0 - s**r) ** bands
+
+    return {
+        "rows_per_band": r,
+        "threshold": (1.0 / bands) ** (1.0 / r),
+        "p_collide": p_collide,
+    }
+
+
 def near_dup_contamination(
     corpus: DataFrame,
     eval_set: DataFrame,

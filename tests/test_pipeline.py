@@ -986,3 +986,22 @@ def test_gopher_quality_filter(spark):
     assert out[3]["reasons"].index("low_stopword") < out[3]["reasons"].index(
         "high_digit"
     )
+
+
+def test_lsh_design():
+    from seqtables_spark.pipeline.dedup import lsh_design
+
+    d = lsh_design(16, 4)
+    assert d["rows_per_band"] == 4
+    assert abs(d["threshold"] - 0.25**0.25) < 1e-12
+    p = d["p_collide"]
+    # S-curve: monotone, anchored at 0 and 1
+    assert p(0.0) == 0.0 and abs(p(1.0) - 1.0) < 1e-12
+    xs = [i / 20 for i in range(21)]
+    assert all(p(a) <= p(b) + 1e-12 for a, b in zip(xs, xs[1:]))
+    # the engine's default banding (8 hashes, 2 bands) targets ~0.7
+    assert abs(lsh_design(8, 2)["threshold"] - 0.5**0.25) < 1e-12
+    with pytest.raises(ValueError):
+        lsh_design(10, 4)
+    with pytest.raises(ValueError):
+        p(1.5)
