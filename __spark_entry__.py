@@ -2582,6 +2582,19 @@ def q_fuzzy_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "n_eval_matches", "first_eval_id")
 
 
+def q_bpe_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The trained tokenizer's final vocabulary (token,
+    n_occurrences): merge rules applied to the word-count relation,
+    token counts re-aggregated — the artifact a tokenizer ships.
+    Corpus touched once (the vocab agg); everything after runs on the
+    distinct-word relation."""
+    from seqtables_spark.pipeline.bpe import bpe_vocab, train_bpe
+
+    docs = _wide(spark, _t(spark, sf_dir, "documents"))
+    rules = train_bpe(docs, num_merges=8)
+    return bpe_vocab(docs, rules)
+
+
 def q_warc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """WARC interchange through REAL archive files (the Common Crawl
     ingest format): write the documents table as WARC shards (table
@@ -3243,7 +3256,8 @@ _ORACLE_PRIORITY = [
     # implementation or plan changed this round (rollup collapse,
     # guarded salting, null-safe ranged asof, index write shape,
     # probe-split incremental dedup, streamed bowtie shards)
-    "bpe_merges", "bpe_tokens", "warc_roundtrip", "fuzzy_contamination",
+    "bpe_merges", "bpe_tokens", "bpe_vocab", "warc_roundtrip",
+    "fuzzy_contamination",
     "intra_doc_dedup", "gopher_filter", "curate_llm",
     "streaming_quality_gate", "curate_funnel",
     "video_frames", "segment_dedup", "token_budget", "zipf_slope",
@@ -3379,6 +3393,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "segment_dedup": q_segment_dedup,
         "bpe_merges": q_bpe_merges,
         "bpe_tokens": q_bpe_tokens,
+        "bpe_vocab": q_bpe_vocab,
         "warc_roundtrip": q_warc_roundtrip,
         "fuzzy_contamination": q_fuzzy_contamination,
         "intra_doc_dedup": q_intra_doc_dedup,
@@ -6165,6 +6180,18 @@ FROM cut GROUP BY 1
     sqls["bpe_merges"] = _mat(f"""WITH {_sql_bpe_chain("documents")}
 SELECT CAST(r AS INTEGER) AS merge_rank, lhs, rhs, c AS pair_count
 FROM ({_bpe_union})
+""")
+
+    sqls["bpe_vocab"] = _mat(f"""WITH {_sql_bpe_chain("documents")}
+SELECT token, CAST(sum(cnt) AS BIGINT) AS n_occurrences
+FROM (
+  SELECT unnest(string_split(trim(
+           replace(cells, '<' || b.lhs || '><' || b.rhs || '>',
+                   '<' || b.lhs || b.rhs || '>'), '<>'), '><')) AS token,
+         cnt
+  FROM v7, b8 b
+)
+GROUP BY token
 """)
 
     sqls["bpe_tokens"] = _mat(f"""WITH {_sql_bpe_chain("documents")}

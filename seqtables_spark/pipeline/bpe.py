@@ -210,6 +210,37 @@ def bpe_rules_df(spark: SparkSession, rules: list[dict]) -> DataFrame:
     )
 
 
+def bpe_vocab(
+    df: DataFrame,
+    rules: list[dict],
+    text_col: str = "text",
+) -> DataFrame:
+    """The learned subword vocabulary: apply the merge rules to the
+    word-count relation and count token occurrences — the (token,
+    n_occurrences) table a tokenizer ships with. Distributed shape:
+    one vocab aggregation (corpus pass) + a codegen replace chain +
+    one explode/agg over the SMALL vocab relation — the corpus is
+    never re-tokenized."""
+    v = word_vocab(df, text_col).withColumn(
+        "cells", _char_cells(F.col("word"))
+    )
+    s: Column = F.col("cells")
+    for r in rules:
+        s = F.replace(
+            s,
+            F.lit(f"<{r['lhs']}><{r['rhs']}>"),
+            F.lit(f"<{r['lhs']}{r['rhs']}>"),
+        )
+    return (
+        v.select(
+            F.explode(F.split(F.btrim(s, F.lit("<>")), "><")).alias("token"),
+            F.col("cnt"),
+        )
+        .groupBy("token")
+        .agg(F.sum("cnt").cast("long").alias("n_occurrences"))
+    )
+
+
 def bpe_token_count(
     df: DataFrame,
     rules: list[dict],

@@ -183,3 +183,21 @@ def test_encode_plan_is_shuffle_free(spark):
     )
     assert "Exchange" not in plan
     assert "Python" not in plan  # no BatchEvalPython / ArrowEvalPython
+
+
+def test_bpe_vocab_matches_reference(spark):
+    from seqtables_spark.pipeline.bpe import bpe_vocab
+
+    rules = _ref_train(CORPUS, 6)
+    # reference: apply merges per word, count tokens weighted by freq
+    ref = Counter()
+    for toks, c in _ref_vocab(CORPUS).items():
+        for r in rules:
+            toks = _ref_merge(toks, r["lhs"], r["rhs"])
+        for t in toks:
+            ref[t] += c
+    got = {
+        r["token"]: r["n_occurrences"]
+        for r in bpe_vocab(_mkdocs(spark), rules).collect()
+    }
+    assert got == dict(ref)
