@@ -2,6 +2,7 @@ from .hashing import portable_string_hash, HASH_PRIME
 from .bpe import (
     bpe_rules_df,
     bpe_token_count,
+    bpe_vocab,
     train_bpe,
     word_vocab,
 )

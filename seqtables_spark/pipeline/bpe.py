@@ -48,6 +48,7 @@ __all__ = [
     "train_bpe",
     "bpe_rules_df",
     "bpe_token_count",
+    "bpe_vocab",
 ]
 
 
