@@ -2430,6 +2430,55 @@ def q_gopher_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "keep", "reasons")
 
 
+SESSION_GAP_US = 30 * 60 * 1_000_000  # 30-minute gap, microsecond domain
+OVERLAP_BIN_US = 60 * 60 * 1_000_000  # 1-hour overlap-join bins
+
+
+def q_session_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Co-activity analysis: pairs of users whose activity SESSIONS
+    overlap in time, with overlap counts. Two scale-hard pieces
+    composed: gaps-and-islands sessionization per user (one shuffle,
+    integer microsecond domain so engines agree exactly), then the
+    bin-bucketed interval OVERLAP join (operators/ranges.py
+    interval_overlap_join) — both sides replicate to covered 1-hour
+    bins, plain equi-join on the bin, exact predicate, and the
+    first-shared-bin filter dedups with NO distinct exchange. Never
+    |sessions| x |sessions|."""
+    from pyspark.sql import Window
+
+    from seqtables_spark.operators.ranges import interval_overlap_join
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    ev = _t(spark, sf_dir, "events")
+    ts = F.col("ts")
+    if dict(ev.dtypes).get("ts") in ("bigint", "int", "long"):
+        ts_us = F.expr("ts DIV 1000")
+    else:
+        ts_us = F.unix_micros(ts.cast("timestamp"))
+    ev = ev.select(F.col("user_id"), ts_us.alias("t"))
+    w = Window.partitionBy("user_id").orderBy("t")
+    brk = F.when(
+        F.lag("t").over(w).isNull()
+        | (F.col("t") - F.lag("t").over(w) >= SESSION_GAP_US),
+        1,
+    ).otherwise(0)
+    sid = ev.withColumn(
+        "sid",
+        F.sum(brk).over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    sess = sid.groupBy("user_id", "sid").agg(
+        F.min("t").alias("s_us"), F.max("t").alias("e_us")
+    ).drop("sid")
+    pairs = interval_overlap_join(
+        sess, sess, "s_us", "e_us", bin_width=OVERLAP_BIN_US
+    ).filter(F.col("l_user_id") < F.col("r_user_id"))
+    return pairs.groupBy(
+        F.col("l_user_id").alias("user_a"),
+        F.col("r_user_id").alias("user_b"),
+    ).agg(F.count(F.lit(1)).alias("n_overlaps"))
+
+
 def q_curate_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Curation observability: document survival per pipeline stage
     (raw -> quality-kept -> decontaminated), the report a 100 TB
@@ -3259,7 +3308,7 @@ _ORACLE_PRIORITY = [
     "bpe_merges", "bpe_tokens", "bpe_vocab", "warc_roundtrip",
     "fuzzy_contamination",
     "intra_doc_dedup", "gopher_filter", "curate_llm",
-    "streaming_quality_gate", "curate_funnel",
+    "streaming_quality_gate", "curate_funnel", "session_overlap",
     "video_frames", "segment_dedup", "token_budget", "zipf_slope",
     "image_resize", "temperature_mix", "source_overlap",
     "jsonl_roundtrip", "streaming_index_dedup", "cluster_mix",
@@ -3401,6 +3450,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curate_llm": q_curate_llm,
         "streaming_quality_gate": q_streaming_quality_gate,
         "curate_funnel": q_curate_funnel,
+        "session_overlap": q_session_overlap,
         "token_budget": q_token_budget,
         "zipf_slope": q_zipf_slope,
         "image_resize": q_image_resize,
@@ -5765,6 +5815,31 @@ FROM (SELECT source, text, {_sql_bpe_doc_expr("z")} AS s FROM clean)
 GROUP BY source
 """
     sqls["curate_llm"] = _mat(_curate_llm_sql)
+
+    sqls["session_overlap"] = """
+WITH e AS (SELECT user_id, epoch_us(ts) AS t FROM events),
+s AS (
+  SELECT user_id, t,
+         CASE WHEN lag(t) OVER w IS NULL
+                OR t - lag(t) OVER w >= 1800000000 THEN 1 ELSE 0 END AS brk
+  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY t)
+),
+sid AS (
+  SELECT user_id, t,
+         sum(brk) OVER (PARTITION BY user_id ORDER BY t
+                        ROWS UNBOUNDED PRECEDING) AS sid
+  FROM s
+),
+sess AS (
+  SELECT user_id, min(t) AS s_us, max(t) AS e_us
+  FROM sid GROUP BY user_id, sid
+)
+SELECT a.user_id AS user_a, b.user_id AS user_b,
+       CAST(count(*) AS BIGINT) AS n_overlaps
+FROM sess a JOIN sess b
+  ON a.user_id < b.user_id AND a.s_us <= b.e_us AND b.s_us <= a.e_us
+GROUP BY a.user_id, b.user_id
+"""
 
     sqls["curate_funnel"] = _mat(f"""
 WITH {_sql_gopher_reasons("documents")},

@@ -94,3 +94,56 @@ def point_in_interval_join(
         *[pt[c] for c in points.columns],
         *[F.col(_out(c)) for c in intervals.columns if c not in on],
     )
+
+
+def interval_overlap_join(
+    left: DataFrame,
+    right: DataFrame,
+    start_col: str,
+    end_col: str,
+    bin_width: int,
+    on: Sequence[str] = (),
+) -> DataFrame:
+    """Interval x interval OVERLAP join ([ls,le] meets [rs,re] iff
+    ls <= re AND rs <= le) without a cartesian — the two-sided
+    extension of the binning above: BOTH sides replicate to the bins
+    their interval covers, the join is a plain equi-join on
+    (keys..., bin), the exact overlap predicate filters candidates,
+    and the k-shared-bin duplicate problem is solved by a FILTER, not
+    a distinct: a true overlap's first shared bin is
+    max(floor(ls/w), floor(rs/w)) (both intervals must have started
+    by any shared instant), so keeping only that bin emits each pair
+    exactly once with NO dedup exchange. Cost scales with
+    match density + rows x avg_bins_per_interval; never |L| x |R|.
+
+    Inputs may be the same relation (self-join); add an
+    anti-reflexive filter on the returned l_/r_ columns. All columns
+    come back prefixed l_ / r_.
+    """
+    w = int(bin_width)
+    if w <= 0:
+        raise ValueError(f"bin_width must be positive, got {bin_width}")
+    ls, le_ = f"l_{start_col}", f"l_{end_col}"
+    rs, re_ = f"r_{start_col}", f"r_{end_col}"
+    lp = left.select([F.col(c).alias(f"l_{c}") for c in left.columns])
+    rp = right.select([F.col(c).alias(f"r_{c}") for c in right.columns])
+    lb = lp.withColumn(
+        "_bin",
+        F.explode(
+            F.sequence(F.floor(F.col(ls) / w), F.floor(F.col(le_) / w))
+        ),
+    )
+    rb = rp.withColumn(
+        "_bin",
+        F.explode(
+            F.sequence(F.floor(F.col(rs) / w), F.floor(F.col(re_) / w))
+        ),
+    )
+    cond = [lb["_bin"] == rb["_bin"]] + [
+        lb[f"l_{k}"] == rb[f"r_{k}"] for k in on
+    ]
+    j = lb.join(rb, cond, "inner").filter(
+        (F.col(ls) <= F.col(re_)) & (F.col(rs) <= F.col(le_))
+    )
+    first_shared = F.greatest(F.floor(F.col(ls) / w), F.floor(F.col(rs) / w))
+    return j.filter(lb["_bin"] == first_shared).drop("_bin")

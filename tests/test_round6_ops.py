@@ -1011,3 +1011,67 @@ def test_jsonl_structtype_schema_quarantine(spark, tmp_path):
         ((r["id"], r["_corrupt_record"]) for r in back.collect()), key=repr
     )
     assert (9, None) in vals and (None, "nope") in vals
+
+
+def test_interval_overlap_join(spark):
+    from pyspark.sql import functions as F
+
+    from seqtables_spark.operators.ranges import interval_overlap_join
+
+    left = spark.createDataFrame(
+        [(1, 0, 250), (2, 300, 310), (3, 500, 520)],
+        "id long, s long, e long",
+    )
+    right = spark.createDataFrame(
+        [(10, 240, 305), (11, 400, 450), (12, 515, 700)],
+        "id long, s long, e long",
+    )
+    out = interval_overlap_join(left, right, "s", "e", bin_width=100)
+    pairs = sorted((r["l_id"], r["r_id"]) for r in out.collect())
+    # 1-10 overlap spans bins 2 and 3 — must appear exactly ONCE
+    assert pairs == [(1, 10), (2, 10), (3, 12)]
+
+    # self-join + anti-reflexive filter
+    sj = interval_overlap_join(left, left, "s", "e", bin_width=100).filter(
+        F.col("l_id") < F.col("r_id")
+    )
+    assert sj.count() == 0  # left intervals are pairwise disjoint
+
+    # equi-key restriction
+    lk = left.withColumn("k", F.lit("a"))
+    rk = right.withColumn("k", F.lit("b"))
+    assert (
+        interval_overlap_join(lk, rk, "s", "e", bin_width=100, on=["k"]).count()
+        == 0
+    )
+
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        interval_overlap_join(left, right, "s", "e", bin_width=0)
+
+
+def test_interval_overlap_join_matches_naive(spark):
+    import random
+
+    from pyspark.sql import functions as F
+
+    from seqtables_spark.operators.ranges import interval_overlap_join
+
+    rng = random.Random(3)
+    rows = [
+        (i, s, s + rng.randint(0, 500))
+        for i, s in ((i, rng.randint(0, 5000)) for i in range(120))
+    ]
+    df = spark.createDataFrame(rows, "id long, s long, e long")
+    out = interval_overlap_join(df, df, "s", "e", bin_width=137).filter(
+        F.col("l_id") < F.col("r_id")
+    )
+    got = sorted((r["l_id"], r["r_id"]) for r in out.collect())
+    ref = sorted(
+        (a[0], b[0])
+        for a in rows
+        for b in rows
+        if a[0] < b[0] and a[1] <= b[2] and b[1] <= a[2]
+    )
+    assert got == ref
