@@ -836,6 +836,24 @@ def q_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_survivors(corpus, pairs).select("doc_id")
 
 
+def q_dedup_survivors_pref(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep-policy dial of dedup_survivors: the BEST-scoring cluster
+    member survives instead of the smallest id. Scored by text length
+    ascending here precisely so the kept set provably differs from
+    the min-id policy on the planted corpus (the truncated twin has
+    the larger id AND the shorter text) — the oracle distinguishes
+    the two policies row-for-row."""
+    from seqtables_spark.pipeline.dedup import dedup_survivors
+
+    corpus = _planted_corpus(spark, sf_dir).withColumn(
+        "_len", F.length("text")
+    )
+    pairs = _verified_pairs(spark, sf_dir).select("id_a", "id_b")
+    return dedup_survivors(
+        corpus, pairs, prefer_col="_len", descending=False
+    ).select("doc_id")
+
+
 def q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dedup (embedding cosine): all pairs with cosine >= 0.2 among
     the vec_id%10==0 slice (fixed-fold dot products, exact doubles)."""
@@ -3309,6 +3327,7 @@ _ORACLE_PRIORITY = [
     "fuzzy_contamination",
     "intra_doc_dedup", "gopher_filter", "curate_llm",
     "streaming_quality_gate", "curate_funnel", "session_overlap",
+    "dedup_survivors_pref",
     "video_frames", "segment_dedup", "token_budget", "zipf_slope",
     "image_resize", "temperature_mix", "source_overlap",
     "jsonl_roundtrip", "streaming_index_dedup", "cluster_mix",
@@ -3411,6 +3430,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters": q_dedup_clusters,
         "dedup_clusters_star": q_dedup_clusters_star,
         "dedup_survivors": q_dedup_survivors,
+        "dedup_survivors_pref": q_dedup_survivors_pref,
         "embedding_near_dups": q_embedding_near_dups,
         "multimodal_features": q_multimodal_features,
         "subsample": q_subsample,
@@ -4122,6 +4142,39 @@ reach(s, d) AS (
 )
 SELECT s AS doc_id, least(s, min(d)) AS cluster_id
 FROM reach GROUP BY s
+"""
+
+
+def _sql_dedup_survivors_pref(k: int = 12, min_j: float = 0.4) -> str:
+    """Survivor = best-scoring cluster member (shortest text here, so
+    the kept set provably differs from the min-id policy: the planted
+    twin is the truncated one and has the LARGER id)."""
+    return f"""
+WITH RECURSIVE {_sql_ngram_verified_cte(k, min_j)},
+edges AS (
+  SELECT id_a AS s, id_b AS d FROM verified
+  UNION
+  SELECT id_b AS s, id_a AS d FROM verified
+),
+reach(s, d) AS (
+  SELECT s, d FROM edges
+  UNION
+  SELECT r.s, e.d FROM reach r JOIN edges e ON r.d = e.s
+),
+members AS (SELECT DISTINCT s FROM edges),
+comp AS (
+  SELECT m.s AS doc_id, least(m.s, min(r.d)) AS cluster_id
+  FROM members m LEFT JOIN reach r ON r.s = m.s
+  GROUP BY m.s
+),
+ranked AS (
+  SELECT c.doc_id,
+         row_number() OVER (PARTITION BY c.cluster_id
+                            ORDER BY length(d.text) ASC, c.doc_id ASC) AS rk
+  FROM comp c JOIN corpus d ON c.doc_id = d.doc_id
+),
+losers AS (SELECT doc_id FROM ranked WHERE rk > 1)
+SELECT doc_id FROM corpus WHERE doc_id NOT IN (SELECT doc_id FROM losers)
 """
 
 
@@ -5152,6 +5205,7 @@ GROUP BY hashed.doc_id
     sqls["dedup_clusters"] = _sql_dedup_clusters()
     sqls["dedup_clusters_star"] = _sql_dedup_clusters()
     sqls["dedup_survivors"] = _sql_dedup_survivors()
+    sqls["dedup_survivors_pref"] = _sql_dedup_survivors_pref()
     sqls["embedding_near_dups"] = _sql_embedding_pairs()
     sqls["multimodal_features"] = _sql_multimodal()
 

@@ -748,15 +748,47 @@ def dedup_survivors(
     df: DataFrame,
     pairs: DataFrame,
     id_col: str = "doc_id",
+    prefer_col: str | None = None,
+    descending: bool = True,
 ) -> DataFrame:
     """The end of the fuzzy-dedup pipeline: cluster the near-dup
-    pairs, keep the smallest id per cluster, and return the corpus
-    with all other cluster members removed (docs in no pair always
-    survive)."""
+    pairs, keep ONE canonical member per cluster, and return the
+    corpus with the other cluster members removed (docs in no pair
+    always survive).
+
+    Keep policy: by default the smallest id (stable, cheap — the
+    cluster label IS the survivor). With `prefer_col`, the member
+    with the best score survives (descending=True keeps the max —
+    e.g. quality_score, length, recency; ties break by smallest id).
+    Real curation keeps the best cluster member, not an arbitrary
+    one: near-dup clusters usually contain one complete document and
+    several truncated/boilerplate-damaged copies. Scale shape: the
+    ranking window partitions by cluster_id — clusters are small by
+    construction, and only CLUSTERED docs (a tiny fraction of the
+    corpus) enter the window; the corpus itself is touched once by
+    the final anti-join."""
     comp = connected_components(pairs)
-    losers = comp.filter(F.col("doc_id") != F.col("cluster_id")).select(
-        F.col("doc_id").alias(id_col)
-    )
+    if prefer_col is None:
+        losers = comp.filter(F.col("doc_id") != F.col("cluster_id")).select(
+            F.col("doc_id").alias(id_col)
+        )
+    else:
+        from pyspark.sql import Window
+
+        scored = comp.join(
+            df.select(
+                F.col(id_col).alias("doc_id"),
+                F.col(prefer_col).alias("_pref"),
+            ),
+            "doc_id",
+        )
+        order = F.desc("_pref") if descending else F.asc("_pref")
+        w = Window.partitionBy("cluster_id").orderBy(order, F.asc("doc_id"))
+        losers = (
+            scored.withColumn("_rk", F.row_number().over(w))
+            .filter(F.col("_rk") > 1)
+            .select(F.col("doc_id").alias(id_col))
+        )
     return df.join(losers, id_col, "left_anti")
 
 

@@ -1005,3 +1005,40 @@ def test_lsh_design():
         lsh_design(10, 4)
     with pytest.raises(ValueError):
         p(1.5)
+
+
+def test_dedup_survivors_prefer_policy(spark):
+    from seqtables_spark.pipeline.dedup import dedup_survivors
+
+    docs = spark.createDataFrame(
+        [(1, 40), (2, 90), (3, 10), (9, 5)],  # 9 is in no pair
+        "doc_id long, score long",
+    )
+    pairs = spark.createDataFrame([(1, 2), (2, 3)], "id_a long, id_b long")
+    # min-id policy: cluster {1,2,3} -> keep 1
+    assert sorted(
+        r["doc_id"] for r in dedup_survivors(docs, pairs).collect()
+    ) == [1, 9]
+    # max-score policy: keep 2 (score 90)
+    assert sorted(
+        r["doc_id"]
+        for r in dedup_survivors(docs, pairs, prefer_col="score").collect()
+    ) == [2, 9]
+    # min-score policy: keep 3 (score 10)
+    assert sorted(
+        r["doc_id"]
+        for r in dedup_survivors(
+            docs, pairs, prefer_col="score", descending=False
+        ).collect()
+    ) == [3, 9]
+    # tie -> smallest id
+    tied = spark.createDataFrame(
+        [(1, 7), (2, 7)], "doc_id long, score long"
+    )
+    assert sorted(
+        r["doc_id"]
+        for r in dedup_survivors(
+            tied, spark.createDataFrame([(1, 2)], "id_a long, id_b long"),
+            prefer_col="score",
+        ).collect()
+    ) == [1]

@@ -53,6 +53,9 @@ QUERIES = [
     # composed curation (train/checkpoint run eagerly at plan build;
     # the timed part is encode + accounting) and the funnel report
     "curate_llm", "curate_funnel",
+    # binned interval-overlap self-join over per-user sessions;
+    # final-vocab aggregation
+    "session_overlap", "bpe_vocab",
 ]
 
 SHIFTS = {
