@@ -2491,10 +2491,18 @@ def q_session_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = interval_overlap_join(
         sess, sess, "s_us", "e_us", bin_width=OVERLAP_BIN_US
     ).filter(F.col("l_user_id") < F.col("r_user_id"))
-    return pairs.groupBy(
+    agg = pairs.groupBy(
         F.col("l_user_id").alias("user_a"),
         F.col("r_user_id").alias("user_b"),
     ).agg(F.count(F.lit(1)).alias("n_overlaps"))
+    # co-activity pairs grow QUADRATICALLY with per-epoch user
+    # concurrency (semantics, not plan): return the bounded top-k —
+    # Catalyst plans the sort+limit as TakeOrderedAndProject, so
+    # output stays 100 rows at any scale. Full tiebreak makes the
+    # cut deterministic for the oracle.
+    return agg.orderBy(
+        F.desc("n_overlaps"), F.asc("user_a"), F.asc("user_b")
+    ).limit(100)
 
 
 def q_curate_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -5893,6 +5901,8 @@ SELECT a.user_id AS user_a, b.user_id AS user_b,
 FROM sess a JOIN sess b
   ON a.user_id < b.user_id AND a.s_us <= b.e_us AND b.s_us <= a.e_us
 GROUP BY a.user_id, b.user_id
+ORDER BY n_overlaps DESC, user_a ASC, user_b ASC
+LIMIT 100
 """
 
     sqls["curate_funnel"] = _mat(f"""
