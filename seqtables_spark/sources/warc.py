@@ -148,11 +148,16 @@ def read_warc(
     )
 
     def _scan(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import gzip
         import pandas as pd
 
         for b in batches:
             for p in b["path"]:
-                with open(p, "rb") as fh:
+                # Common Crawl layout: .warc.gz is a CONCATENATION of
+                # per-record gzip members; gzip.open reads members
+                # sequentially, so the same streaming parser works
+                with (gzip.open(p, "rb") if p.endswith(".gz")
+                      else open(p, "rb")) as fh:
                     buf: list[dict] = []
                     for rec in _parse_warc_stream(fh, p):
                         buf.append(rec)
@@ -175,6 +180,7 @@ def write_warc(
     content_type: str = "text/plain",
     header_cols: dict[str, str] | None = None,
     warc_date: str = "2026-01-01T00:00:00Z",
+    compress: bool = False,
 ) -> DataFrame:
     """Write DF -> WARC shards, one ``part-{pid:05d}.warc`` per
     partition (byte-exact CRLF framing). Returns the collected
@@ -186,6 +192,10 @@ def write_warc(
     the roundtrip uses to carry table columns through the archive.
     `warc_date` is fixed by the caller: deterministic output is what
     makes the sink testable (real crawls stamp capture time here).
+    `compress=True` writes ``.warc.gz`` with ONE GZIP MEMBER PER
+    RECORD — the Common Crawl convention, which lets a reader seek to
+    any record offset and inflate just that member (mtime pinned to 0
+    for deterministic bytes).
     """
     os.makedirs(path, exist_ok=True)
     header_cols = dict(header_cols or {})
@@ -207,8 +217,11 @@ def write_warc(
         import pandas as pd
         from pyspark import TaskContext
 
+        import gzip as _gzip
+
         pid = TaskContext.get().partitionId()
-        fname = os.path.join(path, f"part-{pid:05d}.warc")
+        ext = "warc.gz" if compress else "warc"
+        fname = os.path.join(path, f"part-{pid:05d}.{ext}")
         n = 0
         nbytes = 0
         out = None
@@ -240,6 +253,8 @@ def write_warc(
                             head.append(f"{h}: {clean(v)}")
                     rec = ("\r\n".join(head) + "\r\n\r\n").encode("utf-8")
                     rec += payload + b"\r\n\r\n"
+                    if compress:
+                        rec = _gzip.compress(rec, mtime=0)
                     out.write(rec)
                     n += 1
                     nbytes += len(rec)
