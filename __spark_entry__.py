@@ -2858,6 +2858,35 @@ def q_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     return picked.select("doc_id", "n_tokens", "cum_tokens")
 
 
+def q_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The scrub half of the PII pass: same planted corpus as
+    pii_scan, each pattern replaced with its typed placeholder
+    (<EMAIL>, <URL>, <LONG_DIGITS>) — pure map-side regexp_replace
+    chain, value-checked byte-for-byte against the oracle's
+    replication of the same regexes."""
+    from seqtables_spark.pipeline.text import redact_pii
+
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 10 == 0,
+            F.concat(F.col("text"), F.lit(" contact: user"), F.col("doc_id"), F.lit("@example.com")),
+        )
+        .when(
+            F.col("doc_id") % 7 == 0,
+            F.concat(F.col("text"), F.lit(" see https://example.org/p/"), F.col("doc_id")),
+        )
+        .when(
+            F.col("doc_id") % 13 == 0,
+            F.concat(F.col("text"), F.lit(" ref 00"), (F.col("doc_id") + 10_000_000)),
+        )
+        .otherwise(F.col("text")),
+    )
+    return redact_pii(docs, out_col="text_redacted").select(
+        "doc_id", "text_redacted"
+    )
+
+
 def q_pii_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Text cleaning: PII-pattern scan over the corpus with planted
     emails/URLs/digit-runs (every 10th/7th/13th doc), aggregated per
@@ -3335,7 +3364,7 @@ _ORACLE_PRIORITY = [
     "fuzzy_contamination",
     "intra_doc_dedup", "gopher_filter", "curate_llm",
     "streaming_quality_gate", "curate_funnel", "session_overlap",
-    "dedup_survivors_pref",
+    "dedup_survivors_pref", "redact_pii",
     "video_frames", "segment_dedup", "token_budget", "zipf_slope",
     "image_resize", "temperature_mix", "source_overlap",
     "jsonl_roundtrip", "streaming_index_dedup", "cluster_mix",
@@ -3486,6 +3515,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_overlap": q_source_overlap,
         "jsonl_roundtrip": q_jsonl_roundtrip,
         "pii_scan": q_pii_scan,
+        "redact_pii": q_redact_pii,
         "pack_sequences": q_pack_sequences,
         "training_order": q_training_order,
         "training_shards": q_training_shards,
@@ -5679,6 +5709,28 @@ c AS (
 )
 SELECT doc_id, n_tokens, CAST(cum_tokens AS BIGINT) AS cum_tokens
 FROM c WHERE cum_tokens <= 10000
+"""
+
+    sqls["redact_pii"] = r"""
+WITH planted AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 10 = 0
+                THEN text || ' contact: user' || CAST(doc_id AS VARCHAR) || '@example.com'
+              WHEN doc_id % 7 = 0
+                THEN text || ' see https://example.org/p/' || CAST(doc_id AS VARCHAR)
+              WHEN doc_id % 13 = 0
+                THEN text || ' ref 00' || CAST(doc_id + 10000000 AS VARCHAR)
+              ELSE text END AS text
+  FROM documents
+)
+SELECT doc_id,
+       regexp_replace(
+         regexp_replace(
+           regexp_replace(text,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+           'https?://[^\s]+', '<URL>', 'g'),
+         '[0-9]{7,}', '<LONG_DIGITS>', 'g') AS text_redacted
+FROM planted
 """
 
     sqls["pii_scan"] = """
