@@ -1042,3 +1042,78 @@ def test_dedup_survivors_prefer_policy(spark):
             prefer_col="score",
         ).collect()
     ) == [1]
+
+
+def test_property_intra_doc_dedup_matches_model(spark):
+    import random
+
+    from seqtables_spark.pipeline.text import intra_doc_segment_dedup
+
+    rng = random.Random(11)
+    vocab = ["a", "bb", "ccc", "a", "bb"]  # repeats likely
+    texts = [
+        " ".join(rng.choice(vocab) for _ in range(rng.randint(0, 12)))
+        for _ in range(30)
+    ]
+    rows = ", ".join(f"({i}, '{t}')" for i, t in enumerate(texts))
+    df = spark.sql(f"SELECT * FROM VALUES {rows} AS t(doc_id, text)")
+    got = {
+        r["doc_id"]: (r["text_dedup"], r["n_segments"], r["n_removed"])
+        for r in intra_doc_segment_dedup(df, sep=" ").collect()
+    }
+    for i, t in enumerate(texts):
+        parts = t.split(" ")
+        seen, kept = set(), []
+        for p in parts:
+            if p not in seen:
+                seen.add(p)
+                kept.append(p)
+        assert got[i] == (" ".join(kept), len(parts), len(parts) - len(kept)), (
+            i,
+            t,
+        )
+
+
+def test_property_gopher_filter_deterministic_model(spark):
+    import random
+    import re as _re
+
+    from seqtables_spark.pipeline.text import gopher_quality_filter
+
+    rng = random.Random(13)
+    frags = ["the cat", "12345678", "!!!", "supercalifragilistic", "to is of",
+             "x", "and so it was that they went to the park"]
+    texts = [
+        " ".join(rng.choice(frags) for _ in range(rng.randint(0, 30)))
+        for _ in range(40)
+    ]
+    rows = ", ".join(f"({i}, '{t}')" for i, t in enumerate(texts))
+    df = spark.sql(f"SELECT * FROM VALUES {rows} AS t(doc_id, text)")
+    got = {
+        r["doc_id"]: (r["keep"], r["reasons"])
+        for r in gopher_quality_filter(df).collect()
+    }
+    stop = r"\b(the|and|of|to|is|in|a|that|it|for)\b"
+    for i, t in enumerate(texts):
+        n_chars = len(t)
+        n_tokens = len(_re.findall(r"\S+", t))
+        n_alpha = len(_re.sub(r"[^A-Za-z]", "", t))
+        n_digit = len(_re.sub(r"[^0-9]", "", t))
+        n_stop = len(_re.findall(stop, t.lower()))
+        mwl = n_alpha / n_tokens if n_tokens else 0.0
+        alpha = n_alpha / n_chars if n_chars else 0.0
+        dig = n_digit / n_chars if n_chars else 0.0
+        st = n_stop / n_tokens if n_tokens else 0.0
+        reasons = ",".join(
+            name
+            for name, bad in [
+                ("too_few_tokens", n_tokens < 20),
+                ("too_many_tokens", n_tokens > 100_000),
+                ("mean_word_len", mwl < 3.0 or mwl > 10.0),
+                ("low_alpha", alpha < 0.7),
+                ("low_stopword", st < 0.02),
+                ("high_digit", dig > 0.2),
+            ]
+            if bad
+        )
+        assert got[i] == (reasons == "", reasons), (i, t)
