@@ -2858,6 +2858,23 @@ def q_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     return picked.select("doc_id", "n_tokens", "cum_tokens")
 
 
+def q_quality_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curation observability: per-source histogram of the heuristic
+    quality score (10 fixed buckets) — what you look at BEFORE
+    choosing a filter threshold. Pure map + one aggregation; the
+    oracle replays the score formula with the same left-associated
+    IEEE expression order, so bucket edges agree bit-for-bit."""
+    from seqtables_spark.pipeline.text import quality_score
+
+    q = quality_score(_t(spark, sf_dir, "documents"))
+    bucket = F.least(
+        F.floor(F.col("quality_score") * 10).cast("int"), F.lit(9)
+    )
+    return q.groupBy(
+        F.col("source"), bucket.alias("score_bucket")
+    ).agg(F.count(F.lit(1)).alias("n_docs"))
+
+
 def q_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The scrub half of the PII pass: same planted corpus as
     pii_scan, each pattern replaced with its typed placeholder
@@ -3364,7 +3381,7 @@ _ORACLE_PRIORITY = [
     "fuzzy_contamination",
     "intra_doc_dedup", "gopher_filter", "curate_llm",
     "streaming_quality_gate", "curate_funnel", "session_overlap",
-    "dedup_survivors_pref", "redact_pii",
+    "dedup_survivors_pref", "redact_pii", "quality_histogram",
     "video_frames", "segment_dedup", "token_budget", "zipf_slope",
     "image_resize", "temperature_mix", "source_overlap",
     "jsonl_roundtrip", "streaming_index_dedup", "cluster_mix",
@@ -3516,6 +3533,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jsonl_roundtrip": q_jsonl_roundtrip,
         "pii_scan": q_pii_scan,
         "redact_pii": q_redact_pii,
+        "quality_histogram": q_quality_histogram,
         "pack_sequences": q_pack_sequences,
         "training_order": q_training_order,
         "training_shards": q_training_shards,
@@ -5709,6 +5727,31 @@ c AS (
 )
 SELECT doc_id, n_tokens, CAST(cum_tokens AS BIGINT) AS cum_tokens
 FROM c WHERE cum_tokens <= 10000
+"""
+
+    sqls["quality_histogram"] = r"""
+WITH f AS (
+  SELECT source,
+         length(text) AS n_chars,
+         len(regexp_extract_all(text, '\S+')) AS n_tokens,
+         length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS n_alpha,
+         length(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g')) AS n_punct,
+         len(regexp_extract_all(lower(text), '\b(the|and|of|to|is|in|a|that|it|for)\b')) AS n_stop
+  FROM documents
+),
+r AS (
+  SELECT source,
+         least(n_tokens / 100.0, 1.0) * 0.3
+         + (CASE WHEN n_chars > 0 THEN n_alpha * 1.0 / n_chars ELSE 0.0 END) * 0.3
+         + (1 - least((CASE WHEN n_chars > 0 THEN n_punct * 1.0 / n_chars ELSE 0.0 END) * 4, 1.0)) * 0.2
+         + least((CASE WHEN n_tokens > 0 THEN n_stop * 1.0 / n_tokens ELSE 0.0 END) * 5, 1.0) * 0.2
+           AS score
+  FROM f
+)
+SELECT source,
+       CAST(least(CAST(floor(score * 10) AS INTEGER), 9) AS INTEGER) AS score_bucket,
+       count(*) AS n_docs
+FROM r GROUP BY source, score_bucket
 """
 
     sqls["redact_pii"] = r"""
