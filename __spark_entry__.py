@@ -2706,6 +2706,41 @@ def q_warc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_warc_gz_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The compressed variant of warc_roundtrip: .warc.gz shards with
+    one gzip member per record (the Common Crawl convention),
+    stream-parsed back through the gzip member concatenation. Same
+    value oracle as the plain roundtrip."""
+    import os
+
+    from seqtables_spark.sources.warc import read_warc, write_warc
+
+    docs = _t(spark, sf_dir, "documents")
+    path = _rt_tmp("seqtables_warcgz_rt", sf_dir)
+    write_warc(
+        docs.repartition(8),
+        path,
+        payload_col="text",
+        record_id_col="doc_id",
+        header_cols={
+            "X-Doc-Id": "doc_id",
+            "X-Lang": "lang",
+            "X-Source": "source",
+            "X-N-Chars": "n_chars",
+        },
+        compress=True,
+    )
+    back = read_warc(spark, os.path.join(path, "part-*.warc.gz"))
+    h = F.col("headers")
+    return back.select(
+        h["X-Doc-Id"].cast("long").alias("doc_id"),
+        F.col("payload").alias("text"),
+        h["X-Lang"].alias("lang"),
+        h["X-Source"].alias("source"),
+        h["X-N-Chars"].cast("long").alias("n_chars"),
+    )
+
+
 def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed BPE tokenizer training (Sennrich 2016 / GPT-2
     word-pretokenized variant): one corpus-wide vocab aggregation,
@@ -3378,6 +3413,7 @@ _ORACLE_PRIORITY = [
     # guarded salting, null-safe ranged asof, index write shape,
     # probe-split incremental dedup, streamed bowtie shards)
     "bpe_merges", "bpe_tokens", "bpe_vocab", "warc_roundtrip",
+    "warc_gz_roundtrip",
     "fuzzy_contamination",
     "intra_doc_dedup", "gopher_filter", "curate_llm",
     "streaming_quality_gate", "curate_funnel", "session_overlap",
@@ -3518,6 +3554,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_tokens": q_bpe_tokens,
         "bpe_vocab": q_bpe_vocab,
         "warc_roundtrip": q_warc_roundtrip,
+        "warc_gz_roundtrip": q_warc_gz_roundtrip,
         "fuzzy_contamination": q_fuzzy_contamination,
         "intra_doc_dedup": q_intra_doc_dedup,
         "gopher_filter": q_gopher_filter,
@@ -5902,6 +5939,10 @@ SELECT doc_id, text, lang, source, n_chars FROM documents
 """
 
     sqls["warc_roundtrip"] = """
+SELECT doc_id, text, lang, source, n_chars FROM documents
+"""
+
+    sqls["warc_gz_roundtrip"] = """
 SELECT doc_id, text, lang, source, n_chars FROM documents
 """
 

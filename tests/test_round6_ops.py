@@ -1075,3 +1075,29 @@ def test_interval_overlap_join_matches_naive(spark):
         if a[0] < b[0] and a[1] <= b[2] and b[1] <= a[2]
     )
     assert got == ref
+
+
+def test_interval_overlap_join_keyed_matches_naive(spark):
+    import random
+
+    from pyspark.sql import functions as F
+
+    from seqtables_spark.operators.ranges import interval_overlap_join
+
+    rng = random.Random(5)
+    rows = [
+        (i, rng.choice(["k1", "k2"]), s, s + rng.randint(0, 300))
+        for i, s in ((i, rng.randint(0, 3000)) for i in range(80))
+    ]
+    df = spark.createDataFrame(rows, "id long, k string, s long, e long")
+    out = interval_overlap_join(df, df, "s", "e", bin_width=97, on=["k"]).filter(
+        F.col("l_id") < F.col("r_id")
+    )
+    got = sorted((r["l_id"], r["r_id"]) for r in out.collect())
+    ref = sorted(
+        (a[0], b[0])
+        for a in rows
+        for b in rows
+        if a[0] < b[0] and a[1] == b[1] and a[2] <= b[3] and b[2] <= a[3]
+    )
+    assert got == ref

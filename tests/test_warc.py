@@ -180,3 +180,18 @@ def test_gzip_roundtrip_per_record_members(spark, tmp_path):
             else int(r["record_id"].strip("<>")): r["payload"]
             for r in back.collect()}
     assert rows == {i: t for i, t, _ in DOCS}
+
+
+def test_mixed_plain_and_gz_glob(spark, tmp_path):
+    path = str(tmp_path / "mixed")
+    df = _docs_df(spark).coalesce(1)
+    write_warc(df, path, payload_col="text", record_id_col="doc_id")
+    # second shard compressed, different partition id via repartition
+    os.rename(
+        os.path.join(path, "part-00000.warc"),
+        os.path.join(path, "a-part.warc"),
+    )
+    write_warc(df, path, payload_col="text", record_id_col="doc_id",
+               compress=True)
+    back = read_warc(spark, os.path.join(path, "*.warc*"))
+    assert back.count() == 2 * len(DOCS)
