@@ -1402,8 +1402,10 @@ def q_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_salted_brand_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Skew mitigation as a declared query: lineitem (big, fact) x
-    part (small, dim) through operators.skew.salted_join. Round-6
-    guard: salted_join now counts the dim side first — under
+    part (small, dim) through operators.skew.salted_join. Round-7:
+    the broadcast-bypass guard is opt-in (default None keeps the plan
+    lazy); this query opts in, so salted_join counts the dim side —
+    under
     max_broadcast_rows it plans a plain broadcast join (no salt, no
     fact-side shuffle; the case at bench SFs), above it the shuffle
     key widens to (p_partkey, salt) with the salt hashed from the
@@ -1421,6 +1423,9 @@ def q_salted_brand_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     joined = salted_join(
         li, part, ["p_partkey"], n_salts=8,
         salt_cols=["l_orderkey", "l_linenumber"],
+        # opt-in eager guard (round 7: the default is now None = lazy):
+        # part is a cheap scan, counting it twice is free at any SF
+        max_broadcast_rows=100_000,
     )
     return joined.groupBy("p_brand").agg(
         F.sum(

@@ -29,7 +29,7 @@ def salted_join(
     n_salts: int = 8,
     how: str = "inner",
     salt_cols: Sequence[str] | None = None,
-    max_broadcast_rows: int | None = 100_000,
+    max_broadcast_rows: int | None = None,
 ) -> DataFrame:
     """Equi-join `big ⋈ small` on `on`, with the shuffle key widened
     to (on..., salt) so a skewed key spreads over n_salts partitions.
@@ -60,10 +60,16 @@ def salted_join(
     Why a count and not 'let AQE decide': AQE cannot widen a join key —
     if the static plan picks a shuffle join on `on`, the hot key lands
     on one reducer and AQE's skew splitting cannot split a single key
-    group with a post-shuffle sort requirement already placed. Pass
-    max_broadcast_rows=None to force the salted path unconditionally
-    (keeps the plan fully lazy; useful when the small side's row count
-    belies wide rows that would blow the broadcast memory)."""
+    group with a post-shuffle sort requirement already placed. EAGERNESS CONTRACT (round 7): the guard is OPT-IN.
+    max_broadcast_rows=None (the default) keeps plan construction
+    fully lazy — no job runs until the caller acts on the result, and
+    streaming DataFrames work. Passing a number makes this function
+    EAGER: it runs ``small.count()`` at plan time, and when the guard
+    does NOT trip, an uncached small side is computed twice (once for
+    the count, once again inside the join) — persist/localCheckpoint
+    an expensive small side before calling. Never pass a guard value
+    for streaming inputs (count() on a streaming relation raises at
+    plan time)."""
     if how not in ("inner", "left", "left_outer", "leftouter", "left_semi", "leftsemi", "left_anti", "leftanti"):
         # right/full outer would emit one null-padded row PER SALT for
         # every unmatched small-side key (the replicas all survive) -

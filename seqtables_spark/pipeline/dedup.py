@@ -23,6 +23,8 @@ point of LSH at 100 TB.
 
 from __future__ import annotations
 
+from typing import Sequence
+
 from pyspark.sql import DataFrame, functions as F
 
 from .hashing import HASH_PRIME, minhash_params, portable_string_hash, universal_hash

@@ -55,9 +55,14 @@ def read_jsonl(
     if isinstance(schema, str) and keep_corrupt:
         schema = f"{schema}, {CORRUPT_COL} string"
     elif keep_corrupt:  # StructType
-        from pyspark.sql.types import StringType
+        from pyspark.sql.types import StringType, StructField, StructType
 
-        schema = schema.add(CORRUPT_COL, StringType())
+        # Build a NEW StructType: StructType.add mutates self, so using it
+        # here would append a duplicate _corrupt_record to the CALLER's
+        # schema object on every read_jsonl call that reuses it.
+        schema = StructType(
+            list(schema.fields) + [StructField(CORRUPT_COL, StringType())]
+        )
     reader = (
         spark.read.schema(schema)
         .option("mode", "PERMISSIVE" if keep_corrupt else "DROPMALFORMED")

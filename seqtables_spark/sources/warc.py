@@ -39,6 +39,7 @@ from collections.abc import Iterator
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.sql.types import (
+    BinaryType,
     LongType,
     MapType,
     StringType,
@@ -57,6 +58,7 @@ WARC_SCHEMA = StructType(
         StructField("content_length", LongType()),
         StructField("headers", MapType(StringType(), StringType())),
         StructField("payload", StringType()),
+        StructField("payload_bytes", BinaryType()),
     ]
 )
 
@@ -99,14 +101,25 @@ def _parse_warc_stream(fh: io.BufferedReader, fname: str) -> Iterator[dict]:
                 f"{fname}: expected WARC version line, got {s[:40]!r}"
             )
         headers: dict[str, str] = {}
+        last_key: str | None = None
         while True:
             line = fh.readline()
             if not line or not line.strip():
                 break
+            # RFC-style folded (continuation) lines: a header line that
+            # starts with SP/HT continues the PREVIOUS header's value —
+            # WARC 1.1 permits these and real crawls emit them. Splitting
+            # on ':' here would misparse (or reject) spec-legal files.
+            if line[:1] in (b" ", b"\t") and last_key is not None:
+                headers[last_key] = (
+                    headers[last_key] + " " + line.decode("utf-8").strip()
+                ).strip()
+                continue
             if b":" not in line:
                 raise ValueError(f"{fname}: malformed header {line[:40]!r}")
             k, v = line.split(b":", 1)
-            headers[k.decode("utf-8").strip()] = v.decode("utf-8").strip()
+            last_key = k.decode("utf-8").strip()
+            headers[last_key] = v.decode("utf-8").strip()
         lower = {k.lower(): v for k, v in headers.items()}
         n = int(lower.get("content-length", "0"))
         payload = fh.read(n)
@@ -125,7 +138,14 @@ def _parse_warc_stream(fh: io.BufferedReader, fname: str) -> Iterator[dict]:
             "headers": {
                 k: v for k, v in headers.items() if k.lower() not in _CORE
             },
+            # payload_bytes is the LOSSLESS view: WARC payloads are
+            # arbitrary bytes (gzipped HTTP bodies, images — the common
+            # Common Crawl case) and a replace-decode irreversibly
+            # corrupts them. The string view is a derived convenience
+            # column for text pipelines; binary consumers read
+            # payload_bytes and drop the string column in their select.
             "payload": payload.decode("utf-8", errors="replace"),
+            "payload_bytes": payload,
         }
 
 
@@ -141,10 +161,19 @@ def read_warc(
         raise FileNotFoundError(path)
     # JVM-born file list (VALUES, not createDataFrame — a python-RDD
     # local relation pays a python-worker roundtrip per partition);
-    # one partition per file so each task streams exactly one file.
-    rows = ", ".join("('{}')".format(p.replace("'", "''")) for p in paths)
-    files = spark.sql(f"SELECT * FROM VALUES {rows} AS t(path)").repartition(
-        len(paths), "path"
+    # EXACTLY one partition per file so each task streams exactly one
+    # file: hash-repartitioning on path gives no such guarantee (path
+    # hash collisions stack two files in one task and leave another
+    # empty), so emit a monotone file index and range-partition on it —
+    # n distinct index values into n ranges is one file per task.
+    rows = ", ".join(
+        "({}, '{}')".format(i, p.replace("'", "''"))
+        for i, p in enumerate(paths)
+    )
+    files = (
+        spark.sql(f"SELECT * FROM VALUES {rows} AS t(file_idx, path)")
+        .repartitionByRange(len(paths), "file_idx")
+        .select("path")
     )
 
     def _scan(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
@@ -230,7 +259,16 @@ def write_warc(
                 if out is None:
                     out = open(fname, "wb")
                 for t in b.itertuples(index=False):
-                    payload = ("" if t[0] is None else str(t[0])).encode("utf-8")
+                    # binary payload columns pass through byte-exact
+                    # (the lossless path for non-text records); strings
+                    # encode utf-8
+                    raw = t[0]
+                    if raw is None:
+                        payload = b""
+                    elif isinstance(raw, (bytes, bytearray)):
+                        payload = bytes(raw)
+                    else:
+                        payload = str(raw).encode("utf-8")
                     # header VALUES are line-framed: a stray CR/LF in a
                     # metadata column would terminate the header block
                     # early and corrupt the record (payloads are safe -

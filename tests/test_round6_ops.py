@@ -1013,6 +1013,25 @@ def test_jsonl_structtype_schema_quarantine(spark, tmp_path):
     assert (9, None) in vals and (None, "nope") in vals
 
 
+def test_jsonl_does_not_mutate_caller_schema(spark, tmp_path):
+    """Round-7 fix: StructType.add mutates self, so read_jsonl must
+    build a NEW schema — reusing one StructType across two reads used
+    to accumulate duplicate _corrupt_record fields in the CALLER's
+    object, corrupting every later use of it."""
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    from seqtables_spark.sources.jsonl import read_jsonl
+
+    path = str(tmp_path / "noclobber")
+    spark.createDataFrame([('{"id": 1}',)], "value string") \
+        .coalesce(1).write.mode("overwrite").text(path)
+    st = StructType([StructField("id", LongType())])
+    for _ in range(3):  # same schema object reused across reads
+        back = read_jsonl(spark, path, st)
+        assert back.columns == ["id", "_corrupt_record"]
+    assert [f.name for f in st.fields] == ["id"]  # caller's object untouched
+
+
 def test_interval_overlap_join(spark):
     from pyspark.sql import functions as F
 

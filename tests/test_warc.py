@@ -195,3 +195,75 @@ def test_mixed_plain_and_gz_glob(spark, tmp_path):
                compress=True)
     back = read_warc(spark, os.path.join(path, "*.warc*"))
     assert back.count() == 2 * len(DOCS)
+
+
+def test_folded_header_lines(spark, tmp_path):
+    """WARC 1.1 permits RFC-style folded headers: a line starting with
+    SP/HT continues the previous header's value. Round-7 fix — these
+    must parse as ONE header, not raise or split into two."""
+    p = tmp_path / "folded.warc"
+    rec = (
+        b"WARC/1.0\r\n"
+        b"WARC-Type: response\r\n"
+        b"WARC-Target-URI: http://example.com/a\r\n"
+        b"X-Long: first part\r\n"
+        b"  continued part\r\n"
+        b"\tand a tab-folded: tail\r\n"
+        b"Content-Length: 5\r\n"
+        b"\r\n"
+        b"hello\r\n\r\n"
+    )
+    p.write_bytes(rec)
+    rows = read_warc(spark, str(p)).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["payload"] == "hello"
+    # folded continuations joined with single spaces, ':' inside a
+    # continuation NOT treated as a new header
+    assert r["headers"]["X-Long"] == "first part continued part and a tab-folded: tail"
+    assert r["target_uri"] == "http://example.com/a"
+
+
+def test_binary_payload_lossless(spark, tmp_path):
+    """payload_bytes carries arbitrary bytes (invalid utf-8, gzip
+    magic, NULs) through write->read byte-exactly; the string view is
+    the lossy derived column."""
+    path = str(tmp_path / "bin")
+    blobs = [
+        (1, bytes([0x1F, 0x8B, 0x08, 0x00, 0xFF, 0xFE, 0x00, 0x80])),
+        (2, b"\x00" * 16),
+        (3, "text is fine too".encode("utf-8")),
+        (4, bytes(range(256))),
+    ]
+    df = spark.createDataFrame(blobs, "doc_id long, body binary")
+    write_warc(
+        df.coalesce(1), path, payload_col="body", record_id_col="doc_id",
+        content_type="application/octet-stream",
+    )
+    back = read_warc(spark, os.path.join(path, "*.warc"))
+    got = {int(r["record_id"].strip("<>")): bytes(r["payload_bytes"])
+           for r in back.collect()}
+    assert got == dict(blobs)
+    # string view exists but is replace-decoded (lossy) — documented
+    text = {int(r["record_id"].strip("<>")): r["payload"]
+            for r in back.select("record_id", "payload").collect()}
+    assert text[3] == "text is fine too"
+
+
+def test_exactly_one_file_per_partition(spark, tmp_path):
+    """Round-7: the file list is range-partitioned on a monotone file
+    index, so EVERY partition holds exactly one file (hash-on-path
+    could collide two files into one task)."""
+    path = str(tmp_path / "onefile")
+    write_warc(
+        _docs_df(spark).repartition(5), path, payload_col="text",
+        record_id_col="doc_id",
+    )
+    files = sorted(os.listdir(path))
+    assert len(files) >= 2
+    back = read_warc(spark, os.path.join(path, "*.warc"))
+    per_part = back.rdd.mapPartitions(
+        lambda it: [len({r["warc_file"] for r in it})]
+    ).collect()
+    assert len(per_part) == len(files)
+    assert all(n == 1 for n in per_part)
