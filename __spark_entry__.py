@@ -64,6 +64,22 @@ PWM_WEIGHTS = {  # exact powers of two -> order-free double sums
 MINHASH_N = 8
 SHINGLE_K = 5
 
+# Fixture-tuned Gopher thresholds (round 7): the LIBRARY defaults are
+# the published paper values (Rae et al. 2021 §A1.1 — min 50 tokens,
+# alpha >= 0.8); the sf* synthetic docs are shorter and flatter than
+# web pages, so the bench/oracle queries pass this tuned set EXPLICITLY
+# (same values the oracles replay). Tuning lives with the corpus, not
+# in the library defaults.
+GOPHER_FIXTURE_PARAMS = dict(
+    min_tokens=20,
+    max_tokens=100_000,
+    min_mean_word_len=3.0,
+    max_mean_word_len=10.0,
+    min_alpha_ratio=0.7,
+    min_stopword_ratio=0.02,
+    max_digit_ratio=0.2,
+)
+
 
 _t_cache: dict = {}
 
@@ -2449,7 +2465,9 @@ def q_gopher_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     IEEE division so the oracle replays decisions bit-identically."""
     from seqtables_spark.pipeline.text import gopher_quality_filter
 
-    out = gopher_quality_filter(_t(spark, sf_dir, "documents"))
+    out = gopher_quality_filter(
+        _t(spark, sf_dir, "documents"), **GOPHER_FIXTURE_PARAMS
+    )
     return out.select("doc_id", "keep", "reasons")
 
 
@@ -2524,7 +2542,9 @@ def q_curate_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     from seqtables_spark.pipeline.text import gopher_quality_filter
 
     docs = _t(spark, sf_dir, "documents")
-    docs_ann = gopher_quality_filter(_wide(spark, docs)).select(
+    docs_ann = gopher_quality_filter(
+        _wide(spark, docs), **GOPHER_FIXTURE_PARAMS
+    ).select(
         "doc_id", "text", "keep"
     )
     g = docs_ann.filter(F.col("keep")).select("doc_id", "text")
@@ -2572,7 +2592,7 @@ def q_streaming_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("pathGlobFilter", "documents.parquet")
         .parquet(sf_dir)
     )
-    gated = gopher_quality_filter(stream).select(
+    gated = gopher_quality_filter(stream, **GOPHER_FIXTURE_PARAMS).select(
         "doc_id", "source", "keep", "reasons"
     )
     tbl = _drain_stream(spark, gated, "docs_quality_gate_stream", "append")
@@ -2609,7 +2629,7 @@ def q_curate_llm(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _t(spark, sf_dir, "documents")
     g = (
-        gopher_quality_filter(_wide(spark, docs))
+        gopher_quality_filter(_wide(spark, docs), **GOPHER_FIXTURE_PARAMS)
         .filter(F.col("keep"))
         .select("doc_id", "text", "source")
     )

@@ -527,17 +527,36 @@ def intra_doc_segment_dedup(
 
 
 # rule names in output order; each is (name, predicate-builder) over
-# the text_quality_features columns. Thresholds are the public Gopher
-# paper's document-quality rules, loosened where the synthetic corpus
-# sits (its docs are shorter than web pages).
+# the text_quality_features columns. DEFAULTS are the published Gopher
+# paper values (Rae et al. 2021 §A1.1) wherever the paper states one:
+#
+#   engine rule        default   paper rule (A1.1)
+#   ----------------   -------   --------------------------------------
+#   too_few_tokens        50     word count >= 50
+#   too_many_tokens   100_000    word count <= 100,000
+#   mean_word_len      3 - 10    mean word length in [3, 10] chars
+#   low_alpha            0.80    >=80% of words contain an alphabetic
+#                                char (engine form: alpha-chars/chars —
+#                                same intent, cheaper and exact-int)
+#   low_stopword         0.02    paper requires >=2 of 8 stop words per
+#                                doc; the ratio form (2 per 100 tokens)
+#                                is the scale-invariant analog
+#   high_digit           0.2     NO paper analog (paper bounds
+#                                symbol-to-word <= 0.1 for #/…); digit
+#                                ratio is this engine's extension for
+#                                numeric-table boilerplate
+#
+# Corpora with different length profiles (the sf* synthetic fixtures,
+# whose docs are shorter than web pages) pass their tuned set
+# EXPLICITLY — see __spark_entry__.GOPHER_FIXTURE_PARAMS.
 def gopher_quality_filter(
     df: DataFrame,
     text_col: str = "text",
-    min_tokens: int = 20,
+    min_tokens: int = 50,
     max_tokens: int = 100_000,
     min_mean_word_len: float = 3.0,
     max_mean_word_len: float = 10.0,
-    min_alpha_ratio: float = 0.7,
+    min_alpha_ratio: float = 0.8,
     min_stopword_ratio: float = 0.02,
     max_digit_ratio: float = 0.2,
 ) -> DataFrame:
@@ -546,6 +565,10 @@ def gopher_quality_filter(
     failed as a stable comma-joined reason string (the audit trail a
     100 TB curation run needs — aggregate reasons per source to see
     what a filter is actually doing before committing to it).
+
+    Defaults are the PAPER's thresholds (see the mapping table above);
+    pass a tuned set explicitly for corpora whose length/charset
+    profile differs from web pages.
 
     Pure map-side arithmetic over text_quality_features (no UDF, no
     shuffle); every predicate is integer arithmetic or an IEEE double

@@ -976,7 +976,8 @@ def test_gopher_quality_filter(spark):
         ],
         "doc_id long, text string",
     )
-    out = {r["doc_id"]: r for r in gopher_quality_filter(df).collect()}
+    tuned = dict(min_tokens=20, min_alpha_ratio=0.7)  # fixture-tuned set
+    out = {r["doc_id"]: r for r in gopher_quality_filter(df, **tuned).collect()}
     assert out[1]["keep"] and out[1]["reasons"] == ""
     assert not out[2]["keep"] and "too_few_tokens" in out[2]["reasons"]
     assert not out[3]["keep"]
@@ -986,6 +987,40 @@ def test_gopher_quality_filter(spark):
     assert out[3]["reasons"].index("low_stopword") < out[3]["reasons"].index(
         "high_digit"
     )
+
+
+def test_gopher_defaults_are_paper_values(spark):
+    """Round-7 pin: the LIBRARY defaults are the published Gopher
+    thresholds (Rae et al. 2021 SA1.1) — min 50 words, max 100k,
+    mean word length 3-10, alpha >= 0.8 — while fixture-tuned runs
+    pass their set explicitly. Both parameter sets pinned here."""
+    import inspect
+
+    from seqtables_spark.pipeline.text import gopher_quality_filter
+
+    sig = inspect.signature(gopher_quality_filter)
+    d = {k: v.default for k, v in sig.parameters.items()}
+    assert d["min_tokens"] == 50          # paper: word count >= 50
+    assert d["max_tokens"] == 100_000     # paper: word count <= 100,000
+    assert d["min_mean_word_len"] == 3.0  # paper: mean word len in [3, 10]
+    assert d["max_mean_word_len"] == 10.0
+    assert d["min_alpha_ratio"] == 0.8    # paper: >=80% words alphabetic
+
+    # behavioral split: a 30-token good doc passes the tuned set
+    # (min 20) but fails the paper default (min 50) as too_few_tokens
+    text = " ".join(["the cat and dog ran to the park that day"] * 3)
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    tuned = gopher_quality_filter(df, min_tokens=20, min_alpha_ratio=0.7)
+    paper = gopher_quality_filter(df)
+    assert tuned.collect()[0]["keep"]
+    r = paper.collect()[0]
+    assert not r["keep"] and "too_few_tokens" in r["reasons"]
+
+    # the entry queries' tuned set matches what their oracles replay
+    import __spark_entry__ as e
+
+    assert e.GOPHER_FIXTURE_PARAMS["min_tokens"] == 20
+    assert e.GOPHER_FIXTURE_PARAMS["min_alpha_ratio"] == 0.7
 
 
 def test_lsh_design():
@@ -1091,7 +1126,9 @@ def test_property_gopher_filter_deterministic_model(spark):
     df = spark.sql(f"SELECT * FROM VALUES {rows} AS t(doc_id, text)")
     got = {
         r["doc_id"]: (r["keep"], r["reasons"])
-        for r in gopher_quality_filter(df).collect()
+        for r in gopher_quality_filter(
+            df, min_tokens=20, min_alpha_ratio=0.7
+        ).collect()
     }
     stop = r"\b(the|and|of|to|is|in|a|that|it|for)\b"
     for i, t in enumerate(texts):
