@@ -101,11 +101,14 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 def _wide(spark: SparkSession, df: DataFrame) -> DataFrame:
     """Restore map parallelism for the compute-bound pipelines: the sf
     parquet files are written as ONE row group, so a scan is one task
-    no matter how many cores (a row group is indivisible). On a real
-    cluster the reader supplies splits and this is a no-op concern;
-    locally, one tiny round-robin exchange of the small corpus lets
-    the downstream per-gram md5 / translate work use every core."""
-    return df.repartition(spark.sparkContext.defaultParallelism)
+    no matter how many cores (a row group is indivisible). Round 7:
+    promoted into the library as operators.widen (with the measured
+    widen-vs-narrow decision rule in its docstring); this wrapper
+    keeps the historical (spark, df) signature used throughout the
+    query harness."""
+    from seqtables_spark.operators.widen import widen
+
+    return widen(df)
 
 
 def _doc_reads(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -35,6 +35,7 @@ from .skew import salted_join
 from .asof import asof_join, asof_join_ranged
 from .ranges import point_in_interval_join
 from .ranks import global_ntile, global_row_number
+from .widen import widen
 
 __all__ = [
     "seq_dist", "seq_dist_with_insertions", "consensus", "consensus_string", "pos_entropy", "seq_bits",
@@ -50,4 +51,5 @@ __all__ = [
     "asof_join", "asof_join_ranged", "point_in_interval_join",
     "global_row_number",
     "global_ntile",
+    "widen",
 ]
