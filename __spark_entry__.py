@@ -2826,6 +2826,35 @@ def q_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_source_overlap_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """source_overlap at MILLION-GROUP scale: candidate pairs from an
+    inverted index on KMV sketch elements (groups sharing a bottom-k
+    hash) instead of enumerating all G^2 pairs; estimator computed
+    JVM-side with built-in array ops. EXACT semantics: equals the
+    all-pairs report filtered to n_shared_sketch >= 1 (a pair with
+    estimator overlap >= 1 necessarily shares a sketch value, so
+    banding cannot miss it) — which is what the oracle replays."""
+    from seqtables_spark.pipeline.dedup import shingle_array
+    from seqtables_spark.pipeline.sketch import (
+        kmv_pairwise_jaccard_banded, kmv_sketch,
+    )
+
+    docs = _wide(spark, _t(spark, sf_dir, "documents"))
+    sh = docs.filter(F.length("text") >= SHINGLE_K).select(
+        "source",
+        F.explode(shingle_array("text", SHINGLE_K)).alias("sh"),
+    )
+    sk = kmv_sketch(sh, "sh", k=128, group_by=["source"])
+    out = kmv_pairwise_jaccard_banded(sk, k=128, min_shared=1)
+    return out.select(
+        "src_a",
+        "src_b",
+        "n_union_sketch",
+        "n_shared_sketch",
+        F.round("jaccard_est", 6).alias("jaccard_est"),
+    )
+
+
 def q_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Training-mix assembly: temperature-scaled source sampling
     (alpha=0.5) — rates from corpus shares (p^alpha renormalized,
@@ -3448,6 +3477,7 @@ _ORACLE_PRIORITY = [
     "dedup_survivors_pref", "redact_pii", "quality_histogram",
     "video_frames", "segment_dedup", "token_budget", "zipf_slope",
     "image_resize", "temperature_mix", "source_overlap",
+    "source_overlap_banded",
     "jsonl_roundtrip", "streaming_index_dedup", "cluster_mix",
     "rollup_revenue", "salted_brand_revenue",
     "asof_skew", "incremental_dedup", "bowtie_distributed",
@@ -3595,6 +3625,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_resize": q_image_resize,
         "temperature_mix": q_temperature_mix,
         "source_overlap": q_source_overlap,
+        "source_overlap_banded": q_source_overlap_banded,
         "jsonl_roundtrip": q_jsonl_roundtrip,
         "pii_scan": q_pii_scan,
         "redact_pii": q_redact_pii,
@@ -6161,6 +6192,11 @@ SELECT n.src_a, n.src_b,
        round(coalesce(s.n_shared, 0) / CAST(n.n_union AS DOUBLE), 6) AS jaccard_est
 FROM nx n LEFT JOIN shared s ON s.src_a = n.src_a AND s.src_b = n.src_b
 """
+
+    # banded variant == all-pairs report filtered to n_shared >= 1
+    sqls["source_overlap_banded"] = (
+        "SELECT * FROM (" + sqls["source_overlap"] + ") WHERE n_shared_sketch >= 1"
+    )
 
     sqls["temperature_mix"] = f"""
 WITH counts AS (SELECT source, count(*) AS n FROM documents GROUP BY source),

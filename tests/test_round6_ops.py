@@ -1120,3 +1120,103 @@ def test_interval_overlap_join_keyed_matches_naive(spark):
         if a[0] < b[0] and a[1] == b[1] and a[2] <= b[3] and b[2] <= a[3]
     )
     assert got == ref
+
+
+def test_kmv_banded_equals_allpairs_filtered(spark):
+    """Round-7: the banded pairwise path is EXACT — identical to the
+    all-pairs estimator filtered to n_shared_sketch >= 1 (banding can
+    only lose pairs that share no sketch value, whose estimator is 0
+    by construction)."""
+    import random
+
+    from seqtables_spark.pipeline.sketch import (
+        kmv_pairwise_jaccard,
+        kmv_pairwise_jaccard_banded,
+        kmv_sketch,
+    )
+
+    rng = random.Random(7)
+    vocab = [f"tok{i}" for i in range(400)]
+    rows = []
+    for g in range(12):
+        base = rng.sample(vocab, 60)
+        for t in base:
+            rows.append((f"grp{g}", t))
+        # overlap block shared by even groups
+        if g % 2 == 0:
+            for t in vocab[:25]:
+                rows.append((f"grp{g}", t))
+    df = spark.createDataFrame(rows, "source string, tok string")
+    sk = kmv_sketch(df, "tok", k=16, group_by=["source"])
+
+    def key(rows_):
+        return {
+            (r["src_a"], r["src_b"]): (
+                r["n_union_sketch"],
+                r["n_shared_sketch"],
+                round(r["jaccard_est"], 9),
+            )
+            for r in rows_
+        }
+
+    allp = key(
+        r for r in kmv_pairwise_jaccard(sk, k=16).collect()
+        if r["n_shared_sketch"] >= 1
+    )
+    band = key(kmv_pairwise_jaccard_banded(sk, k=16).collect())
+    assert band == allp and len(band) > 0
+
+
+def test_kmv_banded_min_shared_and_guards(spark):
+    from seqtables_spark.pipeline.sketch import (
+        kmv_pairwise_jaccard_banded, kmv_sketch,
+    )
+    import pytest as _pytest
+
+    rows = (
+        [("a", f"x{i}") for i in range(30)]
+        + [("b", f"x{i}") for i in range(30)]      # b == a
+        + [("c", f"y{i}") for i in range(30)]      # c disjoint
+        + [("d", "x0")] + [("d", f"z{i}") for i in range(29)]  # d: 1 shared
+    )
+    df = spark.createDataFrame(rows, "source string, tok string")
+    sk = kmv_sketch(df, "tok", k=8, group_by=["source"])
+    got = {
+        (r["src_a"], r["src_b"]): r["n_shared_sketch"]
+        for r in kmv_pairwise_jaccard_banded(sk, k=8).collect()
+    }
+    # disjoint c never becomes a candidate; identical a/b fully shared
+    assert ("a", "b") in got and got[("a", "b")] == 8
+    assert not any("c" in p for p in got)
+    # raising min_shared prunes the weak pair
+    strict = {
+        (r["src_a"], r["src_b"])
+        for r in kmv_pairwise_jaccard_banded(sk, k=8, min_shared=4).collect()
+    }
+    assert strict == {("a", "b")}
+    with _pytest.raises(ValueError, match="min_shared"):
+        kmv_pairwise_jaccard_banded(sk, k=8, min_shared=0)
+
+
+def test_kmv_banded_hot_hash_guard(spark):
+    """max_groups_per_hash drops hotter-than-cap hash values before
+    pairing (documented recall trade): groups whose ONLY shared
+    sketch values are hot lose candidacy."""
+    from seqtables_spark.pipeline.sketch import (
+        kmv_pairwise_jaccard_banded, kmv_sketch,
+    )
+
+    # every group shares boilerplate token "hot"; nothing else shared
+    rows = []
+    for g in range(6):
+        rows.append((f"g{g}", "hot"))
+        rows += [(f"g{g}", f"u{g}_{i}") for i in range(10)]
+    df = spark.createDataFrame(rows, "source string, tok string")
+    sk = kmv_sketch(df, "tok", k=16, group_by=["source"])
+    full = kmv_pairwise_jaccard_banded(sk, k=16).collect()
+    assert len(full) == 15  # all pairs share exactly the hot hash
+    assert all(r["n_shared_sketch"] == 1 for r in full)
+    capped = kmv_pairwise_jaccard_banded(
+        sk, k=16, max_groups_per_hash=3
+    ).collect()
+    assert capped == []  # the hot hash was their only bridge
