@@ -1888,6 +1888,48 @@ def q_bam_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df.select("header", "flag", "pos", "cigar", "seq", "qual")
 
 
+BAM_REGION_START = 150   # 0-based half-open fetch window
+BAM_REGION_END = 400
+
+
+def q_bam_region(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Indexed BAM region fetch (reference from_pysam fetch_args,
+    seqtables/core/seqtables.py:226-283 — pysam fetch(contig, start,
+    end) semantics): write a COORDINATE-SORTED BAM (read i at pos0 =
+    3*i), build the region-chunk manifest (the relational .bai
+    analog: coordinate-bounded virtual offsets), and fetch only reads
+    overlapping [150, 400) on ref1. The manifest filter prunes chunks
+    BEFORE any decode — the IO assertion that pruned fetch inflates
+    strictly fewer BGZF members than a scan is pinned in
+    tests/test_bam.py::test_region_fetch_reads_fewer_bytes_than_full_scan.
+    Oracle replays the overlap predicate on the same derived reads."""
+    from seqtables_spark.sources.bam import encode_bam, read_bam_region
+
+    reads = _doc_reads(spark, sf_dir)
+    rid = F.col("read_id").cast("long")
+    nt = _acgt24()
+    rows = (
+        reads.filter(rid < _BAM_RT_CAP)
+        .select("read_id", nt.alias("seq"), "qual")
+        .orderBy(rid)
+        .limit(_BAM_RT_CAP)
+        .collect()
+    )
+    records = [
+        (r["read_id"], 0, "ref1", 3 * int(r["read_id"]) + 1, 60,
+         f"{len(r['seq'])}M", r["seq"], r["qual"])
+        for r in rows
+    ]
+    path = _rt_tmp("seqtables_bam_region", sf_dir, ".bam")
+    with open(path, "wb") as fh:
+        fh.write(encode_bam(records, [("ref1", 3 * len(records) + 30)]))
+    df = read_bam_region(
+        spark, path, "ref1", BAM_REGION_START, BAM_REGION_END,
+        records_per_chunk=64,
+    )
+    return df.select("header", "pos", "cigar", "seq", "qual")
+
+
 BOWTIE_REF_DOCS = 16  # first N docs' ACGT seqs concatenate into the reference
 
 
@@ -3484,7 +3526,7 @@ _ORACLE_PRIORITY = [
     "curate_corpus", "curate_full", "duplicate_spans",
     "streaming_near_dup_ttl",
     "training_shards",
-    "sam_roundtrip", "bam_roundtrip", "fastq_roundtrip",
+    "sam_roundtrip", "bam_roundtrip", "bam_region", "fastq_roundtrip",
     "perplexity_scores", "small_quantity_revenue",
     "pending_orders_priority", "customer_setops",
     "bowtie_align", "streaming_near_dup", "curate_full",
@@ -3659,6 +3701,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pending_orders_priority": q_pending_orders_priority,
         "sam_roundtrip": q_sam_roundtrip,
         "bam_roundtrip": q_bam_roundtrip,
+        "bam_region": q_bam_region,
         "bowtie_align": q_bowtie_align,
         "bowtie_distributed": q_bowtie_distributed,
         "rollup_revenue": q_rollup_revenue,
@@ -5100,6 +5143,27 @@ SELECT CAST(doc_id AS VARCHAR) AS header,
        seq, qual
 FROM per_doc
 WHERE doc_id < {_BAM_RT_CAP}
+"""
+
+    # region fetch: same derived reads at pos0 = 3*doc_id, exact
+    # half-open overlap predicate on [start, end)
+    sqls["bam_region"] = f"""
+WITH {_SQL_DOC_QCELLS},
+per_doc AS (
+  SELECT doc_id,
+         string_agg(substring('ACGT', ascii(base) % 4 + 1, 1),
+                    '' ORDER BY position) AS seq,
+         string_agg(chr(ascii(base) % 40 + 33), '' ORDER BY position) AS qual
+  FROM doc_cells GROUP BY doc_id
+)
+SELECT CAST(doc_id AS VARCHAR) AS header,
+       CAST(3 * doc_id + 1 AS BIGINT) AS pos,
+       '{W}M' AS cigar,
+       seq, qual
+FROM per_doc
+WHERE doc_id < {_BAM_RT_CAP}
+  AND 3 * doc_id < {BAM_REGION_END}
+  AND 3 * doc_id + {W} > {BAM_REGION_START}
 """
 
     # bowtie_align: the stub aligner's decision rule is exact
