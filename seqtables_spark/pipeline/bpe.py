@@ -112,6 +112,8 @@ def train_bpe(
     num_merges: int = 8,
     text_col: str = "text",
     max_local_vocab: int | None = 1_000_000,
+    fold_every: int = 16,
+    on_round=None,
 ) -> list[dict]:
     """Learn `num_merges` BPE merge rules from a corpus.
 
@@ -126,13 +128,24 @@ def train_bpe(
     merge loop runs locally (a million-word vocab is a few tens of
     MB — this is how production BPE trainers work: aggregate counts,
     iterate in memory); above the cap the rounds run as Spark jobs
-    over the cached vocab relation (round r applies r accumulated
-    literal replaces — O(num_merges^2) rewrites over the small
-    relation in total). Both paths are the same greedy algorithm with
-    ties on pair count broken by (lhs, rhs) ascending — fully
-    deterministic, oracle-replayable, and pinned equal to each other
-    in tests. Pass max_local_vocab=None/0 to force the distributed
-    rounds.
+    over the cached vocab relation. Both paths are the same greedy
+    algorithm with ties on pair count broken by (lhs, rhs) ascending
+    — fully deterministic, oracle-replayable, and pinned equal to
+    each other in tests. Pass max_local_vocab=None/0 to force the
+    distributed rounds. `on_round(rank, seconds)` (distributed path
+    only) reports per-round wall time — the measurement hook the
+    SCALING.md replace-chain sweep uses.
+
+    `fold_every` (distributed rounds only): round r naively applies r
+    accumulated literal replaces over the cached base relation —
+    O(num_merges^2) rewrite work and an ever-deepening plan (the
+    replace-chain growth VERDICT r6 #2 flagged). Every `fold_every`
+    rounds the current vocab relation is MATERIALIZED
+    (localCheckpoint, eager) so the chain restarts from the folded
+    cells: at most fold_every replaces are ever stacked on a scan,
+    making per-round cost flat in num_merges at the price of one
+    small-relation materialization per fold (measured at 20k-word
+    vocab / 64 merges in SCALING.md "BPE replace-chain fold").
     """
     base = word_vocab(df, text_col).withColumn(
         "cells", _char_cells(F.col("word"))
@@ -150,7 +163,10 @@ def train_bpe(
             return _train_local(local, num_merges)
     try:
         cells = F.col("cells")
+        import time as _time
+
         for rank in range(1, num_merges + 1):
+            _t0 = _time.perf_counter()
             ts = F.split(F.btrim(F.col("cells"), F.lit("<>")), "><")
             pairs = (
                 vocab.select(
@@ -183,6 +199,13 @@ def train_bpe(
                 "cells",
                 F.replace(cells, F.lit(f"<{l}><{r}>"), F.lit(f"<{l}{r}>")),
             )
+            if fold_every and rank % int(fold_every) == 0:
+                # fold the accumulated replaces into a materialized
+                # relation: truncates both the O(rank) rewrite chain
+                # and the plan lineage (iterative-loop rule)
+                vocab = vocab.localCheckpoint(eager=True)
+            if on_round is not None:
+                on_round(rank, _time.perf_counter() - _t0)
     finally:
         # unpersist the BASE relation (the loop's vocab is a child
         # plan over it, so every round reused the cached scan)

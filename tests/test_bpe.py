@@ -201,3 +201,16 @@ def test_bpe_vocab_matches_reference(spark):
         for r in bpe_vocab(_mkdocs(spark), rules).collect()
     }
     assert got == dict(ref)
+
+
+@pytest.mark.parametrize("fold", [1, 2, 16, 0])
+def test_train_fold_every_identical_rules(spark, fold):
+    """Round-7: the replace-chain fold (localCheckpoint every
+    fold_every rounds) is a PLAN transformation only — rules are
+    identical at any fold cadence, including folding every round and
+    never folding. 20 merges crosses several fold boundaries."""
+    ref = _ref_train(CORPUS, 20)
+    got = train_bpe(
+        _mkdocs(spark), num_merges=20, max_local_vocab=0, fold_every=fold
+    )
+    assert got == ref
