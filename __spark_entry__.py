@@ -2517,7 +2517,12 @@ def q_gopher_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 SESSION_GAP_US = 30 * 60 * 1_000_000  # 30-minute gap, microsecond domain
-OVERLAP_BIN_US = 60 * 60 * 1_000_000  # 1-hour overlap-join bins
+# Overlap-join bin width: 15 min is the measured knee on the sf0.1
+# session distribution (avg span 43 s, max 67 min) — narrower bins cut
+# the per-bin candidate cross product faster than they grow the
+# replication (sweep table in SCALING.md "session_overlap bin width";
+# 5min 0.70s / 15min 0.55s / 1h 0.97s / 12h 3.8s, identical output).
+OVERLAP_BIN_US = 15 * 60 * 1_000_000
 
 
 def q_session_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
