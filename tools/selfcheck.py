@@ -339,6 +339,35 @@ def main():
             n_ok += 1
         print(f"{mark:18s} {name:24s} {dt:6.1f}s  {detail[:160]}")
     print(f"{n_ok}/{len(results)} OK")
+
+    # SELFCHECK.json (VERDICT r6 #8): commit-able staleness audit —
+    # one section per sf_dir, every run stamps when each query was
+    # last differentially verified. FULL runs (no query filter)
+    # replace their section; filtered runs update just their entries.
+    out = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "SELFCHECK.json",
+    )
+    try:
+        with open(out) as fh:
+            artifact = json.load(fh)
+    except Exception:
+        artifact = {}
+    sec = artifact.setdefault(sf_dir, {}) if only else {}
+    stamp = time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime())
+    for name, (status, detail, dt) in results.items():
+        sec[name] = {
+            "status": status, "detail": detail[:200],
+            "secs": round(dt, 2), "checked_at": stamp,
+        }
+    artifact[sf_dir] = sec
+    artifact.setdefault("_meta", {})["last_run"] = {
+        "sf_dir": sf_dir, "at": stamp, "n_queries": len(results),
+        "n_ok": n_ok, "full": not only,
+    }
+    with open(out, "w") as fh:
+        json.dump(artifact, fh, indent=1, sort_keys=True)
+    print(f"artifact -> {out}")
     spark.stop()
     return 0 if n_ok == len(results) else 1
 
