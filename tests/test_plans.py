@@ -460,3 +460,55 @@ def test_segment_dedup_no_global_window_and_partial_countdistinct(spark):
     assert "Window" not in plan  # rebuild is groupBy+array_sort, not a window
     assert "partial_count" in plan or "partial_" in plan
     assert "LeftAnti" in plan
+
+
+def test_kmv_banded_is_equi_join_no_cartesian(spark):
+    """Round-7 banded KMV pairwise Jaccard: candidate generation must
+    be a plain equi-join on the sketch hash value (SortMergeJoin or
+    ShuffledHashJoin with a join key — never Cartesian/BNLJ), and the
+    estimator must be built-in array ops (no python UDF stage)."""
+    from seqtables_spark.pipeline.sketch import (
+        kmv_pairwise_jaccard_banded, kmv_sketch,
+    )
+
+    df = spark.createDataFrame(
+        [(f"g{i % 5}", f"t{i}") for i in range(200)],
+        "source string, tok string",
+    )
+    sk = kmv_sketch(df, "tok", k=8, group_by=["source"])
+    plan = _plan(kmv_pairwise_jaccard_banded(sk, k=8))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "PythonUDF" not in plan and "mapInPandas" not in plan.lower()
+    # the inverted-index join keys on the exploded hash value
+    assert "__h__" in plan
+
+
+def test_bam_region_filters_manifest_before_decode(spark, tmp_path):
+    """Round-7 indexed BAM fetch: the coordinate filter must sit
+    BELOW the chunk-decoding python stage (prune-then-decode), i.e.
+    the decode mapInPandas consumes an already-filtered manifest, and
+    the decoded relation carries the exact overlap Filter above it."""
+    from seqtables_spark.sources.bam import encode_bam, read_bam_region
+
+    recs = [
+        (f"r{i}", 0, "ref1", 1 + 3 * i, 60, "4M", "ACGT", "IIII")
+        for i in range(50)
+    ]
+    p = str(tmp_path / "plan.bam")
+    with open(p, "wb") as fh:
+        fh.write(encode_bam(recs, [("ref1", 500)]))
+    df = read_bam_region(spark, p, "ref1", 10, 40, records_per_chunk=8)
+    plan = _plan(df)
+    # two python stages: index (builds manifest) then decode; the
+    # rname/min_pos/max_end Filter must appear BETWEEN them — i.e.
+    # after the first python eval, before the second
+    first_py = plan.find("ArrowEvalPython") if "ArrowEvalPython" in plan else plan.find("MapInPandas")
+    assert "MapInPandas" in plan
+    assert "min_pos" in plan and "max_end" in plan  # manifest pruning present
+    # decode stage's child subtree contains the manifest filter:
+    # string order in executedPlan is top-down, so the exact-overlap
+    # filter (on cigar) appears ABOVE, the manifest filter BELOW the
+    # topmost MapInPandas
+    top_map = plan.index("MapInPandas")
+    assert "min_pos" in plan[top_map:], "manifest filter must feed the decode stage"
