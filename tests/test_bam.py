@@ -372,3 +372,89 @@ def test_bam_region_manifest_persist_and_reuse(spark, tmp_path):
         1 for r in recs
         if r[2] == "ref1" and r[3] - 1 < 300 and r[3] - 1 + 24 > 100
     )
+
+
+def test_region_fetch_property_random_cigars_and_windows():
+    """Property (codec-level, no Spark): for random coordinate-sorted
+    records with mixed CIGARs (I/S consume no reference; M/D/N/=/X
+    do) and random windows, manifest-pruned decode + exact overlap
+    == brute-force filter of a full decode. Pins both the per-chunk
+    bounds math and the ref-consumed-length arithmetic."""
+    import gzip as _gz
+    import random
+    import re as _re
+
+    from seqtables_spark.sources.bam import (
+        decode_bam_range,
+        index_bam_region_chunks,
+        _parse_header,
+    )
+
+    rng = random.Random(1234)
+    contigs = ["c1", "c2"]
+    recs = []
+    ridx = 0
+    for contig in contigs:
+        pos = 1
+        for _ in range(rng.randint(150, 250)):
+            pos += rng.randint(0, 40)
+            # random cigar over a 12-base read
+            parts, read_left = [], 12
+            if rng.random() < 0.3:
+                s = rng.randint(1, 4)
+                parts.append(f"{s}S")
+                read_left -= s
+            m1 = rng.randint(1, max(1, read_left - 1))
+            parts.append(f"{m1}M")
+            read_left -= m1
+            if rng.random() < 0.4:
+                parts.append(f"{rng.randint(1, 30)}{rng.choice('DN')}")
+            if read_left > 1 and rng.random() < 0.4:
+                i = rng.randint(1, read_left - 1)
+                parts.append(f"{i}I")
+                read_left -= i
+            if read_left > 0:
+                parts.append(f"{read_left}M")
+            cigar = "".join(parts)
+            seq = "".join(rng.choice("ACGT") for _ in range(12))
+            recs.append(
+                (f"q{ridx:05d}", 0, contig, pos, 60, cigar, seq, "I" * 12)
+            )
+            ridx += 1
+    data = encode_bam(recs, [(c, 100_000) for c in contigs])
+
+    def ref_len(cigar):
+        return sum(
+            int(n) for n, op in _re.findall(r"(\d+)([MIDNSHP=X])", cigar)
+            if op in "MDN=X"
+        )
+
+    specs = index_bam_region_chunks(data, records_per_chunk=37)
+    assert sum(s[2] for s in specs) == len(recs)
+    refs = _parse_header(_gz.decompress(data))[0]
+
+    import io
+
+    for _ in range(25):
+        contig = rng.choice(contigs)
+        start = rng.randint(0, 2000)
+        end = start + rng.randint(1, 800)
+        hit = [
+            s for s in specs
+            if s[3] == contig and s[4] < end and s[5] > start
+        ]
+        f = io.BytesIO(data)
+        got = []
+        for comp_off, uoff, n, *_ in hit:
+            for r in decode_bam_range(f, comp_off, uoff, n, refs):
+                pos0 = r[3] - 1
+                end0 = pos0 + max(ref_len(r[5]), 1)
+                if r[2] == contig and pos0 < end and end0 > start:
+                    got.append(r[0])
+        want = [
+            r[0] for r in recs
+            if r[2] == contig
+            and r[3] - 1 < end
+            and (r[3] - 1 + max(ref_len(r[5]), 1)) > start
+        ]
+        assert sorted(got) == sorted(want), (contig, start, end)

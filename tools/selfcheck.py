@@ -301,6 +301,21 @@ def main():
             except Exception:
                 baseline = None
         report = perf_gate(spark, con, entry, names, sf_dir, baseline)
+        if only and baseline is not None:
+            # filtered run: MERGE into the committed artifact instead
+            # of replacing it (round-7 fix — a 3-query re-time used to
+            # clobber the whole-suite report)
+            merged = dict(baseline)
+            merged["queries"] = {
+                **baseline.get("queries", {}), **report["queries"]
+            }
+            merged["flagged"] = [
+                n for n in baseline.get("flagged", []) if n not in names
+            ] + report["flagged"]
+            merged.update(
+                {k: report[k] for k in ("sf_dir", "regress_bar", "regress_abs_s")}
+            )
+            report = merged
         with open(out, "w") as fh:
             json.dump(report, fh, indent=1, sort_keys=True)
         print("\n" + "=" * 72)
