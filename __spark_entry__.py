@@ -3470,6 +3470,58 @@ def q_event_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+QSKETCH_K = 256
+QSKETCH_PS = (0.5, 0.9, 0.99)
+
+
+def q_value_quantiles_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-quantiles: per-type value percentiles from a
+    DETERMINISTIC bottom-k-by-hash uniform sample (pipeline/sketch.py
+    hash_sample -> sample_quantiles) — the mergeable, engine-
+    replayable alternative to approx_percentile whose Spark-private
+    seeds no oracle can reproduce. The sort/collect state is bounded
+    by k per group regardless of corpus size; the sample composes
+    across shards/days (bottom-k of unions). Exact nearest-rank-below
+    arithmetic on both engines."""
+    from seqtables_spark.pipeline.sketch import hash_sample, sample_quantiles
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    ev = _t(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    samp = hash_sample(ev, "event_id", k=QSKETCH_K, group_by=["event_type"])
+    out = sample_quantiles(
+        samp, "value", QSKETCH_PS, group_by=["event_type"], k=QSKETCH_K
+    )
+    return out.select(
+        "event_type",
+        "sample_n",
+        *[
+            F.round(f"p{int(round(p * 100)):02d}", 6).alias(
+                f"p{int(round(p * 100)):02d}"
+            )
+            for p in QSKETCH_PS
+        ],
+    )
+
+
+WSAMPLE_K = 200
+WSAMPLE_SEED = 17
+
+
+def q_weighted_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-k weighted sampling without replacement (Efraimidis-
+    Spirakis A-ES, pipeline/sampling.weighted_sample): documents
+    drawn proportionally to n_chars — the deterministic-hash variant
+    a reproducible training-mix pipeline needs (same sample under
+    task retry / re-run / oracle replay). Selection is a distributed
+    top-k on the row-local A-ES key."""
+    from seqtables_spark.pipeline.sampling import weighted_sample
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
+    return weighted_sample(
+        docs, "n_chars", k=WSAMPLE_K, id_col="doc_id", seed=WSAMPLE_SEED
+    )
+
+
 def q_customer_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ntile decile cut of customers by order revenue (exact cents),
     fully-ordered (revenue desc, custkey) so the cut is deterministic
@@ -3570,6 +3622,7 @@ _ORACLE_PRIORITY = [
     "salted_brand_revenue", "dedup_clusters_star",
     "semantic_dedup", "rollup_revenue", "customers_without_orders",
     "running_revenue", "json_events", "duplicate_spans",
+    "value_quantiles_sketch", "weighted_sample_docs",
     "classifier_score", "curate_corpus", "seq_dist_dense",
 ]
 
@@ -3728,6 +3781,8 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "customers_without_orders": q_customers_without_orders,
         "running_revenue": q_running_revenue,
         "json_events": q_json_events,
+        "value_quantiles_sketch": q_value_quantiles_sketch,
+        "weighted_sample_docs": q_weighted_sample_docs,
         "salted_brand_revenue": q_salted_brand_revenue,
         "asof_purchase_click": q_asof_purchase_click,
         "asof_skew": q_asof_skew,
@@ -6054,6 +6109,40 @@ FROM documents GROUP BY lang
 """
 
     ph_doc = _SQL_PORTABLE_HASH.format(x="CAST(doc_id AS VARCHAR)")
+    ph_event = _SQL_PORTABLE_HASH.format(x="CAST(event_id AS VARCHAR)")
+    ph_wsample = _SQL_PORTABLE_HASH.format(
+        x=f"'{WSAMPLE_SEED}:' || CAST(doc_id AS VARCHAR)"
+    )
+    _q_cols = ", ".join(
+        f"round(vals[CAST(floor({p} * (len(vals) - 1)) AS INTEGER) + 1], 6)"
+        f" AS p{int(round(p * 100)):02d}"
+        for p in QSKETCH_PS
+    )
+    sqls["value_quantiles_sketch"] = f"""
+WITH ranked AS (
+  SELECT event_type, value,
+         row_number() OVER (
+           PARTITION BY event_type
+           ORDER BY {ph_event}, CAST(event_id AS VARCHAR)
+         ) AS rk
+  FROM events
+),
+g AS (
+  SELECT event_type, list_sort(list(value)) AS vals
+  FROM ranked WHERE rk <= {QSKETCH_K} GROUP BY event_type
+)
+SELECT event_type, CAST(len(vals) AS INTEGER) AS sample_n, {_q_cols}
+FROM g
+"""
+
+    sqls["weighted_sample_docs"] = f"""
+SELECT doc_id, source, n_chars
+FROM documents
+WHERE n_chars > 0
+ORDER BY ln((({ph_wsample}) + 1.0) / 2147483648.0) / CAST(n_chars AS DOUBLE) DESC,
+         CAST(doc_id AS VARCHAR) ASC
+LIMIT {WSAMPLE_K}
+"""
     mix_cases = " ".join(
         f"WHEN '{s}' THEN {w!r}" for s, w in sorted(MIX_WEIGHTS.items())
     )

@@ -319,3 +319,60 @@ def temperature_mix(
         .filter(h < F.col("__ppm__"))
         .drop("__ppm__")
     )
+
+
+def weighted_sample(
+    df: DataFrame,
+    weight_col: str,
+    k: int,
+    id_col: str,
+    group_by: tuple[str, ...] = (),
+    seed: int = 17,
+) -> DataFrame:
+    """Weighted sampling WITHOUT replacement, exact k per group —
+    Efraimidis & Spirakis (2006) A-ES: give each row the key
+    ln(u_i) / w_i with u_i uniform in (0,1), keep the k LARGEST keys;
+    the selected set is distributed exactly as sequential weighted
+    draws without replacement. (ln(u)/w descending orders identically
+    to the paper's u^(1/w) since ln is monotone and u < 1 — one
+    transcendental instead of pow.)
+
+    u_i is DETERMINISTIC: (portable_hash(seed:id)+1) / (P+1), so the
+    sample is reproducible across engines/retries/days and an SQL
+    oracle replays it — the property rand()-based samplers cannot
+    give (the same reason salted_join hashes instead of rand()).
+    Caveat of determinism: the sample is fixed for a given (seed,
+    ids, weights); vary `seed` for independent draws.
+
+    Scale shape: the key is a row-local projection; selection is a
+    per-group rank window (ungrouped: Catalyst rewrites the
+    row_number filter to a distributed TakeOrderedAndProject top-k),
+    so no task ever materializes more than its partition's k best.
+    Rows with weight <= 0 or NULL are excluded (zero-weight rows must
+    never appear in a weighted sample; the paper's domain is w > 0).
+
+    Cross-engine float note: ln ULP differences could in principle
+    flip the order of two keys agreeing to ~16 significant digits;
+    ties break on id so the cut is deterministic per engine, and the
+    oracle replays the identical formula — same contract as the pLogo
+    log-sum arithmetic (~1e-13 agreement, tested at the fixture SFs).
+    """
+    from pyspark.sql import Window
+
+    gb = list(group_by)
+    w = F.col(weight_col).cast("double")
+    h = portable_string_hash(
+        F.concat_ws(":", F.lit(str(int(seed))), F.col(id_col).cast("string"))
+    )
+    u = (h + F.lit(1.0)) / F.lit(2147483648.0)  # (0, 1]; ln(1)=0 ok
+    key = F.log(u) / w
+    win = Window.partitionBy(*gb).orderBy(
+        F.col("__aes_key__").desc(), F.col(id_col).cast("string").asc()
+    )
+    return (
+        df.filter(w > 0)
+        .withColumn("__aes_key__", key)
+        .withColumn("__aes_rk__", F.row_number().over(win))
+        .filter(F.col("__aes_rk__") <= int(k))
+        .drop("__aes_key__", "__aes_rk__")
+    )

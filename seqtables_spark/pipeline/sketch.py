@@ -367,3 +367,96 @@ def kmv_pairwise_jaccard_banded(
         (shared.cast("double") / F.size(x)).alias("jaccard_est"),
     )
     return out.filter(F.col("n_shared_sketch") >= int(min_shared))
+
+
+# -------------------------------------- deterministic uniform sample
+
+def hash_sample(
+    df: DataFrame,
+    key_col: str,
+    k: int = 256,
+    group_by: Sequence[str] = (),
+) -> DataFrame:
+    """Deterministic UNIFORM k-row sample per group: the rows whose
+    portable key hash is among the k smallest — the bottom-k order
+    statistics of a uniform hash ARE a uniform sample of the keys,
+    which is the same principle the KMV sketch counts with, kept as
+    ROWS (all columns survive) instead of a hash array.
+
+    The properties that matter at 100 TB:
+      - DETERMINISTIC: same keys -> same sample, on any engine, under
+        task retry, across days — a SQL oracle replays it exactly
+        (no rand(), no reservoir state).
+      - MERGEABLE: bottom-k of a union == bottom-k of the per-shard
+        bottom-k's, so per-partition / per-day samples fold without
+        revisiting raw data — re-apply hash_sample to concatenated
+        samples.
+      - DISTRIBUTED: rank-by-hash is a per-group window that
+        Catalyst's InferWindowGroupLimit rewrites to a group-limit
+        (ungrouped: TakeOrderedAndProject) — no task holds more than
+        its partition's top-k.
+
+    Sampling is BY KEY: duplicate key_col values collapse to whichever
+    row ranks first (ties broken by the key string) — pass a unique id
+    for row-level sampling. 31-bit hash collisions (~n^2/2^32) only
+    perturb tie order, never determinism."""
+    from pyspark.sql import Window
+
+    gb = list(group_by)
+    h = portable_string_hash(F.col(key_col).cast("string"))
+    w = Window.partitionBy(*gb).orderBy(
+        h.asc(), F.col(key_col).cast("string").asc()
+    )
+    return (
+        df.withColumn("__rk__", F.row_number().over(w))
+        .filter(F.col("__rk__") <= int(k))
+        .drop("__rk__")
+    )
+
+
+def sample_quantiles(
+    df: DataFrame,
+    value_col: str,
+    probs: Sequence[float],
+    group_by: Sequence[str] = (),
+    k: int | None = None,
+) -> DataFrame:
+    """Quantiles of a (bounded) sample relation — the second half of
+    the sketch-quantile pattern: hash_sample(k) -> sample_quantiles.
+    Error vs the population quantile is the usual O(1/sqrt(k)) of a
+    uniform sample; k=256 gives ~6% rank error, k=4096 ~1.5%.
+
+    Computed with EXPLICIT nearest-rank-below arithmetic
+    (sorted[floor(p*(n-1))+1], 1-indexed) rather than an engine
+    quantile function, so any SQL engine replays it bit-for-bit —
+    engine quantile implementations disagree on interpolation, this
+    arithmetic cannot. collect_list is bounded by the sample size
+    (pass k to enforce that contract: a group larger than k fails the
+    query rather than silently holding unbounded agg state — the
+    guard rides the sample_n output column, so it cannot be pruned)."""
+    gb = list(group_by)
+    arr = F.sort_array(F.collect_list(F.col(value_col)))
+    agg = df.groupBy(*gb).agg(arr.alias("__vals__"))
+    n = F.size(F.col("__vals__"))
+    n_out = n
+    if k is not None:
+        n_out = F.when(
+            n > int(k),
+            F.raise_error(
+                F.concat(
+                    F.lit(
+                        "sample_quantiles: group exceeds declared "
+                        f"sample bound k={int(k)}: n="
+                    ),
+                    n.cast("string"),
+                )
+            ).cast("int"),
+        ).otherwise(n)
+    cols = [
+        F.element_at(
+            "__vals__",
+            (F.floor(F.lit(float(p)) * (n - 1)) + 1).cast("int"),
+        ).alias(f"p{int(round(p * 100)):02d}")
+        for p in probs
+    ]
+    return agg.select(*gb, n_out.cast("int").alias("sample_n"), *cols)

@@ -93,6 +93,11 @@ PERF_ADJUDICATED = {
     "segment_dedup": "segs subtree evaluates on both anti-join sides (Catalyst has no common-subtree dedup) + rebuild agg; gap = stage floor over 3 cheap scans",
     "temperature_mix": "rate build + filtered count are two corpus passes by construction; gap = stage floor",
     "source_overlap": "sketch build = corpus md5 + distinct exchange (duck's vectorized md5 ~3x faster); pairwise stage is one bounded task (see kmv_pairwise_jaccard docstring)",
+    "bam_region": "fixture harness: driver-side BAM write + inline region index + decode (real file I/O both engines); the pruning win is pinned codec-level in tests/test_bam.py",
+    "warc_gz_roundtrip": "real file I/O fixture harness (per-record gzip members)",
+    "consensus_ins": "mapInArrow fixture round-trip + interleave join on a 6-row result; stage floor",
+    "seq_dist_dense": "alternate Arrow-partials physical plan (bincount kernel) + the qual-derivation HOF in the reads fixture; the kernel's scale throughput is the SCALING.md head-to-head, the fixture floor is not it",
+    "json_events": "per-row JVM JSON tokenize vs DuckDB's vectorized json_extract; parse-once + widen shipped r7 (SCALING.md), remainder is 2-stage dispatch floor",
     "session_overlap": "r7 sweep (SCALING.md 'session_overlap bin width'): join+agg knee at 15min bins (0.55s vs 0.97s at 1h, shipped); remaining gap is the sessionize window shuffle + 4-stage dispatch vs DuckDB's single fused window+IEJoin pipeline on 95k sessions — full query warm 1.15s vs duck 0.09s, structural floor, shrinks at scale (pairs grow with concurrency, dispatch does not)",
     "bpe_merges": "iterative trainer runs its 8 rounds eagerly at plan build (drain convention); the timed relation is the 8-row rule table while the oracle's timed SQL replays full training — ratio structurally favors the engine, read it as ~0",
     "bpe_tokens": "training epochs run eagerly (drain convention); timed part is the honest corpus-wide encode (codegen replace chain)",
