@@ -3506,6 +3506,40 @@ def q_value_quantiles_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
 WSAMPLE_K = 200
 WSAMPLE_SEED = 17
 
+CMS_WIDTH = 512
+CMS_DEPTH = 4
+CMS_SEED = 131
+CMS_TOPN = 20
+
+
+def q_token_freq_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min frequency sketch over the corpus token stream
+    (pipeline/sketch.cms_build/cms_estimate): depth x width cells of
+    state estimate any token's frequency with a one-sided error —
+    the heavy-hitter primitive a 100 TB vocab monitor runs where an
+    exact groupBy would hold distinct-token state. Probes the exact
+    top-20 tokens and returns exact vs estimate, so the one-sided
+    overcount contract (est >= exact) is VISIBLE in the result the
+    oracle value-checks cell-for-cell."""
+    from seqtables_spark.pipeline.sketch import cms_build, cms_estimate
+
+    docs = _wide(spark, _t(spark, sf_dir, "documents"))
+    toks = docs.select(
+        F.explode(
+            F.regexp_extract_all(F.lower("text"), F.lit(r"[a-z]+"), 0)
+        ).alias("word")
+    )
+    exact = toks.groupBy("word").agg(F.count(F.lit(1)).alias("exact_cnt"))
+    top = exact.orderBy(F.desc("exact_cnt"), F.asc("word")).limit(CMS_TOPN)
+    cms = cms_build(
+        toks, "word", width=CMS_WIDTH, depth=CMS_DEPTH, seed=CMS_SEED
+    )
+    est = cms_estimate(
+        top.select("word"), cms, "word",
+        width=CMS_WIDTH, depth=CMS_DEPTH, seed=CMS_SEED,
+    )
+    return top.join(est, "word").select("word", "exact_cnt", "est_count")
+
 
 def q_weighted_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact-k weighted sampling without replacement (Efraimidis-
@@ -3622,7 +3656,7 @@ _ORACLE_PRIORITY = [
     "salted_brand_revenue", "dedup_clusters_star",
     "semantic_dedup", "rollup_revenue", "customers_without_orders",
     "running_revenue", "json_events", "duplicate_spans",
-    "value_quantiles_sketch", "weighted_sample_docs",
+    "value_quantiles_sketch", "weighted_sample_docs", "token_freq_cms",
     "classifier_score", "curate_corpus", "seq_dist_dense",
 ]
 
@@ -3783,6 +3817,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "json_events": q_json_events,
         "value_quantiles_sketch": q_value_quantiles_sketch,
         "weighted_sample_docs": q_weighted_sample_docs,
+        "token_freq_cms": q_token_freq_cms,
         "salted_brand_revenue": q_salted_brand_revenue,
         "asof_purchase_click": q_asof_purchase_click,
         "asof_skew": q_asof_skew,
@@ -6142,6 +6177,43 @@ WHERE n_chars > 0
 ORDER BY ln((({ph_wsample}) + 1.0) / 2147483648.0) / CAST(n_chars AS DOUBLE) DESC,
          CAST(doc_id AS VARCHAR) ASC
 LIMIT {WSAMPLE_K}
+"""
+
+    from seqtables_spark.pipeline.hashing import minhash_params as _mp
+    cms_params = _mp(CMS_DEPTH, seed=CMS_SEED)
+    ph_word = _SQL_PORTABLE_HASH.format(x="word")
+    cms_cells = ", ".join(
+        f"struct_pack(j := {j}, bucket := (({a} * h + {b}) % 2147483647) % {CMS_WIDTH})"
+        for j, (a, b) in enumerate(cms_params)
+    )
+    sqls["token_freq_cms"] = f"""
+WITH toks AS (
+  SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS word
+  FROM documents
+),
+hw AS (SELECT word, {ph_word} AS h FROM toks),
+cells AS (
+  SELECT c.j AS j, c.bucket AS bucket FROM (
+    SELECT unnest([{cms_cells}]) AS c FROM hw
+  )
+),
+cms AS (SELECT j, bucket, count(*) AS cnt FROM cells GROUP BY j, bucket),
+exact AS (SELECT word, count(*) AS exact_cnt FROM toks GROUP BY word),
+top AS (
+  SELECT word, exact_cnt FROM exact
+  ORDER BY exact_cnt DESC, word ASC LIMIT {CMS_TOPN}
+),
+probe AS (
+  SELECT t.word, t.exact_cnt, c.j AS j, c.bucket AS bucket FROM (
+    SELECT word, exact_cnt, {ph_word.replace("word", "t0.word")} AS h
+    FROM top t0
+  ) t, LATERAL (SELECT unnest([{cms_cells}]) AS cc) l,
+  LATERAL (SELECT l.cc.j AS j, l.cc.bucket AS bucket) c
+)
+SELECT p.word, p.exact_cnt,
+       CAST(min(coalesce(m.cnt, 0)) AS BIGINT) AS est_count
+FROM probe p LEFT JOIN cms m ON m.j = p.j AND m.bucket = p.bucket
+GROUP BY p.word, p.exact_cnt
 """
     mix_cases = " ".join(
         f"WHEN '{s}' THEN {w!r}" for s, w in sorted(MIX_WEIGHTS.items())

@@ -460,3 +460,108 @@ def sample_quantiles(
         for p in probs
     ]
     return agg.select(*gb, n_out.cast("int").alias("sample_n"), *cols)
+
+
+# ---------------------------------------------------- Count-Min sketch
+
+def cms_build(
+    df: DataFrame,
+    col: str,
+    width: int = 1024,
+    depth: int = 4,
+    seed: int = 131,
+    weight_col: str | None = None,
+) -> DataFrame:
+    """Count-Min sketch (Cormode & Muthukrishnan 2005) as a RELATION:
+    DF(j, bucket, cnt) with depth x width cells — frequency estimates
+    for any key with additive error <= e*N/width at confidence
+    1-(1/2)^depth, in depth*width cells of state regardless of corpus
+    size (the third leg of the sketch family: KMV counts distincts,
+    Bloom answers membership, CMS answers frequency).
+
+    Same portability contract as the rest of the family: buckets come
+    from Carter-Wegman hashes of the portable 31-bit key hash, so the
+    sketch is DETERMINISTIC and a SQL oracle replays every cell.
+    MERGEABLE cell-wise: union corpora = sum cnt per (j, bucket) —
+    see cms_merge. Build cost: one map-side explode (depth rows/key)
+    into a (j, bucket) agg bounded by depth*width.
+
+    weight_col: optional per-row increment (e.g. token counts already
+    aggregated) instead of +1."""
+    h = portable_string_hash(F.col(col).cast("string"))
+    params = minhash_params(depth, seed=seed)
+    w = (
+        F.col(weight_col).cast("long")
+        if weight_col is not None
+        else F.lit(1).cast("long")
+    )
+    pairs = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(j).alias("j"),
+                    (
+                        (F.lit(a) * h + F.lit(b))
+                        % F.lit(HASH_PRIME)
+                        % F.lit(int(width))
+                    ).alias("bucket"),
+                )
+                for j, (a, b) in enumerate(params)
+            ]
+        )
+    ).alias("cell")
+    return (
+        df.select(pairs, w.alias("__w__"))
+        .select(F.col("cell.j").alias("j"), F.col("cell.bucket").alias("bucket"), "__w__")
+        .groupBy("j", "bucket")
+        .agg(F.sum("__w__").alias("cnt"))
+    )
+
+
+def cms_merge(sketches: DataFrame) -> DataFrame:
+    """Merge CMS relations built with the SAME (width, depth, seed):
+    cell-wise sum. Per-day/per-shard sketches fold without touching
+    raw data."""
+    return sketches.groupBy("j", "bucket").agg(F.sum("cnt").alias("cnt"))
+
+
+def cms_estimate(
+    probes: DataFrame,
+    cms: DataFrame,
+    col: str,
+    width: int = 1024,
+    depth: int = 4,
+    seed: int = 131,
+) -> DataFrame:
+    """Point-frequency estimates for the probe keys: est = min over
+    the depth rows of the probed cells (never an undercount;
+    overcounts by colliding keys' mass). The sketch (<= depth*width
+    rows) broadcasts; per probe the plan is depth broadcast lookups +
+    a min — probing a million keys against a 100 TB corpus's sketch
+    is a map-side job."""
+    if depth < 1:
+        raise ValueError("depth must be >= 1")
+    h = portable_string_hash(F.col(col).cast("string"))
+    params = minhash_params(depth, seed=seed)
+    cell = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(j).alias("j"),
+                    (
+                        (F.lit(a) * h + F.lit(b))
+                        % F.lit(HASH_PRIME)
+                        % F.lit(int(width))
+                    ).alias("bucket"),
+                )
+                for j, (a, b) in enumerate(params)
+            ]
+        )
+    ).alias("cell")
+    probed = probes.select(F.col(col), cell).select(
+        col, F.col("cell.j").alias("j"), F.col("cell.bucket").alias("bucket")
+    )
+    joined = probed.join(F.broadcast(cms), ["j", "bucket"], "left")
+    return joined.groupBy(col).agg(
+        F.min(F.coalesce("cnt", F.lit(0))).cast("long").alias("est_count")
+    )

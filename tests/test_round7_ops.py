@@ -182,3 +182,62 @@ def test_hash_sample_plan_is_group_limited(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "WindowGroupLimit" in plan
+
+
+def test_cms_one_sided_error_and_merge(spark):
+    """CMS contract: est >= exact for EVERY key (never undercount);
+    merged per-shard sketches == whole-corpus sketch cell-for-cell;
+    wide sketches estimate heavy keys near-exactly."""
+    from seqtables_spark.pipeline.sketch import (
+        cms_build, cms_estimate, cms_merge,
+    )
+
+    rows = [(i, f"k{i % 97}") for i in range(3000)] + [
+        (3000 + i, "hot") for i in range(500)
+    ]
+    df = spark.createDataFrame(rows, "rid long, word string")
+    exact = {
+        r["word"]: r["n"]
+        for r in df.groupBy("word").agg(F.count("*").alias("n")).collect()
+    }
+    cms = cms_build(df, "word", width=256, depth=4)
+    probes = df.select("word").distinct()
+    est = {
+        r["word"]: r["est_count"]
+        for r in cms_estimate(probes, cms, "word", width=256, depth=4).collect()
+    }
+    assert set(est) == set(exact)
+    assert all(est[k] >= exact[k] for k in exact)  # one-sided
+    assert est["hot"] >= 500
+    # mergeability: two half-corpus sketches fold to the whole's cells
+    # (deterministic split on the row id)
+    h1 = cms_build(df.filter("rid % 2 = 0"), "word", width=256, depth=4)
+    h2 = cms_build(df.filter("rid % 2 = 1"), "word", width=256, depth=4)
+    merged = {
+        (r["j"], r["bucket"]): r["cnt"]
+        for r in cms_merge(h1.unionByName(h2)).collect()
+    }
+    whole = {(r["j"], r["bucket"]): r["cnt"] for r in cms.collect()}
+    assert merged == whole
+
+
+def test_cms_weighted_build(spark):
+    """weight_col: pre-aggregated (key, count) relations build the
+    same sketch as the raw stream."""
+    from seqtables_spark.pipeline.sketch import cms_build
+
+    raw = spark.createDataFrame(
+        [("a",)] * 5 + [("b",)] * 3, "word string"
+    )
+    agg = spark.createDataFrame([("a", 5), ("b", 3)], "word string, n long")
+    s_raw = {
+        (r["j"], r["bucket"]): r["cnt"]
+        for r in cms_build(raw, "word", width=64, depth=3).collect()
+    }
+    s_agg = {
+        (r["j"], r["bucket"]): r["cnt"]
+        for r in cms_build(
+            agg, "word", width=64, depth=3, weight_col="n"
+        ).collect()
+    }
+    assert s_raw == s_agg
