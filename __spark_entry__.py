@@ -3503,6 +3503,70 @@ def q_value_quantiles_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_streaming_token_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Count-Min sketch AS STREAMING STATE: token cells are a
+    stateless row-local projection, so the per-(j, bucket) counts run
+    as a complete-mode streaming aggregation whose state is bounded
+    by depth x width CELLS — a frequency monitor over an unbounded
+    stream with constant memory, the property that makes sketches the
+    right streaming aggregates. The drained sketch is then probed in
+    batch with the exact top-20 tokens; output (and oracle) are
+    IDENTICAL to the batch token_freq_cms — one availableNow drain
+    sees exactly the batch corpus, and the sketch is deterministic."""
+    from seqtables_spark.pipeline.hashing import (
+        HASH_PRIME as _P, minhash_params, portable_string_hash,
+    )
+    from seqtables_spark.pipeline.sketch import cms_estimate
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+    )
+    toks = stream.select(
+        F.explode(
+            F.regexp_extract_all(F.lower("text"), F.lit(r"[a-z]+"), 0)
+        ).alias("word")
+    )
+    h = portable_string_hash(F.col("word"))
+    params = minhash_params(CMS_DEPTH, seed=CMS_SEED)
+    cells = toks.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("j"),
+                        (
+                            (F.lit(a) * h + F.lit(b))
+                            % F.lit(_P)
+                            % F.lit(CMS_WIDTH)
+                        ).alias("bucket"),
+                    )
+                    for j, (a, b) in enumerate(params)
+                ]
+            )
+        ).alias("cell")
+    ).select("cell.j", "cell.bucket")
+    agg = cells.groupBy("j", "bucket").agg(F.count(F.lit(1)).alias("cnt"))
+    cms = _drain_stream(spark, agg, "token_cms_stream", "complete")
+
+    docs = _wide(spark, _t(spark, sf_dir, "documents"))
+    toks_b = docs.select(
+        F.explode(
+            F.regexp_extract_all(F.lower("text"), F.lit(r"[a-z]+"), 0)
+        ).alias("word")
+    )
+    exact = toks_b.groupBy("word").agg(F.count(F.lit(1)).alias("exact_cnt"))
+    top = exact.orderBy(F.desc("exact_cnt"), F.asc("word")).limit(CMS_TOPN)
+    est = cms_estimate(
+        top.select("word"), cms, "word",
+        width=CMS_WIDTH, depth=CMS_DEPTH, seed=CMS_SEED,
+    )
+    return top.join(est, "word").select("word", "exact_cnt", "est_count")
+
+
 WSAMPLE_K = 200
 WSAMPLE_SEED = 17
 
@@ -3657,6 +3721,7 @@ _ORACLE_PRIORITY = [
     "semantic_dedup", "rollup_revenue", "customers_without_orders",
     "running_revenue", "json_events", "duplicate_spans",
     "value_quantiles_sketch", "weighted_sample_docs", "token_freq_cms",
+    "streaming_token_cms",
     "classifier_score", "curate_corpus", "seq_dist_dense",
 ]
 
@@ -3818,6 +3883,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "value_quantiles_sketch": q_value_quantiles_sketch,
         "weighted_sample_docs": q_weighted_sample_docs,
         "token_freq_cms": q_token_freq_cms,
+        "streaming_token_cms": q_streaming_token_cms,
         "salted_brand_revenue": q_salted_brand_revenue,
         "asof_purchase_click": q_asof_purchase_click,
         "asof_skew": q_asof_skew,
@@ -6215,6 +6281,10 @@ SELECT p.word, p.exact_cnt,
 FROM probe p LEFT JOIN cms m ON m.j = p.j AND m.bucket = p.bucket
 GROUP BY p.word, p.exact_cnt
 """
+
+    # one availableNow drain sees exactly the batch corpus and the
+    # sketch is deterministic -> same oracle as the batch CMS query
+    sqls["streaming_token_cms"] = sqls["token_freq_cms"]
     mix_cases = " ".join(
         f"WHEN '{s}' THEN {w!r}" for s, w in sorted(MIX_WEIGHTS.items())
     )
