@@ -241,3 +241,23 @@ def test_cms_weighted_build(spark):
         ).collect()
     }
     assert s_raw == s_agg
+
+
+def test_ungrouped_sampler_plans_are_group_limited(spark):
+    """Ungrouped hash_sample / weighted_sample: the row_number filter
+    must plan a WindowGroupLimit (per-partition top-k prefilter), so
+    the single-partition final Window only ever sees <= k rows per
+    upstream partition — bounded at any data size."""
+    df = _vals_df(spark, 5000)
+    for plan in (
+        hash_sample(df, "id", k=16)
+        ._jdf.queryExecution().executedPlan().toString(),
+        weighted_sample(df, "v", k=16, id_col="id")
+        ._jdf.queryExecution().executedPlan().toString(),
+    ):
+        # ungrouped rank<=k rewrites to TakeOrderedAndProject(limit=k)
+        # (per-partition top-k + k-row merge); grouped would be
+        # WindowGroupLimit — either way, bounded state per task
+        assert (
+            "TakeOrderedAndProject" in plan or "WindowGroupLimit" in plan
+        ), plan
