@@ -2546,8 +2546,8 @@ def q_session_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     composed: gaps-and-islands sessionization per user (one shuffle,
     integer microsecond domain so engines agree exactly), then the
     bin-bucketed interval OVERLAP join (operators/ranges.py
-    interval_overlap_join) — both sides replicate to covered 1-hour
-    bins, plain equi-join on the bin, exact predicate, and the
+    interval_overlap_join) — both sides replicate to covered 15-minute
+    bins (the measured knee, SCALING.md "session_overlap bin width"), plain equi-join on the bin, exact predicate, and the
     first-shared-bin filter dedups with NO distinct exchange. Never
     |sessions| x |sessions|."""
     from pyspark.sql import Window
@@ -3513,10 +3513,7 @@ def q_streaming_token_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
     batch with the exact top-20 tokens; output (and oracle) are
     IDENTICAL to the batch token_freq_cms — one availableNow drain
     sees exactly the batch corpus, and the sketch is deterministic."""
-    from seqtables_spark.pipeline.hashing import (
-        HASH_PRIME as _P, minhash_params, portable_string_hash,
-    )
-    from seqtables_spark.pipeline.sketch import cms_estimate
+    from seqtables_spark.pipeline.sketch import cms_build, cms_estimate
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
@@ -3530,26 +3527,9 @@ def q_streaming_token_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.regexp_extract_all(F.lower("text"), F.lit(r"[a-z]+"), 0)
         ).alias("word")
     )
-    h = portable_string_hash(F.col("word"))
-    params = minhash_params(CMS_DEPTH, seed=CMS_SEED)
-    cells = toks.select(
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(j).alias("j"),
-                        (
-                            (F.lit(a) * h + F.lit(b))
-                            % F.lit(_P)
-                            % F.lit(CMS_WIDTH)
-                        ).alias("bucket"),
-                    )
-                    for j, (a, b) in enumerate(params)
-                ]
-            )
-        ).alias("cell")
-    ).select("cell.j", "cell.bucket")
-    agg = cells.groupBy("j", "bucket").agg(F.count(F.lit(1)).alias("cnt"))
+    # cms_build is a stateless cell projection + groupBy, so it runs
+    # on the STREAM unchanged (review fix: no re-implemented cells)
+    agg = cms_build(toks, "word", width=CMS_WIDTH, depth=CMS_DEPTH, seed=CMS_SEED)
     cms = _drain_stream(spark, agg, "token_cms_stream", "complete")
 
     docs = _wide(spark, _t(spark, sf_dir, "documents"))
@@ -6229,7 +6209,10 @@ WITH ranked AS (
   FROM events
 ),
 g AS (
-  SELECT event_type, list_sort(list(value)) AS vals
+  -- NULL values excluded AFTER sampling, matching sample_quantiles'
+  -- explicit non-NULL fold
+  SELECT event_type,
+         list_sort(list(value) FILTER (value IS NOT NULL)) AS vals
   FROM ranked WHERE rk <= {QSKETCH_K} GROUP BY event_type
 )
 SELECT event_type, CAST(len(vals) AS INTEGER) AS sample_n, {_q_cols}

@@ -433,9 +433,20 @@ def sample_quantiles(
     arithmetic cannot. collect_list is bounded by the sample size
     (pass k to enforce that contract: a group larger than k fails the
     query rather than silently holding unbounded agg state — the
-    guard rides the sample_n output column, so it cannot be pruned)."""
+    guard rides the sample_n output column, so it cannot be pruned).
+
+    NULL semantics (round-7 review fix): NULL values are EXCLUDED
+    explicitly before the fold — quantiles are over the group's
+    non-NULL sampled values and sample_n counts only those, on both
+    engines (collect_list's silent NULL-drop used to diverge from an
+    oracle's NULL-keeping list()). A group with no non-NULL values
+    still emits its row, with sample_n=0 and NULL quantiles (the old
+    arithmetic raised INVALID_INDEX_OF_ZERO there)."""
     gb = list(group_by)
-    arr = F.sort_array(F.collect_list(F.col(value_col)))
+    nn = F.col(value_col).isNotNull()
+    arr = F.sort_array(
+        F.collect_list(F.when(nn, F.col(value_col)))
+    )
     agg = df.groupBy(*gb).agg(arr.alias("__vals__"))
     n = F.size(F.col("__vals__"))
     n_out = n
@@ -453,9 +464,12 @@ def sample_quantiles(
             ).cast("int"),
         ).otherwise(n)
     cols = [
-        F.element_at(
-            "__vals__",
-            (F.floor(F.lit(float(p)) * (n - 1)) + 1).cast("int"),
+        F.when(
+            n > 0,
+            F.element_at(
+                "__vals__",
+                (F.floor(F.lit(float(p)) * (n - 1)) + 1).cast("int"),
+            ),
         ).alias(f"p{int(round(p * 100)):02d}")
         for p in probs
     ]

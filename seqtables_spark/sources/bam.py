@@ -183,6 +183,71 @@ def decode_bam(data: bytes) -> tuple[list[str], Iterator[tuple]]:
 
 # --------------------------------------------------- sub-file splitting
 
+class _BgzfIndexStream:
+    """Shared streaming machinery of the two chunk-index passes
+    (round-7 review fix: this logic used to exist twice): member-by-
+    member BGZF inflate with the (ustart, comp_off) member table,
+    header-completion loop, virtual-offset lookup, and the rolling
+    4 MB buffer trim that keeps a 50 GB BAM indexable in constant
+    memory. The index passes differ only in what they read per record
+    and when they close a chunk."""
+
+    TRIM_AT = 4 << 20
+
+    def __init__(self, data):
+        if isinstance(data, (bytes, bytearray)):
+            import io
+
+            self.f = io.BytesIO(data)
+        else:
+            self.f = data
+            self.f.seek(0)
+        self.members: list[tuple[int, int]] = []  # (ustart, comp_off)
+        self.buf = bytearray()
+        self.base_u = 0    # uncompressed offset of buf[0]
+        self.comp_off = 0  # compressed offset of next unread member
+        self.total_u = 0   # uncompressed bytes inflated so far
+
+    def more(self) -> bool:
+        hdr = self.f.read(12)
+        if len(hdr) < 12:
+            return False
+        _validate_member_header(hdr)
+        (xlen,) = struct.unpack_from("<H", hdr, 10)
+        extra = self.f.read(xlen)
+        bsize = _bc_bsize(extra, 0, xlen)
+        rest = self.f.read(bsize - 12 - xlen)
+        inflated = zlib.decompress(hdr + extra + rest, 31)
+        self.members.append((self.total_u, self.comp_off))
+        self.comp_off += bsize
+        self.total_u += len(inflated)
+        self.buf.extend(inflated)
+        return True
+
+    def voffset(self, u: int) -> tuple[int, int]:
+        j = bisect.bisect_right(self.members, (u, 1 << 62)) - 1
+        return (self.members[j][1], u - self.members[j][0])
+
+    def read_header(self) -> tuple[list[str], int]:
+        """Inflate until the BAM header parses -> (refs, record_off)."""
+        while True:
+            if len(self.buf) >= 4:
+                try:
+                    return _parse_header(bytes(self.buf))
+                except (IndexError, struct.error):
+                    pass  # truncated mid-header: inflate more
+            if not self.more():
+                raise ValueError("truncated BAM: header never completed")
+
+    def trim(self, keep_from: int) -> None:
+        """Drop buffered bytes before `keep_from` (absolute offset)
+        once the buffer passes TRIM_AT — nothing before the current
+        chunk start is needed again."""
+        if len(self.buf) > self.TRIM_AT and keep_from > self.base_u:
+            del self.buf[: keep_from - self.base_u]
+            self.base_u = keep_from
+
+
 def index_bam_chunks(
     data, records_per_chunk: int
 ) -> list[tuple[int, int, int]]:
@@ -192,81 +257,34 @@ def index_bam_chunks(
     uncompressed skip (uoff) to its first record, i.e. the same
     (coffset, uoffset) pair a .bai virtual offset encodes.
 
-    Streams member-by-member with a ROLLING inflate buffer (drop
-    everything before the current record once the buffer passes 4 MB):
-    peak memory is O(max member + spanned record), never the whole
-    uncompressed stream — a 50 GB BAM indexes in constant memory. The
-    member table it keeps is (ustart, comp_off) pairs, ~16 B per 64 KB
-    member. Records are touched only with 4-byte length reads — none
-    of the per-base string work the decode stage pays."""
-    if isinstance(data, (bytes, bytearray)):
-        import io
-
-        f = io.BytesIO(data)
-    else:
-        f = data
-        f.seek(0)
-
-    members: list[tuple[int, int]] = []  # (ustart, comp_off), small
-    buf = bytearray()
-    base_u = 0       # uncompressed offset of buf[0]
-    comp_off = 0     # compressed offset of the next unread member
-    total_u = 0      # uncompressed bytes inflated so far
-
-    def _more() -> bool:
-        nonlocal comp_off, total_u
-        hdr = f.read(12)
-        if len(hdr) < 12:
-            return False
-        _validate_member_header(hdr)
-        (xlen,) = struct.unpack_from("<H", hdr, 10)
-        extra = f.read(xlen)
-        bsize = _bc_bsize(extra, 0, xlen)
-        rest = f.read(bsize - 12 - xlen)
-        inflated = zlib.decompress(hdr + extra + rest, 31)
-        members.append((total_u, comp_off))
-        comp_off += bsize
-        total_u += len(inflated)
-        buf.extend(inflated)
-        return True
-
-    def _voffset(u: int, n_records: int) -> tuple[int, int, int]:
-        j = bisect.bisect_right(members, (u, 1 << 62)) - 1
-        return (members[j][1], u - members[j][0], n_records)
-
-    # header spans the leading member(s); inflate until it parses
-    while True:
-        if len(buf) >= 4:
-            try:
-                _, off = _parse_header(bytes(buf))
-                break
-            except (IndexError, struct.error):
-                pass  # truncated mid-header: inflate more
-        if not _more():
-            raise ValueError("truncated BAM: header never completed")
+    Streams member-by-member with a ROLLING inflate buffer
+    (_BgzfIndexStream): peak memory is O(max member + spanned
+    record), never the whole uncompressed stream — a 50 GB BAM
+    indexes in constant memory. Records are touched only with 4-byte
+    length reads — none of the per-base string work the decode stage
+    pays."""
+    st = _BgzfIndexStream(data)
+    _, off = st.read_header()
 
     specs: list[tuple[int, int, int]] = []
     o = off  # absolute uncompressed offset
     count = 0
     chunk_start = o
     while True:
-        while total_u < o + 4:
-            if not _more():
+        while st.total_u < o + 4:
+            if not st.more():
                 break
-        if total_u < o + 4:
+        if st.total_u < o + 4:
             break
         if count == records_per_chunk:
-            specs.append(_voffset(chunk_start, count))
+            specs.append((*st.voffset(chunk_start), count))
             chunk_start, count = o, 0
-        (block_size,) = struct.unpack_from("<i", buf, o - base_u)
+        (block_size,) = struct.unpack_from("<i", st.buf, o - st.base_u)
         o += 4 + block_size
         count += 1
-        # trim: nothing before the current chunk start is needed again
-        if o - base_u > (4 << 20) and chunk_start > base_u:
-            del buf[: chunk_start - base_u]
-            base_u = chunk_start
+        st.trim(chunk_start)
     if count:
-        specs.append(_voffset(chunk_start, count))
+        specs.append((*st.voffset(chunk_start), count))
     return specs
 
 
@@ -298,49 +316,12 @@ def index_bam_region_chunks(
     land in rname='*' chunks with NULL bounds (a region fetch never
     touches them, matching pysam fetch(contig,...) semantics).
 
-    Same rolling-buffer memory contract as index_bam_chunks; this
-    pass additionally reads each record's fixed fields + CIGAR ops
-    (struct reads — still none of the per-base string work)."""
-    if isinstance(data, (bytes, bytearray)):
-        import io
-
-        f = io.BytesIO(data)
-    else:
-        f = data
-        f.seek(0)
-
-    members: list[tuple[int, int]] = []
-    buf = bytearray()
-    base_u = 0
-    comp_off = 0
-    total_u = 0
-
-    def _more() -> bool:
-        nonlocal comp_off, total_u
-        hdr = f.read(12)
-        if len(hdr) < 12:
-            return False
-        _validate_member_header(hdr)
-        (xlen,) = struct.unpack_from("<H", hdr, 10)
-        extra = f.read(xlen)
-        bsize = _bc_bsize(extra, 0, xlen)
-        rest = f.read(bsize - 12 - xlen)
-        inflated = zlib.decompress(hdr + extra + rest, 31)
-        members.append((total_u, comp_off))
-        comp_off += bsize
-        total_u += len(inflated)
-        buf.extend(inflated)
-        return True
-
-    while True:
-        if len(buf) >= 4:
-            try:
-                refs, off = _parse_header(bytes(buf))
-                break
-            except (IndexError, struct.error):
-                pass
-        if not _more():
-            raise ValueError("truncated BAM: header never completed")
+    Same rolling-buffer memory contract as index_bam_chunks (shared
+    _BgzfIndexStream); this pass additionally reads each record's
+    fixed fields + CIGAR ops (struct reads — still none of the
+    per-base string work)."""
+    st = _BgzfIndexStream(data)
+    refs, off = st.read_header()
 
     def _name(ref_id: int) -> str:
         return refs[ref_id] if 0 <= ref_id < len(refs) else "*"
@@ -353,31 +334,27 @@ def index_bam_region_chunks(
     lo: int | None = None
     hi: int | None = None
 
-    def _voffset(u: int) -> tuple[int, int]:
-        j = bisect.bisect_right(members, (u, 1 << 62)) - 1
-        return (members[j][1], u - members[j][0])
-
     def _close() -> None:
         nonlocal count, lo, hi
-        c, uo = _voffset(chunk_start)
+        c, uo = st.voffset(chunk_start)
         specs.append((c, uo, count, _name(cur_ref), lo, hi))
         count, lo, hi = 0, None, None
 
     while True:
-        while total_u < o + 4:
-            if not _more():
+        while st.total_u < o + 4:
+            if not st.more():
                 break
-        if total_u < o + 4:
+        if st.total_u < o + 4:
             break
-        (block_size,) = struct.unpack_from("<i", buf, o - base_u)
+        (block_size,) = struct.unpack_from("<i", st.buf, o - st.base_u)
         # bounds need the fixed fields + cigar ops: inflate the record
-        while total_u < o + 4 + block_size:
-            if not _more():
+        while st.total_u < o + 4 + block_size:
+            if not st.more():
                 raise ValueError("truncated BAM: record body incomplete")
-        r = o - base_u + 4
-        ref_id, pos0 = struct.unpack_from("<ii", buf, r)
-        l_read_name = buf[r + 8]
-        (n_cigar,) = struct.unpack_from("<H", buf, r + 12)
+        r = o - st.base_u + 4
+        ref_id, pos0 = struct.unpack_from("<ii", st.buf, r)
+        l_read_name = st.buf[r + 8]
+        (n_cigar,) = struct.unpack_from("<H", st.buf, r + 12)
         if cur_ref is not None and (
             ref_id != cur_ref or count == records_per_chunk
         ):
@@ -386,7 +363,7 @@ def index_bam_region_chunks(
         cur_ref = ref_id
         if ref_id >= 0:
             co = r + 32 + l_read_name
-            ops = struct.unpack_from(f"<{n_cigar}I", buf, co)
+            ops = struct.unpack_from(f"<{n_cigar}I", st.buf, co)
             ref_len = sum(
                 op >> 4 for op in ops if (op & 0xF) in _REF_CONSUMING
             )
@@ -395,12 +372,11 @@ def index_bam_region_chunks(
             hi = end0 if hi is None else max(hi, end0)
         o += 4 + block_size
         count += 1
-        if o - base_u > (4 << 20) and chunk_start > base_u:
-            del buf[: chunk_start - base_u]
-            base_u = chunk_start
+        st.trim(chunk_start)
     if count:
         _close()
     return specs
+
 
 
 def decode_bam_range(

@@ -104,17 +104,26 @@ def _parse_warc_stream(fh: io.BufferedReader, fname: str) -> Iterator[dict]:
         last_key: str | None = None
         while True:
             line = fh.readline()
-            if not line or not line.strip():
-                break
             # RFC-style folded (continuation) lines: a header line that
             # starts with SP/HT continues the PREVIOUS header's value —
-            # WARC 1.1 permits these and real crawls emit them. Splitting
-            # on ':' here would misparse (or reject) spec-legal files.
-            if line[:1] in (b" ", b"\t") and last_key is not None:
+            # WARC 1.1 permits these and real crawls emit them. Checked
+            # BEFORE the blank-line terminator (round-7 review fix): a
+            # whitespace-ONLY fold line (b' \r\n', legal obs-fold) is a
+            # continuation contributing nothing, not the end of the
+            # header block — treating it as blank shifted every later
+            # header into the payload. The true terminator is an EMPTY
+            # line (bare CRLF), which never starts with SP/HT.
+            if (
+                line
+                and line[:1] in (b" ", b"\t")
+                and last_key is not None
+            ):
                 headers[last_key] = (
                     headers[last_key] + " " + line.decode("utf-8").strip()
                 ).strip()
                 continue
+            if not line or not line.strip():
+                break
             if b":" not in line:
                 raise ValueError(f"{fname}: malformed header {line[:40]!r}")
             k, v = line.split(b":", 1)

@@ -261,3 +261,19 @@ def test_ungrouped_sampler_plans_are_group_limited(spark):
         assert (
             "TakeOrderedAndProject" in plan or "WindowGroupLimit" in plan
         ), plan
+
+
+def test_sample_quantiles_null_values(spark):
+    """Round-7 review fix: NULLs are excluded from the quantile fold
+    on both engines; an all-NULL group emits sample_n=0 with NULL
+    quantiles instead of raising INVALID_INDEX_OF_ZERO."""
+    df = spark.createDataFrame(
+        [("a", 1.0), ("a", None), ("a", 3.0), ("b", None), ("b", None)],
+        "grp string, v double",
+    )
+    out = {
+        r["grp"]: r
+        for r in sample_quantiles(df, "v", [0.5], group_by=["grp"]).collect()
+    }
+    assert out["a"]["sample_n"] == 2 and out["a"]["p50"] == 1.0
+    assert out["b"]["sample_n"] == 0 and out["b"]["p50"] is None

@@ -267,3 +267,28 @@ def test_exactly_one_file_per_partition(spark, tmp_path):
     ).collect()
     assert len(per_part) == len(files)
     assert all(n == 1 for n in per_part)
+
+
+def test_whitespace_only_fold_line_does_not_end_headers(spark, tmp_path):
+    """Round-7 review fix: a fold line containing ONLY SP/HT (legal
+    obs-fold whitespace) is a continuation contributing nothing — it
+    must NOT terminate the header block (which used to shift every
+    later header into the payload and fail the file)."""
+    p = tmp_path / "wsfold.warc"
+    rec = (
+        b"WARC/1.0\r\n"
+        b"WARC-Type: response\r\n"
+        b"X-A: one\r\n"
+        b" \r\n"                      # whitespace-only fold
+        b"X-B: two\r\n"
+        b"Content-Length: 5\r\n"
+        b"\r\n"
+        b"hello\r\n\r\n"
+    )
+    p.write_bytes(rec)
+    rows = read_warc(spark, str(p)).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["payload"] == "hello"
+    assert r["headers"]["X-A"] == "one"   # fold added nothing
+    assert r["headers"]["X-B"] == "two"   # parsed as a header, not payload
