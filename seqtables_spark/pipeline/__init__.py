@@ -44,6 +44,21 @@ from .sampling import (
 )
 from .text import pack_sequences, chunk_documents
 from .similarity import cosine_topk, lsh_bucketed_cosine
+from .sampling import weighted_sample
+from .sketch import (
+    bloom_build,
+    bloom_probe,
+    cms_build,
+    cms_estimate,
+    cms_merge,
+    hash_sample,
+    kmv_estimate,
+    kmv_merge,
+    kmv_pairwise_jaccard,
+    kmv_pairwise_jaccard_banded,
+    kmv_sketch,
+    sample_quantiles,
+)
 
 __all__ = [
     "portable_string_hash", "HASH_PRIME",
@@ -58,4 +73,10 @@ __all__ = [
     "cosine_topk", "lsh_bucketed_cosine",
     "stratified_sample", "mix_sources", "pack_sequences", "chunk_documents",
     "dsir_weights", "training_order", "write_training_shards",
+    "weighted_sample",
+    "kmv_sketch", "kmv_merge", "kmv_estimate",
+    "kmv_pairwise_jaccard", "kmv_pairwise_jaccard_banded",
+    "bloom_build", "bloom_probe",
+    "cms_build", "cms_merge", "cms_estimate",
+    "hash_sample", "sample_quantiles",
 ]
