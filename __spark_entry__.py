@@ -1945,6 +1945,42 @@ def q_bam_region(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df.select("header", "pos", "cigar", "seq", "qual")
 
 
+def q_bam_region_bai(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The bam_region fetch driven by a REAL .bai (SAM spec 5.2,
+    sources/bai.py): write the coordinate-sorted BAM, index it ONCE
+    with the spec-conforming BAI writer (binning + 16 kb linear
+    index — the artifact a samtools/pysam user already has), and
+    fetch [150, 400) on ref1 through reg2bins candidate ranges.
+    Same window, same oracle, same result as bam_region — the two
+    index paths are pinned equal in tests/test_bai.py as well."""
+    from seqtables_spark.sources.bai import read_bam_region_bai, write_bai
+    from seqtables_spark.sources.bam import encode_bam
+
+    reads = _doc_reads(spark, sf_dir)
+    rid = F.col("read_id").cast("long")
+    nt = _acgt24()
+    rows = (
+        reads.filter(rid < _BAM_RT_CAP)
+        .select("read_id", nt.alias("seq"), "qual")
+        .orderBy(rid)
+        .limit(_BAM_RT_CAP)
+        .collect()
+    )
+    records = [
+        (r["read_id"], 0, "ref1", 3 * int(r["read_id"]) + 1, 60,
+         f"{len(r['seq'])}M", r["seq"], r["qual"])
+        for r in rows
+    ]
+    path = _rt_tmp("seqtables_bam_region_bai", sf_dir, ".bam")
+    with open(path, "wb") as fh:
+        fh.write(encode_bam(records, [("ref1", 3 * len(records) + 30)]))
+    write_bai(path)
+    df = read_bam_region_bai(
+        spark, path, "ref1", BAM_REGION_START, BAM_REGION_END
+    )
+    return df.select("header", "pos", "cigar", "seq", "qual")
+
+
 BOWTIE_REF_DOCS = 16  # first N docs' ACGT seqs concatenate into the reference
 
 
@@ -3676,7 +3712,8 @@ _ORACLE_PRIORITY = [
     "curate_corpus", "curate_full", "duplicate_spans",
     "streaming_near_dup_ttl",
     "training_shards",
-    "sam_roundtrip", "bam_roundtrip", "bam_region", "fastq_roundtrip",
+    "sam_roundtrip", "bam_roundtrip", "bam_region", "bam_region_bai",
+    "fastq_roundtrip",
     "perplexity_scores", "small_quantity_revenue",
     "pending_orders_priority", "customer_setops",
     "bowtie_align", "streaming_near_dup", "curate_full",
@@ -3854,6 +3891,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sam_roundtrip": q_sam_roundtrip,
         "bam_roundtrip": q_bam_roundtrip,
         "bam_region": q_bam_region,
+        "bam_region_bai": q_bam_region_bai,
         "bowtie_align": q_bowtie_align,
         "bowtie_distributed": q_bowtie_distributed,
         "rollup_revenue": q_rollup_revenue,
@@ -5321,6 +5359,10 @@ WHERE doc_id < {_BAM_RT_CAP}
   AND 3 * doc_id < {BAM_REGION_END}
   AND 3 * doc_id + {W} > {BAM_REGION_START}
 """
+
+    # same window, same derived reads, index format differs only in
+    # HOW chunks are found -> identical oracle
+    sqls["bam_region_bai"] = sqls["bam_region"]
 
     # bowtie_align: the stub aligner's decision rule is exact
     # first-occurrence substring search against the concatenated

@@ -1,0 +1,154 @@
+"""BAI (BAM index, SAM spec 5.2) writer/parser and the .bai-driven
+region fetch."""
+
+from __future__ import annotations
+
+import gzip
+import random
+import re
+
+from seqtables_spark.sources.bai import (
+    bai_candidate_ranges,
+    build_bai,
+    decode_bam_voffset_range,
+    parse_bai,
+    read_bam_region_bai,
+    reg2bin,
+    reg2bins,
+    write_bai,
+)
+from seqtables_spark.sources.bam import _parse_header, encode_bam
+
+
+def test_reg2bin_spec_values():
+    # level anchors from the spec's binning scheme
+    assert reg2bin(0, 1) == 4681            # one 16 kb window
+    assert reg2bin(0, 1 << 14) == 4681
+    assert reg2bin(0, (1 << 14) + 1) == 585  # spans two windows
+    assert reg2bin(1 << 14, 1 << 15) == 4682
+    assert reg2bin(0, 1 << 17) == 585
+    assert reg2bin(0, 1 << 29) == 0          # whole-chromosome bin
+
+
+def test_reg2bins_covers_every_overlapping_bin():
+    """Property: a record's bin is ALWAYS in reg2bins(window) when the
+    record overlaps the window — the completeness the fetch relies on."""
+    rng = random.Random(5)
+    for _ in range(300):
+        rb = rng.randrange(0, 1 << 20)
+        re_ = rb + rng.randrange(1, 1 << 16)
+        qb = rng.randrange(0, 1 << 20)
+        qe = qb + rng.randrange(1, 1 << 16)
+        if rb < qe and qb < re_:  # overlap
+            assert reg2bin(rb, re_) in reg2bins(qb, qe), (rb, re_, qb, qe)
+
+
+def _corpus(n_per_contig=200, seed=42):
+    rng = random.Random(seed)
+    recs = []
+    rid = 0
+    for contig in ("c1", "c2"):
+        pos = 1
+        for _ in range(n_per_contig):
+            pos += rng.randint(0, 300)
+            m = rng.randint(1, 11)
+            cigar = f"{m}M{12 - m}S" if rng.random() < 0.4 else f"{m}M"
+            recs.append(
+                (f"q{rid:05d}", 0, contig, pos, 60,
+                 cigar, "ACGTACGTACGT"[:12], "I" * 12)
+            )
+            rid += 1
+    recs.append(("u1", 4, "*", 1, 0, "*", "TTTT", "IIII"))
+    return recs
+
+
+def _ref_len(cigar):
+    return sum(
+        int(n) for n, op in re.findall(r"(\d+)([MIDNSHP=X])", cigar)
+        if op in "MDN=X"
+    )
+
+
+def test_bai_roundtrip_and_fetch_equivalence(tmp_path):
+    """build -> parse -> candidate ranges -> voffset decode == brute
+    filter of the full corpus, across many random windows; unmapped
+    reads counted in n_no_coor and never fetched."""
+    import io
+
+    recs = _corpus()
+    data = encode_bam(recs, [("c1", 1 << 20), ("c2", 1 << 20)])
+    bai = build_bai(data)
+    per_ref, n_no_coor = parse_bai(bai)
+    assert n_no_coor == 1
+    refs = _parse_header(gzip.decompress(data))[0]
+
+    rng = random.Random(9)
+    for _ in range(25):
+        contig = rng.choice(("c1", "c2"))
+        start = rng.randrange(0, 40_000)
+        end = start + rng.randrange(1, 20_000)
+        rid = refs.index(contig)
+        got = []
+        f = io.BytesIO(data)
+        for vb, ve in bai_candidate_ranges(per_ref, rid, start, end):
+            for r in decode_bam_voffset_range(f, vb, ve, refs):
+                pos0 = r[3] - 1
+                if (
+                    r[2] == contig
+                    and pos0 < end
+                    and pos0 + max(_ref_len(r[5]), 1) > start
+                ):
+                    got.append(r[0])
+        want = [
+            r[0] for r in recs
+            if r[2] == contig
+            and r[3] - 1 < end
+            and r[3] - 1 + max(_ref_len(r[5]), 1) > start
+        ]
+        assert sorted(got) == sorted(want), (contig, start, end)
+
+
+def test_bai_candidates_prune(tmp_path):
+    """A narrow window's candidate ranges cover strictly less of the
+    file than the whole contig's — the index genuinely prunes."""
+    recs = _corpus(1000)
+    data = encode_bam(recs, [("c1", 1 << 22), ("c2", 1 << 22)])
+    per_ref, _ = parse_bai(build_bai(data))
+
+    def covered(ranges):
+        return sum((ce >> 16) - (cb >> 16) + 1 for cb, ce in ranges)
+
+    whole = bai_candidate_ranges(per_ref, 0, 0, 1 << 22)
+    narrow = bai_candidate_ranges(per_ref, 0, 0, 2000)
+    assert covered(narrow) < covered(whole) or len(narrow) < len(whole) or (
+        sum(ce - cb for cb, ce in narrow)
+        < sum(ce - cb for cb, ce in whole)
+    )
+
+
+def test_read_bam_region_bai_matches_manifest_path(spark, tmp_path):
+    """The .bai-driven fetch returns exactly what the manifest-driven
+    fetch (and a brute filter) return, via the default <bam>.bai."""
+    from seqtables_spark.sources.bam import read_bam_region
+
+    recs = sorted(_corpus(300), key=lambda r: (r[2], r[3]))
+    # keep coordinate-sorted mapped reads first, unmapped last
+    recs = [r for r in recs if r[2] != "*"] + [r for r in recs if r[2] == "*"]
+    p = str(tmp_path / "indexed.bam")
+    with open(p, "wb") as fh:
+        fh.write(encode_bam(recs, [("c1", 1 << 20), ("c2", 1 << 20)]))
+    bai_path = write_bai(p)
+    assert bai_path == p + ".bai"
+
+    for contig, start, end in [("c1", 500, 9000), ("c2", 0, 64), ("c1", 40_000, 41_000)]:
+        via_bai = sorted(
+            r["header"]
+            for r in read_bam_region_bai(spark, p, contig, start, end).collect()
+        )
+        via_manifest = sorted(
+            r["header"]
+            for r in read_bam_region(
+                spark, p, contig, start, end, records_per_chunk=64
+            ).collect()
+        )
+        assert via_bai == via_manifest, (contig, start, end)

@@ -93,6 +93,7 @@ PERF_ADJUDICATED = {
     "segment_dedup": "segs subtree evaluates on both anti-join sides (Catalyst has no common-subtree dedup) + rebuild agg; gap = stage floor over 3 cheap scans",
     "temperature_mix": "rate build + filtered count are two corpus passes by construction; gap = stage floor",
     "source_overlap": "sketch build = corpus md5 + distinct exchange (duck's vectorized md5 ~3x faster); pairwise stage is one bounded task (see kmv_pairwise_jaccard docstring)",
+    "bam_region_bai": "fixture harness: BAM write + spec BAI build + ranged decode (real file I/O both engines); .bai pruning pinned in tests/test_bai.py",
     "bam_region": "fixture harness: driver-side BAM write + inline region index + decode (real file I/O both engines); the pruning win is pinned codec-level in tests/test_bam.py",
     "warc_gz_roundtrip": "real file I/O fixture harness (per-record gzip members)",
     "consensus_ins": "mapInArrow fixture round-trip + interleave join on a 6-row result; stage floor",
