@@ -105,10 +105,14 @@ def _wide(spark: SparkSession, df: DataFrame) -> DataFrame:
     promoted into the library as operators.widen (with the measured
     widen-vs-narrow decision rule in its docstring); this wrapper
     keeps the historical (spark, df) signature used throughout the
-    query harness."""
+    query harness. Round 8: only_if_narrow=True — on real multi-file
+    / many-row-group input the scan is already parallel and the
+    exchange would be pure cost; the guard resolves the physical scan
+    without running a job (widen docstring), so a fixture scan (1
+    row group) still widens and a production scan skips the shuffle."""
     from seqtables_spark.operators.widen import widen
 
-    return widen(df)
+    return widen(df, only_if_narrow=True)
 
 
 def _doc_reads(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2991,11 +2995,20 @@ def q_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     from seqtables_spark.pipeline.multimodal import resize_images
 
     docs = _t(spark, sf_dir, "documents")
+    # substring(cleaned, 1, 64) BEFORE encode: the 8x8 single frame
+    # reads exactly the first 64 printable bytes, so shipping each
+    # full cleaned document through Arrow is pure transfer waste;
+    # rows with <64 printable chars stay <64 bytes and drop
+    # identically (round-8 perf fix, values unchanged).
+    # NO widen here: measured nw sweep (round 8) — 0.52s narrow vs
+    # 1.50s at 32 (each mapInPandas task pays a python-worker Arrow
+    # round trip that dwarfs the 5k-row regexp it parallelizes).
     media = docs.select(
         F.col("doc_id").alias("media_id"),
-        F.encode(F.regexp_replace("text", "[^ -~]", ""), "utf-8").alias(
-            "payload"
-        ),
+        F.encode(
+            F.substring(F.regexp_replace("text", "[^ -~]", ""), 1, 64),
+            "utf-8",
+        ).alias("payload"),
         F.lit(8).cast("int").alias("width"),
         F.lit(8).cast("int").alias("height"),
     )

@@ -396,10 +396,14 @@ def hash_sample(
         (ungrouped: TakeOrderedAndProject) — no task holds more than
         its partition's top-k.
 
-    Sampling is BY KEY: duplicate key_col values collapse to whichever
-    row ranks first (ties broken by the key string) — pass a unique id
-    for row-level sampling. 31-bit hash collisions (~n^2/2^32) only
-    perturb tie order, never determinism."""
+    Sampling is ROW-level under duplicate keys: n rows sharing a
+    key_col value hash identically, so they occupy n ADJACENT rank
+    slots (intra-tie order is whatever row_number assigns — stable
+    within a run, not across engines), not one. Pass a unique id as
+    key_col when rows may share keys and you want one-slot-per-key
+    semantics, or dropDuplicates(key_col) first. 31-bit hash
+    collisions (~n^2/2^32) only perturb tie order, never
+    determinism."""
     from pyspark.sql import Window
 
     gb = list(group_by)

@@ -150,9 +150,12 @@ def build_bai(data) -> bytes:
                 out += struct.pack("<QQ", cb, ce)
         if linear[rid]:
             n_intv = max(linear[rid]) + 1
-            # spec: windows with no data take the nearest following
-            # window's offset (samtools fills backwards); 0 is legal
-            # for leading empties
+            # Empty windows take the nearest FOLLOWING window's
+            # offset. (htslib forward-fills from the previous value
+            # instead; both are spec-valid — any value <= the min
+            # voffset of records at/after the window is a legal lower
+            # bound for a coordinate-sorted BAM.) 0 is legal for
+            # leading empties.
             io = [0] * n_intv
             nxt = 0
             for w in range(n_intv - 1, -1, -1):
@@ -342,12 +345,12 @@ def read_bam_region_bai(
     ranges = bai_candidate_ranges(per_ref, ref_id, int(start), int(end))
     if not ranges:
         return spark.createDataFrame([], BAM_SCHEMA)
-    rows = ", ".join(
-        f"('{path}', CAST({cb} AS BIGINT), CAST({ce} AS BIGINT))"
-        for cb, ce in ranges
-    )
-    rel = spark.sql(
-        f"SELECT * FROM VALUES {rows} AS t(path, v_beg, v_end)"
+    # createDataFrame, not an interpolated VALUES literal: a path
+    # containing a quote must not be able to break (or inject into)
+    # the relation (round-8 ADVICE fix).
+    rel = spark.createDataFrame(
+        [(path, int(cb), int(ce)) for cb, ce in ranges],
+        "path string, v_beg long, v_end long",
     ).repartition(min(len(ranges), spark.sparkContext.defaultParallelism))
 
     def _decode(batches):
