@@ -1743,10 +1743,19 @@ def q_perplexity_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-LM perplexity filter (CCNet shape): bigram MLE model
     trained on the corpus, each doc scored by mean bigram ln-prob
     (pipeline/text.bigram_logprob - fixed-point logs keep the per-doc
-    sum order-free and engine-exact)."""
+    sum order-free and engine-exact). widen(8), not the full 32: the
+    fixture scan is one row group, so the tokenize regexp serializes
+    without an exchange; measured sweep (round 8, within-run medians)
+    narrow 1.42s / wide32 1.50s / wide8 0.91s — 8-way splits the
+    regexp without paying 32 tasks' dispatch on a 5k-row input. A
+    production multi-split scan skips this via _wide's narrow
+    guard."""
+    from seqtables_spark.operators.widen import widen
     from seqtables_spark.pipeline.text import bigram_logprob
 
-    return bigram_logprob(_t(spark, sf_dir, "documents"))
+    return bigram_logprob(
+        widen(_t(spark, sf_dir, "documents"), 8, only_if_narrow=True)
+    )
 
 
 _RT_TMP_PATHS: list = []
@@ -2228,10 +2237,17 @@ def q_curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     gate -> language filter -> exact-dedup survivors, ONE Catalyst
     plan (gate predicates reach the scan; only survivors hit the
     digest shuffle). Output: per (source, pred_lang) curated-corpus
-    stats."""
+    stats. widen(8), not 32: measured sweep (round 8) 2.47s narrow /
+    1.74s at 4-8 / 2.18s at 32 — the regexp gate JITs + task dispatch
+    per map task outweigh extra parallelism on a 5k-row fixture; a
+    production multi-split scan skips the exchange via the narrow
+    guard."""
+    from seqtables_spark.operators.widen import widen
     from seqtables_spark.pipeline.curate import curate_documents
 
-    cur = curate_documents(_wide(spark, _t(spark, sf_dir, "documents")))
+    cur = curate_documents(
+        widen(_t(spark, sf_dir, "documents"), 8, only_if_narrow=True)
+    )
     return cur.groupBy("source", "pred_lang").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_tokens").alias("total_tokens"),

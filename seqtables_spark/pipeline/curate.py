@@ -93,15 +93,31 @@ def curate_documents(
         if drop_undetermined:
             langed = langed.filter(F.col("pred_lang") != "und")
         return langed
+    # Score language BELOW the digest window, drop 'und' ABOVE it
+    # (round 8). Identical text implies identical pred_lang, so the
+    # survivors are order-independent — but the FILTER PLACEMENT is
+    # not: with `filter(pred_lang != 'und')` directly atop
+    # language_id's project, Catalyst alias-substitutes the whole
+    # language-CASE forest into the predicate and pushes it to the
+    # scan filter, where it re-evaluates every marker regexp a second
+    # time (on a single-row-group scan, single-threaded: measured
+    # 0.97 s -> 1.83 s at sf0.1 from drop_undetermined alone). A
+    # window is a pushdown barrier for any non-partition-key
+    # predicate, so filtering AFTER the dedup makes `pred_lang` an
+    # attribute read, not a recompute: the marker regexps run exactly
+    # once per gated row, pre-exchange, in parallel (the exchange
+    # carries two extra small columns — pred_lang, lang_score — per
+    # row, which is noise next to text itself).
     langed = language_id(gated, text_col=text_col, id_col=id_col)
-    if drop_undetermined:
-        langed = langed.filter(F.col("pred_lang") != "und")
     w = Window.partitionBy(F.md5(F.col(text_col)))
-    return (
+    deduped = (
         langed.withColumn("__keep__", F.min(F.col(id_col)).over(w))
         .filter(F.col(id_col) == F.col("__keep__"))
         .drop("__keep__")
     )
+    if drop_undetermined:
+        deduped = deduped.filter(F.col("pred_lang") != "und")
+    return deduped
 
 
 def curate_documents_full(

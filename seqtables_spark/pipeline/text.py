@@ -364,6 +364,7 @@ def bigram_logprob(
     df: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
+    reuse_tokens: bool = False,
 ) -> DataFrame:
     """Corpus-LM perplexity scoring (the CCNet-style quality filter
     shape): train a bigram MLE model ON the corpus, then score each
@@ -371,12 +372,12 @@ def bigram_logprob(
     Low scores = improbable token sequences = filter candidates. Real
     pipelines swap in a pretrained KenLM; the plan shape is identical.
 
-    Scale shape (round-5 form): ONE hash aggregation over the bigram
+    Scale shape (round-8 form): ONE hash aggregation over the bigram
     stream builds the bigram counts (map-side combine - the shuffle
     carries collapsed rows); the first-token counts are a rollup of
-    those COLLAPSED counts (c1 = sum of c12 over w1 - never a second
-    pass over the corpus) and one collapsed-side join stitches the
-    model; exactly one join then touches the per-doc stream - on
+    those COLLAPSED counts (c1 = sum(c12) as a whole-partition window
+    over w1 - never another pass over the corpus, see the inline
+    note); exactly one join then touches the per-doc stream - on
     (w1, w2), where AQE skew-split applies for stop-bigram hot keys.
     The previous formulation referenced the tokenize+explode subtree
     three times (Catalyst does not dedupe common subtrees) and
@@ -386,6 +387,20 @@ def bigram_logprob(
     so it added a full exchange while collapsing nothing. Nothing
     quadratic; model size is bounded by distinct-bigram count, and a
     pretrained model would broadcast.
+
+    reuse_tokens (round-8, MEASURED REJECTION of the persist plan):
+    True repartitions the doc-bigram stream once on (w1, w2) and
+    persists it (MEMORY_AND_DISK) so the tokenize+explode runs one
+    pass instead of two and the cached partitioning feeds both the
+    groupBy(w1, w2) and the scoring join. Measured at sf0.1
+    (within-run A/B, 4 reps): no-reuse 1.32 s, persist-only 1.44 s,
+    repartition+persist 2.29 s and degrading across reps — the
+    block-manager write+read of the exploded bigram stream (~2-3x
+    corpus bytes) costs more than the regexp pass it saves, at this
+    shape on local disk. Default is therefore False (stateless plan,
+    also streaming-safe). True remains for genuinely regexp-bound
+    corpora on clusters where local-disk bandwidth beats re-scan
+    (re-measure there; the plan is correct either way).
 
     Determinism: each ln() lands in a fixed-point micro-unit long
     BEFORE the per-doc sum, so the aggregation is order-free and the
@@ -406,12 +421,31 @@ def bigram_logprob(
     doc_bigrams = df.filter(F.size(toks) >= 2).select(
         F.col(id_col), F.explode(pairs).alias("p")
     ).select(id_col, F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+    if reuse_tokens:
+        from pyspark import StorageLevel
+
+        doc_bigrams = doc_bigrams.repartition("w1", "w2").persist(
+            StorageLevel.MEMORY_AND_DISK
+        )
 
     big_counts = doc_bigrams.groupBy("w1", "w2").agg(
         F.count(F.lit(1)).alias("c12")
     )
-    uni_counts = big_counts.groupBy("w1").agg(F.sum("c12").alias("c1"))
-    model = big_counts.join(uni_counts, ["w1"])
+    # c1 as a whole-partition window over the COLLAPSED counts, not a
+    # groupBy+self-join: `big_counts.join(big_counts.groupBy(...))`
+    # references big_counts twice, and Catalyst does not dedupe common
+    # subtrees — the executed plan (inspected, round 8) scanned and
+    # tokenized the corpus a THIRD time for the rollup branch. The
+    # window keeps a single big_counts reference, so the corpus is
+    # read exactly twice (doc stream + model build); measured 1.09s ->
+    # 0.72s at sf0.1. Window state is bounded by distinct-w2-per-w1
+    # (vocabulary, not corpus) and needs no ordering, so a hot first
+    # token spills, never OOMs.
+    from pyspark.sql import Window
+
+    model = big_counts.withColumn(
+        "c1", F.sum("c12").over(Window.partitionBy("w1"))
+    )
 
     scored = doc_bigrams.join(model, ["w1", "w2"]).select(
         id_col,

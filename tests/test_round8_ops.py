@@ -110,3 +110,19 @@ def test_read_bam_region_bai_quoted_path(spark, tmp_path):
     write_bai(bam)
     got = read_bam_region_bai(spark, bam, "c1", 0, 100).collect()
     assert [r["header"] for r in got] == ["r1"]
+
+
+def test_bigram_logprob_reuse_tokens_parity(spark):
+    """The persist path (reuse_tokens=True) and the stateless default
+    produce identical rows; the round-8 window-model rewrite changed
+    the plan, not the arithmetic."""
+    from seqtables_spark.pipeline.text import bigram_logprob
+
+    df = spark.createDataFrame(
+        [(1, "a b a b c"), (2, "a b"), (3, "x"), (4, "c c c c")],
+        "doc_id long, text string",
+    )
+    a = sorted(map(tuple, bigram_logprob(df, reuse_tokens=False).collect()))
+    b = sorted(map(tuple, bigram_logprob(df, reuse_tokens=True).collect()))
+    assert a == b
+    assert len(a) == 3  # doc 3 has no bigram
