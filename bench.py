@@ -40,6 +40,32 @@ def main() -> int:
         lambda it: it, "id long"
     ).collect()
 
+    # Per-query scheduling floor (round 8): Spark pays a fixed
+    # driver/scheduler cost per job that an in-process engine does
+    # not; publishing it lets a reader separate fixed overhead from
+    # real compute gap when comparing sub-second queries against the
+    # DuckDB oracle. Two floors, median of 5 warm reps each:
+    #   floor_noop_s    - one stage, one task, 1-row collect
+    #   floor_shuffle_s - one exchange + final agg (the minimal
+    #                     2-stage job most relational queries pay)
+    def _median_of(fn, reps=5):
+        ts = []
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            fn()
+            ts.append(time.perf_counter() - t0)
+        ts.sort()
+        return round(ts[len(ts) // 2], 4)
+
+    floor_noop_s = _median_of(lambda: spark.range(1).collect())
+    floor_shuffle_s = _median_of(
+        lambda: spark.range(1000)
+        .selectExpr("id % 7 AS k")
+        .groupBy("k")
+        .count()
+        .collect()
+    )
+
     # min of two executions per query: the host is a shared sandbox
     # with multi-second scheduling stalls unrelated to the plan, so a
     # single cold sample conflates host noise with query cost; the min
@@ -120,6 +146,11 @@ def main() -> int:
         # oracle's warm re-execution. See SCALING.md "Measurement
         # protocol".
         "protocol": "fresh-plan warm min-of-2, driver plan build off-clock, duck oracle interleaved per query",
+        # fixed per-job scheduler cost (see comment above): a query at
+        # ~floor_shuffle_s is Spark's dispatch floor, not a compute
+        # gap vs the in-process oracle
+        "floor_noop_s": floor_noop_s,
+        "floor_shuffle_s": floor_shuffle_s,
     }
     if duck_timings:
         duck_total = round(sum(duck_timings.values()), 3)

@@ -114,6 +114,7 @@ def train_bpe(
     max_local_vocab: int | None = 1_000_000,
     fold_every: int = 16,
     on_round=None,
+    batch_merges: int = 1,
 ) -> list[dict]:
     """Learn `num_merges` BPE merge rules from a corpus.
 
@@ -146,6 +147,32 @@ def train_bpe(
     making per-round cost flat in num_merges at the price of one
     small-relation materialization per fold (measured at 20k-word
     vocab / 64 merges in SCALING.md "BPE replace-chain fold").
+
+    `batch_merges` (round 8, distributed rounds only): accept up to
+    m merges per Spark round instead of one, EXACTLY — the batch is
+    the maximal prefix of the count-sorted pair list such that
+    (a) accepted pairs are pairwise token-disjoint (so applying one
+        cannot change another's count: a merge never deletes or
+        reorders unrelated cells, only fuses its own two), and
+    (b) each accepted pair's count strictly exceeds an upper bound
+        on every pair CREATED by the previously accepted merges: a
+        new pair (xy, c) can only occur where (y, c) occurred, and
+        (c, xy) only where (c, x) occurred, so
+        max_c count(rhs_j, c) and max_c count(c, lhs_j) (both read
+        from this round's pair table) bound all of merge j's
+        descendants, and
+    (c) the merged symbol xy does not already participate in any
+        existing pair (else its counts would coalesce with created
+        occurrences and (b)'s bound no longer holds).
+    The batch stops at the FIRST candidate failing any test
+    (contiguity — skipping would reorder ranks), so the resulting
+    merge table is bit-identical to batch_merges=1 (pinned in
+    tests). Each batch round costs 2 jobs (top-m collect + the
+    per-token bound aggregation) instead of 1, so the job count
+    drops whenever the average accepted batch exceeds 2 — Zipf-ish
+    real vocabularies interleave their hottest pairs through shared
+    tokens ('th' then 'he'), so measure before enabling
+    (tools/bpe_realistic_scaling.py reports rounds and wall).
     """
     base = word_vocab(df, text_col).withColumn(
         "cells", _char_cells(F.col("word"))
@@ -165,10 +192,14 @@ def train_bpe(
         cells = F.col("cells")
         import time as _time
 
-        for rank in range(1, num_merges + 1):
+        last_fold = 0
+        while len(rules) < num_merges:
             _t0 = _time.perf_counter()
+            want = min(
+                max(int(batch_merges or 1), 1), num_merges - len(rules)
+            )
             ts = F.split(F.btrim(F.col("cells"), F.lit("<>")), "><")
-            pairs = (
+            pair_rel = (
                 vocab.select(
                     F.col("cnt"),
                     F.explode(
@@ -185,27 +216,98 @@ def train_bpe(
                 )
                 .groupBy("lhs", "rhs")
                 .agg(F.sum("cnt").alias("pair_count"))
-                .orderBy(F.desc("pair_count"), F.asc("lhs"), F.asc("rhs"))
-                .limit(1)
             )
-            best = pairs.collect()
-            if not best:
+            if want > 1:
+                pair_rel = pair_rel.persist()
+            top = (
+                pair_rel.orderBy(
+                    F.desc("pair_count"), F.asc("lhs"), F.asc("rhs")
+                )
+                .limit(want)
+                .collect()
+            )
+            if not top:
+                if want > 1:
+                    pair_rel.unpersist(False)
                 break
-            l, r, c = best[0]["lhs"], best[0]["rhs"], best[0]["pair_count"]
-            rules.append(
-                {"merge_rank": rank, "lhs": l, "rhs": r, "pair_count": int(c)}
-            )
-            vocab = vocab.withColumn(
-                "cells",
-                F.replace(cells, F.lit(f"<{l}><{r}>"), F.lit(f"<{l}{r}>")),
-            )
-            if fold_every and rank % int(fold_every) == 0:
+            accepted = [top[0]]
+            if want > 1 and len(top) > 1:
+                # per-token max pair counts for the created-pair
+                # bound (docstring condition b/c) — one job over the
+                # cached pair relation, filtered to candidate tokens
+                toks = sorted(
+                    {t for row in top for t in (
+                        row["lhs"], row["rhs"], row["lhs"] + row["rhs"]
+                    )}
+                )
+                side_max = (
+                    pair_rel.select(
+                        F.col("lhs").alias("tok"),
+                        F.lit("L").alias("side"),
+                        "pair_count",
+                    )
+                    .unionAll(
+                        pair_rel.select(
+                            F.col("rhs").alias("tok"),
+                            F.lit("R").alias("side"),
+                            "pair_count",
+                        )
+                    )
+                    .filter(F.col("tok").isin(toks))
+                    .groupBy("tok", "side")
+                    .agg(F.max("pair_count").alias("mx"))
+                    .collect()
+                )
+                max_l = {r["tok"]: r["mx"] for r in side_max if r["side"] == "L"}
+                max_r = {r["tok"]: r["mx"] for r in side_max if r["side"] == "R"}
+
+                def _bound_after(l: str, r: str, bound: float) -> float:
+                    m = l + r
+                    if m in max_l or m in max_r:
+                        return float("inf")  # symbol collision: stop
+                    return max(bound, max_l.get(r, 0), max_r.get(l, 0))
+
+                used = {top[0]["lhs"], top[0]["rhs"],
+                        top[0]["lhs"] + top[0]["rhs"]}
+                bound = _bound_after(top[0]["lhs"], top[0]["rhs"], 0)
+                for row in top[1:]:
+                    l, r, c = row["lhs"], row["rhs"], row["pair_count"]
+                    if (
+                        c <= bound
+                        or l in used
+                        or r in used
+                        or (l + r) in used
+                    ):
+                        break  # contiguity: stop, never skip
+                    accepted.append(row)
+                    used.update((l, r, l + r))
+                    bound = _bound_after(l, r, bound)
+            if want > 1:
+                pair_rel.unpersist(False)
+            for row in accepted:
+                l, r, c = row["lhs"], row["rhs"], row["pair_count"]
+                rules.append(
+                    {
+                        "merge_rank": len(rules) + 1,
+                        "lhs": l,
+                        "rhs": r,
+                        "pair_count": int(c),
+                    }
+                )
+                vocab = vocab.withColumn(
+                    "cells",
+                    F.replace(
+                        cells, F.lit(f"<{l}><{r}>"), F.lit(f"<{l}{r}>")
+                    ),
+                )
+            if fold_every and len(rules) - last_fold >= int(fold_every):
                 # fold the accumulated replaces into a materialized
                 # relation: truncates both the O(rank) rewrite chain
                 # and the plan lineage (iterative-loop rule)
                 vocab = vocab.localCheckpoint(eager=True)
+                last_fold = len(rules)
             if on_round is not None:
-                on_round(rank, _time.perf_counter() - _t0)
+                on_round(len(rules), _time.perf_counter() - _t0)
     finally:
         # unpersist the BASE relation (the loop's vocab is a child
         # plan over it, so every round reused the cached scan)

@@ -126,3 +126,34 @@ def test_bigram_logprob_reuse_tokens_parity(spark):
     b = sorted(map(tuple, bigram_logprob(df, reuse_tokens=True).collect()))
     assert a == b
     assert len(a) == 3  # doc 3 has no bigram
+
+
+def test_train_bpe_batch_merges_exact(spark):
+    """batch_merges>1 must produce a BIT-IDENTICAL merge table to the
+    sequential top-1 path (the safety prefix stops at any pair whose
+    rank could be perturbed): pinned on corpora chosen to exercise
+    token-sharing hot pairs ('th'/'he'), symbol collisions, and a
+    genuinely batchable disjoint tail."""
+    from seqtables_spark.pipeline.bpe import train_bpe
+
+    corpora = [
+        # English-ish: 'th'/'he' interleave through the shared 'h'
+        ["the the the then there he she heather", "that this those the"],
+        # disjoint hot pairs: ab, cd, ef families never share tokens
+        ["abab abab cdcd cdcd efef", "ababab cdcdcd efefef ghgh"],
+        # symbol collision: merging (a,b) creates 'ab' which exists
+        ["ab ab ab a b a b aab bab", "abc abd"],
+    ]
+    for texts in corpora:
+        df = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+        )
+        seq = train_bpe(df, num_merges=10, max_local_vocab=0, fold_every=4)
+        for m in (2, 4, 8):
+            got = train_bpe(
+                df, num_merges=10, max_local_vocab=0, fold_every=4,
+                batch_merges=m,
+            )
+            assert got == seq, (texts[0][:20], m)
+        # and the local driver path agrees too
+        assert train_bpe(df, num_merges=10) == seq

@@ -98,6 +98,27 @@ def main() -> None:
             + " ".join(f"{x:5.3f}" for x in b)
             + f"  last/first x{b[-1]/b[0]:.2f}"
         )
+
+    # round-8: batched merges (exact top-m prefix). Rounds = number
+    # of driver synchronizations; each batched round costs 2 jobs vs
+    # 1, so the job count is 2*rounds (batch) vs merges (top-1) — a
+    # win iff avg batch > 2. Interleaved with a fresh top-1 run for
+    # warmth fairness.
+    for m in (1, 4, 8, 16, 8, 1):
+        times = []
+        t0 = time.perf_counter()
+        rules = train_bpe(
+            docs, num_merges=n_merges, max_local_vocab=0, fold_every=16,
+            batch_merges=m, on_round=lambda r, s: times.append(s),
+        )
+        wall = time.perf_counter() - t0
+        assert rules == local_rules, f"batch={m} divergence!"
+        rounds = len(times)
+        jobs = rounds * (2 if m > 1 else 1)
+        print(
+            f"batch={m:2d}: rounds {rounds:3d}  est jobs {jobs:3d}  "
+            f"avg batch {n_merges/rounds:4.2f}  wall {wall:6.2f}s"
+        )
     spark.stop()
 
 
