@@ -3722,30 +3722,39 @@ def _prepared(name: str, fn: Callable) -> Callable:
 # vectorized CIGAR kernel and everything downstream of it, the
 # numpy-batched multimodal decode), then rolling round-3 coverage.
 _ORACLE_PRIORITY = [
-    # round-6 head: the new bridge query, then every query whose
-    # implementation or plan changed this round (rollup collapse,
-    # guarded salting, null-safe ranged asof, index write shape,
-    # probe-split incremental dedup, streamed bowtie shards)
-    "bpe_merges", "bpe_tokens", "bpe_vocab", "warc_roundtrip",
+    # round-8 head, rule: every query the DRIVER has never checked
+    # first (VERDICT r7 #1: the 4 round-7 sketch queries sat past the
+    # 50-query sample), then every query whose implementation or plan
+    # changed THIS round (vectorized resize + truncated payload,
+    # curate filter/window reorder + widen(8), bigram window model,
+    # batched-BPE loop rewrite, _cc_star hook, quote-safe bai fetch),
+    # then rolling prior-round coverage.
+    "value_quantiles_sketch", "weighted_sample_docs", "token_freq_cms",
+    "streaming_token_cms",
+    "image_resize", "curate_corpus", "curate_funnel", "curate_full",
+    "curate_llm", "perplexity_scores", "bam_region_bai",
+    "bpe_merges", "bpe_tokens", "bpe_vocab",
+    "dedup_clusters", "dedup_clusters_star", "video_frames",
+    "warc_roundtrip",
     "warc_gz_roundtrip",
     "fuzzy_contamination",
-    "intra_doc_dedup", "gopher_filter", "curate_llm",
-    "streaming_quality_gate", "curate_funnel", "session_overlap",
+    "intra_doc_dedup", "gopher_filter",
+    "streaming_quality_gate", "session_overlap",
     "dedup_survivors_pref", "redact_pii", "quality_histogram",
-    "video_frames", "segment_dedup", "token_budget", "zipf_slope",
-    "image_resize", "temperature_mix", "source_overlap",
+    "segment_dedup", "token_budget", "zipf_slope",
+    "temperature_mix", "source_overlap",
     "source_overlap_banded",
     "jsonl_roundtrip", "streaming_index_dedup", "cluster_mix",
     "rollup_revenue", "salted_brand_revenue",
     "asof_skew", "incremental_dedup", "bowtie_distributed",
-    "curate_corpus", "curate_full", "duplicate_spans",
+    "duplicate_spans",
     "streaming_near_dup_ttl",
     "training_shards",
-    "sam_roundtrip", "bam_roundtrip", "bam_region", "bam_region_bai",
+    "sam_roundtrip", "bam_roundtrip", "bam_region",
     "fastq_roundtrip",
-    "perplexity_scores", "small_quantity_revenue",
+    "small_quantity_revenue",
     "pending_orders_priority", "customer_setops",
-    "bowtie_align", "streaming_near_dup", "curate_full",
+    "bowtie_align", "streaming_near_dup",
     "training_order",
     "asof_forward", "asof_nearest", "asof_purchase_click",
     "kmv_users", "bloom_contamination", "contamination",

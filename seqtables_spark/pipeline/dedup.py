@@ -549,6 +549,7 @@ def connected_components(
     max_iter: int = 50,
     driver_edge_limit: int = 5_000_000,
     algorithm: str = "star",
+    on_round=None,
 ) -> DataFrame:
     """Connected components over an undirected pair list
     DF(id_a, id_b) -> DF(doc_id, cluster_id) for every endpoint, with
@@ -584,6 +585,11 @@ def connected_components(
       union/groupBy plan grows per round and plan compilation + AQE
       blow the driver heap long before the data does (the round-2
       OOM on a 7-node path graph).
+
+    ``on_round(round_idx, edge_count, seconds)`` (star path only) is
+    the measurement hook the SCALING.md 10M-edge soak uses: per-round
+    surviving edge count (the shuffle volume of the NEXT round) and
+    wall time.
     """
     if driver_edge_limit > 0:
         head = pairs.select("id_a", "id_b").limit(driver_edge_limit + 1).collect()
@@ -618,7 +624,7 @@ def connected_components(
     if algorithm == "label":
         return _cc_label_propagation(pairs, max_iter)
     if algorithm == "star":
-        return _cc_star(pairs, max_iter)
+        return _cc_star(pairs, max_iter, on_round=on_round)
     raise ValueError(f"unknown connected_components algorithm: {algorithm!r}")
 
 
@@ -708,8 +714,9 @@ def _star_round(edges: DataFrame) -> DataFrame:
     return small
 
 
-def _cc_star(pairs: DataFrame, max_iter: int) -> DataFrame:
+def _cc_star(pairs: DataFrame, max_iter: int, on_round=None) -> DataFrame:
     """Alternating large-star/small-star: O(log n) rounds on any graph."""
+    import time as _time
     nodes = (
         pairs.select(F.col("id_a").alias("id"))
         .union(pairs.select(F.col("id_b").alias("id")))
@@ -723,7 +730,8 @@ def _cc_star(pairs: DataFrame, max_iter: int) -> DataFrame:
         .localCheckpoint(eager=True)
     )
     prev_cnt = edges.count()
-    for _ in range(max_iter):
+    for it in range(max_iter):
+        _t0 = _time.perf_counter()
         # localCheckpoint each round: cut lineage so plan size stays O(1)
         new_edges = _star_round(edges).localCheckpoint(eager=True)
         new_cnt = new_edges.count()
@@ -732,6 +740,8 @@ def _cc_star(pairs: DataFrame, max_iter: int) -> DataFrame:
             and new_edges.subtract(edges).limit(1).count() == 0
         )
         edges, prev_cnt = new_edges, new_cnt
+        if on_round is not None:
+            on_round(it + 1, new_cnt, _time.perf_counter() - _t0)
         if converged:
             break
     # at convergence edges are star edges (member -> root); roots and
