@@ -345,12 +345,20 @@ def read_bam_region_bai(
     ranges = bai_candidate_ranges(per_ref, ref_id, int(start), int(end))
     if not ranges:
         return spark.createDataFrame([], BAM_SCHEMA)
-    # createDataFrame, not an interpolated VALUES literal: a path
-    # containing a quote must not be able to break (or inject into)
-    # the relation (round-8 ADVICE fix).
-    rel = spark.createDataFrame(
-        [(path, int(cb), int(ce)) for cb, ce in ranges],
-        "path string, v_beg long, v_end long",
+    # JVM-born VALUES relation with the path quote-escaped (the warc
+    # reader's pattern; round-8 ADVICE fix): a quote in the path can
+    # no longer break or inject into the SQL, and the relation stays
+    # a LocalRelation — createDataFrame was tried and REVERTED, its
+    # python-RDD scan pays a python-worker roundtrip per action
+    # (SCALING.md round-6 trap #1; measured 0.25 s -> 0.79 s on
+    # bam_region_bai).
+    p_sql = path.replace("'", "''")
+    rows = ", ".join(
+        f"('{p_sql}', CAST({int(cb)} AS BIGINT), CAST({int(ce)} AS BIGINT))"
+        for cb, ce in ranges
+    )
+    rel = spark.sql(
+        f"SELECT * FROM VALUES {rows} AS t(path, v_beg, v_end)"
     ).repartition(min(len(ranges), spark.sparkContext.defaultParallelism))
 
     def _decode(batches):
