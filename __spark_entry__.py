@@ -1994,6 +1994,41 @@ def q_bam_region_bai(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df.select("header", "pos", "cigar", "seq", "qual")
 
 
+def q_bam_region_csi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The bam_region fetch driven by a REAL .csi (SAM spec 5.3,
+    sources/csi.py — the htslib sibling of .bai without its 512 Mb
+    contig ceiling): write the coordinate-sorted BAM, index it with
+    the BGZF-wrapped CSI writer at the default (min_shift=14,
+    depth=5) geometry, and fetch the same window as bam_region /
+    bam_region_bai — three index paths, one oracle, one result."""
+    from seqtables_spark.sources.bam import encode_bam
+    from seqtables_spark.sources.csi import read_bam_region_csi, write_csi
+
+    reads = _doc_reads(spark, sf_dir)
+    rid = F.col("read_id").cast("long")
+    nt = _acgt24()
+    rows = (
+        reads.filter(rid < _BAM_RT_CAP)
+        .select("read_id", nt.alias("seq"), "qual")
+        .orderBy(rid)
+        .limit(_BAM_RT_CAP)
+        .collect()
+    )
+    records = [
+        (r["read_id"], 0, "ref1", 3 * int(r["read_id"]) + 1, 60,
+         f"{len(r['seq'])}M", r["seq"], r["qual"])
+        for r in rows
+    ]
+    path = _rt_tmp("seqtables_bam_region_csi", sf_dir, ".bam")
+    with open(path, "wb") as fh:
+        fh.write(encode_bam(records, [("ref1", 3 * len(records) + 30)]))
+    write_csi(path)
+    df = read_bam_region_csi(
+        spark, path, "ref1", BAM_REGION_START, BAM_REGION_END
+    )
+    return df.select("header", "pos", "cigar", "seq", "qual")
+
+
 BOWTIE_REF_DOCS = 16  # first N docs' ACGT seqs concatenate into the reference
 
 
@@ -3733,6 +3768,7 @@ _ORACLE_PRIORITY = [
     "streaming_token_cms",
     "image_resize", "curate_corpus", "curate_funnel", "curate_full",
     "curate_llm", "perplexity_scores", "bam_region_bai",
+    "bam_region_csi",
     "bpe_merges", "bpe_tokens", "bpe_vocab",
     "dedup_clusters", "dedup_clusters_star", "video_frames",
     "warc_roundtrip",
@@ -3930,6 +3966,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bam_roundtrip": q_bam_roundtrip,
         "bam_region": q_bam_region,
         "bam_region_bai": q_bam_region_bai,
+        "bam_region_csi": q_bam_region_csi,
         "bowtie_align": q_bowtie_align,
         "bowtie_distributed": q_bowtie_distributed,
         "rollup_revenue": q_rollup_revenue,
@@ -5401,6 +5438,7 @@ WHERE doc_id < {_BAM_RT_CAP}
     # same window, same derived reads, index format differs only in
     # HOW chunks are found -> identical oracle
     sqls["bam_region_bai"] = sqls["bam_region"]
+    sqls["bam_region_csi"] = sqls["bam_region"]
 
     # bowtie_align: the stub aligner's decision rule is exact
     # first-occurrence substring search against the concatenated

@@ -107,6 +107,37 @@ def _train_local(vocab: dict, num_merges: int) -> list[dict]:
     return rules
 
 
+def _accept_batch(
+    top: list[tuple[str, str, int]],
+    max_l: dict,
+    max_r: dict,
+) -> list[tuple[str, str, int]]:
+    """The exact-batching prefix rule (train_bpe docstring, conditions
+    a/b/c), pure so the property suite can adversarially compare it
+    against the sequential reference on thousands of random vocabs.
+
+    top: candidate pairs sorted by (-count, lhs, rhs);
+    max_l[t] / max_r[t]: max pair count over the FULL pair table
+    where t is the left / right token. Returns the accepted prefix."""
+    accepted = [top[0]]
+
+    def bound_after(l: str, r: str, bound: float) -> float:
+        m = l + r
+        if m in max_l or m in max_r:
+            return float("inf")  # merged-symbol collision: stop
+        return max(bound, max_l.get(r, 0), max_r.get(l, 0))
+
+    used = {top[0][0], top[0][1], top[0][0] + top[0][1]}
+    bound = bound_after(top[0][0], top[0][1], 0)
+    for l, r, c in top[1:]:
+        if c <= bound or l in used or r in used or (l + r) in used:
+            break  # contiguity: stop, never skip
+        accepted.append((l, r, c))
+        used.update((l, r, l + r))
+        bound = bound_after(l, r, bound)
+    return accepted
+
+
 def train_bpe(
     df: DataFrame,
     num_merges: int = 8,
@@ -230,7 +261,6 @@ def train_bpe(
                 if want > 1:
                     pair_rel.unpersist(False)
                 break
-            accepted = [top[0]]
             if want > 1 and len(top) > 1:
                 # per-token max pair counts for the created-pair
                 # bound (docstring condition b/c) — one job over the
@@ -260,32 +290,16 @@ def train_bpe(
                 )
                 max_l = {r["tok"]: r["mx"] for r in side_max if r["side"] == "L"}
                 max_r = {r["tok"]: r["mx"] for r in side_max if r["side"] == "R"}
-
-                def _bound_after(l: str, r: str, bound: float) -> float:
-                    m = l + r
-                    if m in max_l or m in max_r:
-                        return float("inf")  # symbol collision: stop
-                    return max(bound, max_l.get(r, 0), max_r.get(l, 0))
-
-                used = {top[0]["lhs"], top[0]["rhs"],
-                        top[0]["lhs"] + top[0]["rhs"]}
-                bound = _bound_after(top[0]["lhs"], top[0]["rhs"], 0)
-                for row in top[1:]:
-                    l, r, c = row["lhs"], row["rhs"], row["pair_count"]
-                    if (
-                        c <= bound
-                        or l in used
-                        or r in used
-                        or (l + r) in used
-                    ):
-                        break  # contiguity: stop, never skip
-                    accepted.append(row)
-                    used.update((l, r, l + r))
-                    bound = _bound_after(l, r, bound)
+                accepted = _accept_batch(
+                    [(row["lhs"], row["rhs"], row["pair_count"]) for row in top],
+                    max_l,
+                    max_r,
+                )
+            else:
+                accepted = [(top[0]["lhs"], top[0]["rhs"], top[0]["pair_count"])]
             if want > 1:
                 pair_rel.unpersist(False)
-            for row in accepted:
-                l, r, c = row["lhs"], row["rhs"], row["pair_count"]
+            for l, r, c in accepted:
                 rules.append(
                     {
                         "merge_rank": len(rules) + 1,

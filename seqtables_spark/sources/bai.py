@@ -302,29 +302,9 @@ def decode_bam_voffset_range(
     return rows
 
 
-def read_bam_region_bai(
-    spark: SparkSession,
-    path: str,
-    contig: str,
-    start: int,
-    end: int,
-    bai_path: str | None = None,
-) -> DataFrame:
-    """Indexed region fetch driven by a REAL .bai (defaults to
-    ``<path>.bai``): candidate voffset ranges from the binning +
-    linear index become a one-range-per-task relation; each task
-    seeks to its range, inflates only its members, decodes, and the
-    exact half-open overlap predicate trims stragglers. Same result
-    contract as bam.read_bam_region (pinned equal in tests); use this
-    path when the index already exists (samtools-indexed lakes), the
-    manifest path when you control the land step."""
-    import pandas as pd
-    from pyspark.sql import functions as F
-
-    bai_path = bai_path or path + ".bai"
-    with open(_local_path(bai_path), "rb") as fh:
-        per_ref, _ = parse_bai(fh.read())
-    # header read: refs + target ref_id (driver-side, tiny)
+def read_bam_refs(path: str) -> list[str]:
+    """Driver-side BAM header read: the reference name list (tiny —
+    inflates members only until the header parses)."""
     with open(_local_path(path), "rb") as fh:
         head = bytearray()
         off = 0
@@ -335,14 +315,27 @@ def read_bam_region_bai(
             off += size
             try:
                 refs, _ = _parse_header(bytes(head))
-                break
+                return refs
             except (IndexError, struct.error):
                 continue
-    try:
-        ref_id = refs.index(contig)
-    except ValueError:
-        ref_id = -1
-    ranges = bai_candidate_ranges(per_ref, ref_id, int(start), int(end))
+
+
+def fetch_voffset_ranges(
+    spark: SparkSession,
+    path: str,
+    ranges: list[tuple[int, int]],
+    refs: list[str],
+    contig: str,
+    start: int,
+    end: int,
+) -> DataFrame:
+    """The shared back half of every index-driven region fetch (.bai,
+    .csi, manifest): candidate voffset ranges become a one-range-per-
+    task relation; each task seeks, inflates only its members, decodes,
+    and the exact half-open overlap predicate trims stragglers."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
     if not ranges:
         return spark.createDataFrame([], BAM_SCHEMA)
     # JVM-born VALUES relation with the path quote-escaped (the warc
@@ -379,4 +372,33 @@ def read_bam_region_bai(
     end0 = pos0 + F.greatest(ref_len, F.lit(1))
     return decoded.filter(
         (F.col("rname") == contig) & (pos0 < int(end)) & (end0 > int(start))
+    )
+
+
+def read_bam_region_bai(
+    spark: SparkSession,
+    path: str,
+    contig: str,
+    start: int,
+    end: int,
+    bai_path: str | None = None,
+) -> DataFrame:
+    """Indexed region fetch driven by a REAL .bai (defaults to
+    ``<path>.bai``): candidate voffset ranges from the binning +
+    linear index, then the shared fetch_voffset_ranges back half.
+    Same result contract as bam.read_bam_region (pinned equal in
+    tests); use this path when the index already exists
+    (samtools-indexed lakes), the manifest path when you control the
+    land step."""
+    bai_path = bai_path or path + ".bai"
+    with open(_local_path(bai_path), "rb") as fh:
+        per_ref, _ = parse_bai(fh.read())
+    refs = read_bam_refs(path)
+    try:
+        ref_id = refs.index(contig)
+    except ValueError:
+        ref_id = -1
+    ranges = bai_candidate_ranges(per_ref, ref_id, int(start), int(end))
+    return fetch_voffset_ranges(
+        spark, path, ranges, refs, contig, int(start), int(end)
     )
