@@ -157,3 +157,54 @@ def test_train_bpe_batch_merges_exact(spark):
             assert got == seq, (texts[0][:20], m)
         # and the local driver path agrees too
         assert train_bpe(df, num_merges=10) == seq
+
+
+def test_resize_images_randomized_edges(spark):
+    """Seeded randomized torture for the grouped fast path: 40-image
+    batches mixing raw/PGM/RAWV sources, extreme dims (1x1, 1xN, Nx1),
+    payloads exactly w*h and w*h±1 bytes, upscale and downscale —
+    every output pixel pinned against the scalar numpy gather."""
+    from seqtables_spark.pipeline.multimodal import (
+        encode_rawv, resize_images,
+    )
+
+    rng = np.random.default_rng(88)
+
+    def nn(gray, ow, oh):
+        h, w = gray.shape
+        return gray[
+            np.ix_((np.arange(oh) * h) // oh, (np.arange(ow) * w) // ow)
+        ].reshape(-1).tolist()
+
+    for out_w, out_h in [(1, 1), (3, 2), (5, 5)]:
+        rows, want = [], {}
+        for i in range(40):
+            kind = rng.choice(["raw", "raw", "pgm", "rawv", "short"])
+            w = int(rng.choice([1, 2, 3, 7, 16]))
+            h = int(rng.choice([1, 2, 5, 9]))
+            g = rng.integers(0, 256, size=(h, w), dtype=np.uint8)
+            if kind == "raw":
+                extra = bytes(rng.integers(0, 256, size=int(rng.choice([0, 1, 5]))).astype(np.uint8))
+                rows.append((i, bytearray(g.tobytes() + extra), w, h))
+                want[i] = nn(g, out_w, out_h)
+            elif kind == "pgm":
+                rows.append((i, bytearray(b"P5\n%d %d\n255\n" % (w, h) + g.tobytes()), None, None))
+                want[i] = nn(g, out_w, out_h)
+            elif kind == "rawv":
+                frames = rng.integers(0, 256, size=(2, h, w), dtype=np.uint8)
+                rows.append((i, bytearray(encode_rawv(frames)), None, None))
+                want[i] = nn(frames[0], out_w, out_h)
+            else:  # short: one byte less than a frame -> dropped
+                if w * h == 1:
+                    continue  # 0-byte payload would sniff weirdly; skip
+                rows.append((i, bytearray(g.tobytes()[:-1]), w, h))
+        df = spark.createDataFrame(
+            rows, "media_id long, payload binary, width int, height int"
+        ).coalesce(1)
+        got = {
+            r["media_id"]: list(r["pixels"])
+            for r in resize_images(
+                df, out_w, out_h, width_col="width", height_col="height"
+            ).collect()
+        }
+        assert got == want, (out_w, out_h)
