@@ -929,6 +929,90 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return feats.select(*sel)
 
 
+AUDIO_RT_RATE = 128    # Hz in the WAV header; 192 samples -> 1.5 s exact
+AUDIO_RT_SAMPLES = 192  # 3 windows of 64 (power-of-2: float32-exact means)
+
+
+def q_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal audio through the REAL container decode
+    (pipeline/multimodal.decode_audio_features(real_decode=True) ->
+    decode_wav): spec-conforming RIFF/WAVE PCM-8 fixtures are built at
+    plan time (each doc's printable bytes, space-padded to exactly
+    192 samples, under a canonical 44-byte header with rate=128), so
+    the timed plan is scan -> mapInPandas chunk-walk decode ->
+    per-window energy fold -> posexplode. Every number is
+    float-exact on both engines BY CONSTRUCTION: 64-sample windows
+    make energy = sum|byte-128| / 8192, an integer over a power of
+    two, so float32 == float64 == the oracle's arithmetic with no
+    rounding hazard. Compressed codecs slot into the same operator
+    via the soundfile splice; the container walk here is real."""
+    import struct
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from seqtables_spark.pipeline.multimodal import decode_audio_features
+
+    docs = _t(spark, sf_dir, "documents")
+    rows = (
+        docs.select(
+            "doc_id",
+            F.rpad(
+                F.substring(
+                    F.regexp_replace("text", "[^ -~]", ""), 1, AUDIO_RT_SAMPLES
+                ),
+                AUDIO_RT_SAMPLES,
+                " ",
+            ).alias("pcm"),
+        )
+        .orderBy("doc_id")
+        .limit(_BAM_RT_CAP)
+        .collect()
+    )
+    n = AUDIO_RT_SAMPLES
+
+    def wav(pcm: str) -> bytes:
+        data = pcm.encode("latin-1")
+        hdr = (
+            b"RIFF" + struct.pack("<I", 36 + n) + b"WAVE"
+            + b"fmt " + struct.pack("<IHHIIHH", 16, 1, 1, AUDIO_RT_RATE,
+                                    AUDIO_RT_RATE, 1, 8)
+            + b"data" + struct.pack("<I", n)
+        )
+        return hdr + data
+
+    path = _rt_tmp("seqtables_audio", sf_dir, ".parquet")
+    pq.write_table(
+        pa.table(
+            {
+                "media_id": pa.array(
+                    [int(r["doc_id"]) for r in rows], pa.int64()
+                ),
+                "payload": pa.array(
+                    [wav(r["pcm"]) for r in rows], pa.binary()
+                ),
+            }
+        ),
+        path,
+    )
+    media = spark.read.parquet(path)
+    feats = decode_audio_features(media, real_decode=True, window_s=0.5)
+    return feats.select(
+        "media_id",
+        "n_bytes",
+        F.round("duration_s", 6).alias("duration_s"),
+        "n_windows",
+        F.posexplode("window_energy").alias("widx", "energy"),
+    ).select(
+        "media_id",
+        "n_bytes",
+        "duration_s",
+        "n_windows",
+        "widx",
+        F.round(F.col("energy").cast("double"), 6).alias("energy"),
+    )
+
+
 def q_subsample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P5 subsample: exact-n engine-portable sample (md5-ranked)."""
     from seqtables_spark.operators.slices import deterministic_sample
@@ -3768,7 +3852,7 @@ _ORACLE_PRIORITY = [
     "streaming_token_cms",
     "image_resize", "curate_corpus", "curate_funnel", "curate_full",
     "curate_llm", "perplexity_scores", "bam_region_bai",
-    "bam_region_csi",
+    "bam_region_csi", "audio_features",
     "bpe_merges", "bpe_tokens", "bpe_vocab",
     "dedup_clusters", "dedup_clusters_star", "video_frames",
     "warc_roundtrip",
@@ -3886,6 +3970,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_survivors_pref": q_dedup_survivors_pref,
         "embedding_near_dups": q_embedding_near_dups,
         "multimodal_features": q_multimodal_features,
+        "audio_features": q_audio_features,
         "subsample": q_subsample,
         "fingerprint": q_fingerprint,
         "token_count": q_token_count,
@@ -5438,6 +5523,27 @@ WHERE doc_id < {_BAM_RT_CAP}
     # same window, same derived reads, index format differs only in
     # HOW chunks are found -> identical oracle
     sqls["bam_region_bai"] = sqls["bam_region"]
+    sqls["audio_features"] = f"""
+        WITH src AS (
+            SELECT doc_id AS media_id,
+                   rpad(substr(regexp_replace(text, '[^ -~]', '', 'g'),
+                               1, {AUDIO_RT_SAMPLES}),
+                        {AUDIO_RT_SAMPLES}, ' ') AS s
+            FROM (SELECT * FROM documents ORDER BY doc_id LIMIT {_BAM_RT_CAP})
+        ), win AS (
+            SELECT media_id, s, unnest(range(0, 3)) AS widx FROM src
+        )
+        SELECT media_id,
+               CAST({44 + AUDIO_RT_SAMPLES} AS BIGINT) AS n_bytes,
+               round({AUDIO_RT_SAMPLES} / {AUDIO_RT_RATE}.0, 6) AS duration_s,
+               CAST(3 AS INT) AS n_windows,
+               CAST(widx AS INT) AS widx,
+               round(list_aggregate(list_transform(range(1, 65),
+                     i -> abs(ascii(substr(s, CAST(widx * 64 + i AS INT), 1))
+                              - 128) / 8192.0), 'sum'), 6) AS energy
+        FROM win
+    """
+
     sqls["bam_region_csi"] = sqls["bam_region"]
 
     # bowtie_align: the stub aligner's decision rule is exact
