@@ -123,3 +123,35 @@ def test_accept_batch_known_refusals():
     got = _accept_batch(top, {"a": 9, "c": 8, "e": 7},
                         {"b": 9, "d": 8, "f": 7})
     assert got == top
+
+
+def test_batched_equals_sequential_exhaustive_tiny():
+    """EXHAUSTIVE sweep (not sampled): every multiset of up to 3
+    distinct words drawn from the full enumeration of 'ab'-alphabet
+    words of length <= 4, with counts in {1, 2, 3}, batch sizes 2-4,
+    8 merges. ~30k universes; any unsound acceptance in the prefix
+    rule would surface here as a rule-table divergence."""
+    from itertools import combinations, product
+
+    all_words = [
+        tuple(w)
+        for n in range(1, 5)
+        for w in map("".join, product("ab", repeat=n))
+    ]
+    checked = 0
+    for pick in combinations(range(len(all_words)), 2):
+        for counts in product((1, 2, 3), repeat=2):
+            vocab = {all_words[i]: c for i, c in zip(pick, counts)}
+            seq = _train_local(dict(vocab), 8)
+            for batch in (2, 4):
+                assert _train_local_batched(dict(vocab), 8, batch) == seq, vocab
+            checked += 1
+    # a denser 3-word slice over the short words, all count mixes
+    short = [w for w in all_words if len(w) <= 3]
+    for pick in combinations(range(len(short)), 3):
+        for counts in product((1, 2, 3), repeat=3):
+            vocab = {short[i]: c for i, c in zip(pick, counts)}
+            seq = _train_local(dict(vocab), 8)
+            assert _train_local_batched(dict(vocab), 8, 3) == seq, vocab
+            checked += 1
+    assert checked > 13_000  # 435*9 two-word + 364*27 three-word universes
