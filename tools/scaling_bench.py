@@ -56,6 +56,8 @@ QUERIES = [
     # binned interval-overlap self-join over per-user sessions;
     # final-vocab aggregation
     "session_overlap", "bpe_vocab",
+    # round-8 additions: .csi-indexed fetch, real WAV container decode
+    "bam_region_csi", "audio_features",
 ]
 
 SHIFTS = {
