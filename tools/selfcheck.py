@@ -94,6 +94,8 @@ PERF_ADJUDICATED = {
     "temperature_mix": "rate build + filtered count are two corpus passes by construction; gap = stage floor",
     "source_overlap": "sketch build = corpus md5 + distinct exchange (duck's vectorized md5 ~3x faster); pairwise stage is one bounded task (see kmv_pairwise_jaccard docstring)",
     "bam_region_bai": "fixture harness: BAM write + spec BAI build + ranged decode (real file I/O both engines); .bai pruning pinned in tests/test_bai.py",
+    "bam_region_csi": "fixture harness: BAM write + spec CSI build + ranged decode (real file I/O both engines); .csi pruning + >512Mb exactness pinned in tests/test_csi.py; x8 sweep FLAT (SCALING.md round-8 new queries)",
+    "audio_features": "fixture harness: WAV container write at plan build + mapInPandas chunk-walk decode of 236-byte blobs; gap = python-worker floor (same class as image_resize); x8 sweep sublinear",
     "bam_region": "fixture harness: driver-side BAM write + inline region index + decode (real file I/O both engines); the pruning win is pinned codec-level in tests/test_bam.py",
     "warc_gz_roundtrip": "real file I/O fixture harness (per-record gzip members)",
     "consensus_ins": "mapInArrow fixture round-trip + interleave join on a 6-row result; stage floor",
