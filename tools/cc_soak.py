@@ -16,8 +16,10 @@ edge counts (= next round's shuffle volume) and wall times come from
 connected_components(on_round=...); correctness is asserted exactly
 (cluster count and sizes are known closed-form).
 
-Usage: python tools/cc_soak.py [chain_nodes] [n_cliques] [clique_size]
-       (defaults 2_000_000 100_000 13 -> ~9.8M edges)
+Usage: python tools/cc_soak.py [chain_nodes] [n_cliques] [clique_size] [algo]
+       (defaults 2_000_000 100_000 13 star -> ~9.8M edges; algo=both
+       runs star AND label — only sensible on low-diameter graphs,
+       label needs diameter rounds)
 """
 
 from __future__ import annotations
@@ -65,6 +67,7 @@ def main() -> None:
     chain_nodes = int(sys.argv[1]) if len(sys.argv) > 1 else 2_000_000
     n_cliques = int(sys.argv[2]) if len(sys.argv) > 2 else 100_000
     clique_size = int(sys.argv[3]) if len(sys.argv) > 3 else 13
+    algo = sys.argv[4] if len(sys.argv) > 4 else "star"
 
     spark = (
         SparkSession.builder.master("local[32]")
@@ -85,17 +88,26 @@ def main() -> None:
         f"(chain {chain_nodes:,} + {n_cliques:,} cliques of {clique_size})"
     )
 
-    rounds: list = []
-    t0 = time.perf_counter()
-    labels = connected_components(
-        pairs,
-        driver_edge_limit=0,
-        algorithm="star",
-        on_round=lambda i, cnt, s: (
-            rounds.append((i, cnt, s)),
-            print(f"  round {i:2d}: {cnt:>12,} edges  {s:6.2f}s", flush=True),
-        ),
-    )
+    for algorithm in (("star", "label") if algo == "both" else (algo,)):
+        rounds: list = []
+        t0 = time.perf_counter()
+        labels = connected_components(
+            pairs,
+            driver_edge_limit=0,
+            algorithm=algorithm,
+            on_round=lambda i, cnt, s: (
+                rounds.append((i, cnt, s)),
+                print(f"  round {i:2d}: {cnt:>12,} edges  {s:6.2f}s", flush=True),
+            ),
+        )
+        _validate(labels, rounds, algorithm, t0,
+                  chain_nodes, n_cliques, clique_size)
+
+
+def _validate(labels, rounds, algorithm, t0, chain_nodes, n_cliques,
+              clique_size):
+    import time
+    from pyspark.sql import functions as F
     # one aggregation validates everything closed-form:
     #   chain -> 1 cluster of chain_nodes, cluster_id 0
     #   cliques -> n_cliques clusters of clique_size, min-id roots
@@ -109,10 +121,10 @@ def main() -> None:
     )
     wall = time.perf_counter() - t0
     got = {r["sz"]: r["n_clusters"] for r in stats}
-    assert got == {
-        clique_size: n_cliques,
-        chain_nodes: 1,
-    }, f"cluster histogram wrong: {got}"
+    want = {clique_size: n_cliques}
+    if chain_nodes > 1:
+        want[chain_nodes] = 1
+    assert got == want, f"cluster histogram wrong ({algorithm}): {got}"
     roots_ok = (
         labels.filter(
             (F.col("cluster_id") != 0)
@@ -120,11 +132,12 @@ def main() -> None:
         ).limit(1).count()
         == 0
     )
-    assert roots_ok, "non-canonical cluster roots"
+    assert roots_ok, f"non-canonical cluster roots ({algorithm})"
+    nr = f"{len(rounds)} rounds" if rounds else "rounds n/a (label hook-less)"
     print(
-        f"OK: {len(rounds)} rounds, {wall:6.1f}s wall, "
-        f"peak round volume {max(c for _, c, _ in rounds):,} edges, "
-        f"labels exact (1x{chain_nodes:,} + {n_cliques:,}x{clique_size})"
+        f"OK [{algorithm}]: {nr}, {wall:6.1f}s wall, "
+        f"labels exact ({n_cliques:,}x{clique_size}"
+        + (f" + 1x{chain_nodes:,}" if chain_nodes > 1 else "") + ")"
     )
 
 
