@@ -1,0 +1,105 @@
+"""Property suite for operators/asof.asof_join: full parity against
+pandas.merge_asof — an independent reference implementation of the
+same contract — across randomized key/timestamp distributions, all
+three directions, strict/inclusive matching, and tolerances.
+
+One deliberate divergence is excluded by construction: when several
+right rows tie on (key, right_ts), our engine documents last-in-sort
+wins while pandas takes the last INPUT row; the docstring tells users
+to pre-aggregate ties, and the generator dedups (key, ts) pairs on
+the right side accordingly (as the oracle queries do).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+from hypothesis import given, settings, strategies as st
+
+from seqtables_spark.operators.asof import asof_join
+
+
+def _frames(draw_left, draw_right):
+    left = pd.DataFrame(
+        draw_left, columns=["k", "lts", "lv"], dtype="int64"
+    )
+    right = pd.DataFrame(
+        draw_right, columns=["k", "rts", "rv"], dtype="int64"
+    )
+    right = right.drop_duplicates(subset=["k", "rts"], keep="last")
+    return left, right
+
+
+rows_left = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=3),      # key
+        st.integers(min_value=-50, max_value=50),   # ts
+        st.integers(min_value=0, max_value=99),     # value
+    ),
+    min_size=1,
+    max_size=25,
+)
+rows_right = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=3),
+        st.integers(min_value=-50, max_value=50),
+        st.integers(min_value=100, max_value=199),
+    ),
+    min_size=0,
+    max_size=25,
+)
+
+
+@pytest.fixture(scope="module")
+def aspark():
+    from seqtables_spark import get_spark
+
+    return get_spark(app_name="asof_props", cores=4, shuffle_partitions=4)
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    lrows=rows_left,
+    rrows=rows_right,
+    direction=st.sampled_from(["backward", "forward", "nearest"]),
+    exact=st.booleans(),
+    tol=st.sampled_from([None, 0, 3, 10]),
+)
+def test_asof_join_matches_pandas(aspark, lrows, rrows, direction, exact, tol):
+    if tol == 0 and not exact:
+        tol = None  # pandas rejects tolerance=0 with strict matching
+    left, right = _frames(lrows, rrows)
+    want = pd.merge_asof(
+        left.sort_values(["lts", "k"]).reset_index(drop=True),
+        right.sort_values(["rts", "k"]).reset_index(drop=True),
+        left_on="lts",
+        right_on="rts",
+        by="k",
+        direction=direction,
+        allow_exact_matches=exact,
+        tolerance=tol,
+    )
+    ldf = aspark.createDataFrame(left, "k long, lts long, lv long")
+    rdf = aspark.createDataFrame(right, "k long, rts long, rv long")
+    got = asof_join(
+        ldf,
+        rdf,
+        on=["k"],
+        left_ts="lts",
+        right_ts="rts",
+        direction=direction,
+        allow_exact_matches=exact,
+        tolerance=tol,
+    ).toPandas()
+
+    def norm(df, ts_col, v_col):
+        out = df[["k", "lts", "lv", ts_col, v_col]].copy()
+        out.columns = ["k", "lts", "lv", "mts", "mv"]
+        out["mts"] = out["mts"].astype("float64")
+        out["mv"] = out["mv"].astype("float64")
+        return out.sort_values(["k", "lts", "lv"]).reset_index(drop=True)
+
+    pd.testing.assert_frame_equal(
+        norm(got, "rts_right", "rv"), norm(want, "rts", "rv")
+    )
