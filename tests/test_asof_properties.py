@@ -103,3 +103,53 @@ def test_asof_join_matches_pandas(aspark, lrows, rrows, direction, exact, tol):
     pd.testing.assert_frame_equal(
         norm(got, "rts_right", "rv"), norm(want, "rts", "rv")
     )
+
+
+ivals = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=2),       # key
+        st.integers(min_value=-30, max_value=30),    # start
+        st.integers(min_value=0, max_value=25),      # length
+        st.integers(min_value=0, max_value=999),     # id payload
+    ),
+    min_size=0,
+    max_size=15,
+)
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    lrows=ivals,
+    rrows=ivals,
+    bin_width=st.sampled_from([1, 3, 7, 64]),
+    keyed=st.booleans(),
+)
+def test_interval_overlap_join_matches_bruteforce(
+    aspark, lrows, rrows, bin_width, keyed
+):
+    """interval_overlap_join vs the quadratic nested-loop reference:
+    exact pair set (no misses, no duplicates from shared bins), with
+    and without equality keys, across bin widths from finer-than-
+    intervals to coarser-than-domain."""
+    from seqtables_spark.operators.ranges import interval_overlap_join
+
+    def df(rows):
+        return aspark.createDataFrame(
+            [(k, s, s + ln, i) for k, s, ln, i in rows],
+            "k long, s long, e long, rid long",
+        )
+
+    on = ["k"] if keyed else []
+    got = sorted(
+        (r["l_rid"], r["r_rid"])
+        for r in interval_overlap_join(
+            df(lrows), df(rrows), "s", "e", bin_width, on=on
+        ).collect()
+    )
+    want = sorted(
+        (li, ri)
+        for (lk, ls, ll, li) in lrows
+        for (rk, rs, rl, ri) in rrows
+        if (lk == rk or not keyed) and ls <= rs + rl and rs <= ls + ll
+    )
+    assert got == want
