@@ -153,3 +153,39 @@ def test_interval_overlap_join_matches_bruteforce(
         if (lk == rk or not keyed) and ls <= rs + rl and rs <= ls + ll
     )
     assert got == want
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    vals=st.lists(
+        st.tuples(
+            st.integers(min_value=-20, max_value=20),  # sort key
+            st.integers(min_value=-5, max_value=9),    # value
+        ),
+        min_size=1,
+        max_size=40,
+    ),
+    parts=st.sampled_from([1, 2, 5]),
+)
+def test_global_running_sum_matches_pandas(aspark, vals, parts):
+    """2-phase distributed running sum vs pandas cumsum, with a unique
+    tiebreaker so the cut is deterministic, across partition counts
+    (1 = the single-task window it replaces)."""
+    from pyspark.sql import functions as F
+
+    from seqtables_spark.operators.ranks import global_running_sum
+
+    rows = [(k, i, v) for i, (k, v) in enumerate(vals)]
+    df = aspark.createDataFrame(rows, "k long, uid long, v long")
+    got = (
+        global_running_sum(
+            df, [F.col("k"), F.col("uid")], "v", num_partitions=parts
+        )
+        .orderBy("k", "uid")
+        .collect()
+    )
+    ref = pd.DataFrame(rows, columns=["k", "uid", "v"]).sort_values(
+        ["k", "uid"]
+    )
+    ref["rs"] = ref["v"].cumsum()
+    assert [r["running_sum"] for r in got] == ref["rs"].tolist()
