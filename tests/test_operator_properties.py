@@ -1,6 +1,10 @@
-"""Property suite for operators/asof.asof_join: full parity against
-pandas.merge_asof — an independent reference implementation of the
-same contract — across randomized key/timestamp distributions, all
+"""Property suites for the relational operators with independent
+reference implementations: asof_join vs pandas.merge_asof,
+interval_overlap_join vs the quadratic nested-loop reference, and
+global_running_sum vs pandas cumsum — randomized inputs, exact
+equality.
+
+asof_join runs across randomized key/timestamp distributions, all
 three directions, strict/inclusive matching, and tolerances.
 
 One deliberate divergence is excluded by construction: when several
