@@ -512,3 +512,66 @@ def test_bam_region_filters_manifest_before_decode(spark, tmp_path):
     # topmost MapInPandas
     top_map = plan.index("MapInPandas")
     assert "min_pos" in plan[top_map:], "manifest filter must feed the decode stage"
+
+
+def test_bigram_logprob_scans_corpus_exactly_twice(spark):
+    """Round-8 fix pin: the window-model bigram plan reads the corpus
+    once for the doc stream and once for the model build — the old
+    groupBy+self-join formulation duplicated the agg subtree and
+    scanned a THIRD time (verified in the executed plan before the
+    fix). Rots silently if someone reintroduces a second reference
+    to big_counts."""
+    from seqtables_spark.pipeline.text import bigram_logprob
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    plan = _plan(bigram_logprob(docs))
+    assert plan.count("FileScan parquet") == 2, plan
+    assert "Window" in plan
+
+
+def test_curate_corpus_single_scan_no_lang_forest_in_scan_filter(spark):
+    """Round-8 fix pin: curate_documents must (a) read the corpus
+    ONCE, and (b) keep the language-marker regexes OUT of the scan
+    filter — Catalyst alias-substitution used to clone the whole
+    language-CASE forest into the pushed predicate, evaluating it a
+    second time inside the (possibly single-task) scan. The window is
+    the pushdown barrier that prevents it; this asserts the barrier
+    holds."""
+    from seqtables_spark.pipeline.curate import curate_documents
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    plan = _plan(curate_documents(docs))
+    assert plan.count("FileScan parquet") == 1, plan
+    scan_lines = [
+        ln for ln in plan.splitlines() if "FileScan parquet" in ln
+    ]
+    # 'der|die|und' is the German marker alternation — present in the
+    # projection, must be absent from the scan's pushed DataFilters
+    assert all("der|die|und" not in ln for ln in scan_lines), scan_lines
+    # and the und-drop must sit ABOVE the window (reads the attribute)
+    w = plan.index("Window")
+    above = plan[:w]
+    assert "und" in above  # the filter literal appears before (above)
+
+
+def test_resize_images_plan_is_scan_plus_python_map(spark):
+    """Round-8 pin: resize_images stays a narrow scan -> one python
+    map operator -- no exchange appears between the parquet scan and
+    the Arrow-batched map (a widen here was measured 3x SLOWER at
+    fixture scale; production scans are already split)."""
+    from pyspark.sql import functions as F
+
+    from seqtables_spark.pipeline.multimodal import resize_images
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.encode(F.substring("text", 1, 64), "utf-8").alias("payload"),
+        F.lit(8).cast("int").alias("width"),
+        F.lit(8).cast("int").alias("height"),
+    )
+    plan = _plan(
+        resize_images(media, 4, 4, width_col="width", height_col="height")
+    )
+    assert "MapInPandas" in plan
+    assert "Exchange" not in plan, plan
