@@ -21,7 +21,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from seqtables_spark import from_df
 from seqtables_spark.operators import (
-    calculate_pwm,
+    calculate_pwm_seq,
     consensus,
     hamming_distance,
     mutation_profile,
@@ -283,24 +283,24 @@ def q_quality_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select(*sel)
 
 
-def _pwm_df(spark: SparkSession) -> DataFrame:
-    """The shared 96-row literal PWM both scoring queries use (one
+def _pwm_entries() -> list:
+    """The shared 96-entry literal PWM both scoring queries use (one
     definition - the two queries must stay against the same matrix)."""
-    rows = []
-    for p in range(1, W + 1):
-        for letter, w in PWM_WEIGHTS.items():
-            rows.append((p, letter, w))
-    return spark.createDataFrame(
-        rows, "position long, letter string, weight double"
-    )
+    return [
+        (p, letter, w)
+        for p in range(1, W + 1)
+        for letter, w in PWM_WEIGHTS.items()
+    ]
 
 
 def q_pwm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A12 calculate_pwm (plain-sum scoring; weights are powers of two
-    so double sums are order-free and exact)."""
-    pwm_df = _pwm_df(spark)
-    scored = calculate_pwm(
-        _doc_cells(spark, sf_dir), pwm_df, null_score=0.0, use_log_before_sum=False
+    so double sums are order-free and exact). Round 9: row-local string
+    fold (calculate_pwm_seq) - zero Exchange, no explode; plan pinned in
+    tests/test_plans.py."""
+    scored = calculate_pwm_seq(
+        _doc_reads(spark, sf_dir), _pwm_entries(),
+        null_score=0.0, use_log_before_sum=False,
     )
     return scored.select(
         F.col("read_id").cast("long").alias("doc_id"),
@@ -376,10 +376,12 @@ def q_mutation_by_position(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_pwm_log_score(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A12 calculate_pwm log path: exp(sum(log w)) product scoring."""
-    pwm_df = _pwm_df(spark)
-    scored = calculate_pwm(
-        _doc_cells(spark, sf_dir), pwm_df, null_score=1.0, use_log_before_sum=True
+    """A12 calculate_pwm log path: exp(sum(log w)) product scoring.
+    Round 9: row-local string fold, zero Exchange (log applied JVM-side
+    per lookup, so doubles match the join formulation)."""
+    scored = calculate_pwm_seq(
+        _doc_reads(spark, sf_dir), _pwm_entries(),
+        null_score=1.0, use_log_before_sum=True,
     )
     return scored.select(
         F.col("read_id").cast("long").alias("doc_id"),

@@ -385,15 +385,21 @@ class SeqTable:
                       null_scores=1.0) -> DataFrame:
         """Reference calculate_pwm (seqtables.py:874-880); `pwm` may be
         a DataFrame(position, letter, weight) or a nested list shaped
-        like the reference's positions x letters matrix."""
-        from .operators.pwm import calculate_pwm, pwm_to_df
+        like the reference's positions x letters matrix.
+
+        Round 9: routed through the row-local string fold
+        (operators.pwm.calculate_pwm_seq) - cells() here is a pure
+        derivation of self.reads, so folding over the intact seq string
+        is equivalent to the explode->join->groupBy formulation minus
+        two shuffles (the reference kernel, numpy_ops.py:462-516, is
+        row-local too)."""
+        from .operators.pwm import calculate_pwm_seq, pwm_entries
 
         if not isinstance(pwm, DataFrame):
-            spark = SparkSession.getActiveSession()
-            pwm = pwm_to_df(spark, pwm, positions=positions,
-                            column_names=pwm_column_names)
-        return calculate_pwm(
-            self.cells(with_qual=False), pwm, positions=positions,
+            pwm = pwm_entries(pwm, positions=positions,
+                              column_names=pwm_column_names)
+        return calculate_pwm_seq(
+            self.reads, pwm, positions=positions,
             null_score=null_scores,
         )
 

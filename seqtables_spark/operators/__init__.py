@@ -18,7 +18,7 @@ from .compare import (
 )
 from .quality import quality_dist, quality_filter, convert_low_bases_to_null
 from .slices import slice_sequences, filter_by_count
-from .pwm import calculate_pwm
+from .pwm import calculate_pwm, calculate_pwm_seq
 from .kmers import get_substrings, contiguous_kmers
 from .merge import merge_seqtables
 from .insertions import (
@@ -43,7 +43,7 @@ __all__ = [
     "hamming_distance", "pairwise_hamming", "mutation_profile", "mutation_ts_tv_profile",
     "ref_cells_from_strings", "quality_dist", "quality_filter",
     "convert_low_bases_to_null", "slice_sequences", "filter_by_count",
-    "calculate_pwm", "get_substrings", "contiguous_kmers", "merge_seqtables",
+    "calculate_pwm", "calculate_pwm_seq", "get_substrings", "contiguous_kmers", "merge_seqtables",
     "get_insertion_events", "get_insertion_distribution",
     "get_average_insertion_quality", "get_insertion_expectations",
     "get_insertion_seq_dist", "view_with_insertions",

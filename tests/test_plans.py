@@ -240,6 +240,23 @@ def test_pairwise_hamming_has_no_explode(spark):
     assert "Generate" not in plan  # row-local fold, no cells explode
 
 
+def test_pwm_seq_fold_is_zero_shuffle(spark):
+    """Round 9: calculate_pwm_seq is a pure row-local projection - no
+    Exchange (no groupBy reassembly), no Generate (no cells explode),
+    no Join (the PWM is a literal map in the plan, not a relation)."""
+    from seqtables_spark.operators.pwm import calculate_pwm_seq
+
+    reads = spark.createDataFrame(
+        [(str(i), "ACGTACGT", 1) for i in range(6)],
+        "read_id string, seq string, pos_start long",
+    )
+    pwm = [(p, c, 2.0) for p in range(1, 9) for c in "ACGT"]
+    plan = _plan(calculate_pwm_seq(reads, pwm))
+    assert "Exchange" not in plan
+    assert "Generate" not in plan
+    assert "Join" not in plan
+
+
 def test_stratified_sample_pushes_group_limit_below_exchange(spark):
     from seqtables_spark.pipeline.sampling import stratified_sample
 

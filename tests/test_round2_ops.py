@@ -2,6 +2,7 @@
 pseudo-letter, tf-idf, and the filter_reads stats path — all on
 hand-computed fixtures."""
 
+import pytest
 from pyspark.sql import functions as F
 
 from seqtables_spark import from_list
@@ -437,6 +438,55 @@ def test_pwm_zero_weight_scores_zero(spark):
     )
     [row] = calculate_pwm(cells, pwm).collect()
     assert row["pwm_score"] == 0.0
+
+
+def test_pwm_seq_fold_matches_join_path(spark):
+    """Round 9: the row-local string fold (calculate_pwm_seq) must
+    reproduce the explode->join->groupBy formulation exactly - both
+    score paths, positions filter, null_score, per-read pos_start
+    offsets, and off-read positions (missing cells contribute nothing,
+    never null_score)."""
+    from seqtables_spark.model import explode_chars
+    from seqtables_spark.operators.pwm import calculate_pwm, calculate_pwm_seq
+
+    reads = spark.createDataFrame(
+        # r3 starts at ref position 3 -> PWM pos 1..2 are off-read;
+        # r4 is short -> PWM pos 4 off-read
+        [("r1", "ACGT", 1), ("r2", "TTAA", 1), ("r3", "GGCC", 3), ("r4", "AC", 1)],
+        "read_id string, seq string, pos_start long",
+    )
+    cells = explode_chars(reads, qual_col=None)
+    pwm = [(p, c, w) for p in range(1, 5)
+           for c, w in (("A", 2.0), ("C", 0.5), ("G", 4.0), ("T", 0.0))]
+    pwm_df = spark.createDataFrame(
+        pwm, "position long, letter string, weight double"
+    )
+    for use_log, null_score, positions in [
+        (True, 1.0, None), (False, 0.0, None),
+        (True, 0.25, [2, 3]), (False, 7.0, [1, 4]),
+    ]:
+        want = {
+            r["read_id"]: r["pwm_score"]
+            for r in calculate_pwm(
+                cells, pwm_df, positions=positions,
+                null_score=null_score, use_log_before_sum=use_log,
+            ).collect()
+        }
+        got = {
+            r["read_id"]: r["pwm_score"]
+            for r in calculate_pwm_seq(
+                reads, pwm, positions=positions,
+                null_score=null_score, use_log_before_sum=use_log,
+            ).collect()
+        }
+        for rid, w in want.items():
+            assert got[rid] == pytest.approx(w, abs=1e-12), (
+                rid, use_log, null_score, positions)
+        # the fold keeps zero-scored-position reads (empty-fold score);
+        # the join path drops them - the only documented divergence
+        extra = set(got) - set(want)
+        empty = 1.0 if use_log else 0.0
+        assert all(got[rid] == empty for rid in extra)
 
 
 def test_slice_sequences_out_of_range_returns_all_reads_padded(spark):
