@@ -365,6 +365,7 @@ def bigram_logprob(
     text_col: str = "text",
     id_col: str = "doc_id",
     reuse_tokens: bool = False,
+    broadcast_model: int | None = 5_000_000,
 ) -> DataFrame:
     """Corpus-LM perplexity scoring (the CCNet-style quality filter
     shape): train a bigram MLE model ON the corpus, then score each
@@ -400,7 +401,32 @@ def bigram_logprob(
     shape on local disk. Default is therefore False (stateless plan,
     also streaming-safe). True remains for genuinely regexp-bound
     corpora on clusters where local-disk bandwidth beats re-scan
-    (re-measure there; the plan is correct either way).
+    (re-measure there; the plan is correct either way). CACHE
+    LIFETIME: the persist is registered on an internal relation this
+    function cannot see materialized, so the CALLER owns the memory -
+    unpersist via spark.catalog.clearCache() or scope the session;
+    repeated reuse_tokens=True calls accumulate cached blocks until
+    then (corpus-sized, MEMORY_AND_DISK, so they spill rather than
+    OOM - but they do not vanish with the returned DataFrame).
+
+    broadcast_model (round 9): the model relation is vocabulary-
+    bounded (distinct bigrams), NOT corpus-bounded - so it is the side
+    that must build the hash relation. Left to its size estimates,
+    Catalyst was observed (round-9 executed plan, sf0.1) broadcasting
+    the EXPLODED DOC-BIGRAM STREAM as the build side instead - a
+    corpus-sized driver collect that works at fixture scale and OOMs
+    the driver at real scale. With broadcast_model=N the model is
+    localCheckpoint(eager)'d (vocab-sized executor blocks, lineage
+    truncated so the guard count is free) and broadcast iff its
+    measured row count <= N; above the guard the join stays a shuffle
+    join on (w1, w2) where AQE skew-split handles stop-bigram hot
+    keys, and the checkpoint still saves the window re-computation.
+    Same count-guarded pattern as decontaminate_fuzzy. None restores
+    the fully-lazy estimate-driven plan. Measured at sf0.1 (within-run,
+    interleaved): default-estimates 1.35 s (and variance from AQE
+    flipping build sides), pinned broadcast-model 0.95 s. Note the
+    eager checkpoint makes this call run jobs at BUILD time; batch
+    only (a streaming df must pass broadcast_model=None).
 
     Determinism: each ln() lands in a fixed-point micro-unit long
     BEFORE the per-doc sum, so the aggregation is order-free and the
@@ -409,16 +435,25 @@ def bigram_logprob(
 
     Returns DF(id, n_bigrams, avg_logprob).
     """
+    # tokenize ONCE into a named column: inlining the array expr into
+    # zip_with/slice/size wrote the regexp 10x into the plan (runtime
+    # codegen subexpression-elimination dedupes it - measured neutral -
+    # but the projection keeps the plan readable and the codegen small).
+    # The old `filter(size(toks) >= 2)` pre-filter is gone: explode of
+    # an empty pairs array drops the row anyway, and the pushed-down
+    # copy of the filter was the one regexp codegen could NOT dedupe
+    # (it ran inside the scan).
     toks = F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(r"\S+"), 0)
+    tk = F.col("_tk")
     pairs = F.filter(
         F.zip_with(
-            toks,
-            F.slice(F.concat(toks, F.array(F.lit(None))), 2, F.size(toks)),
+            tk,
+            F.slice(F.concat(tk, F.array(F.lit(None))), 2, F.size(tk)),
             lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
         ),
         lambda p: p["w2"].isNotNull(),
     )
-    doc_bigrams = df.filter(F.size(toks) >= 2).select(
+    doc_bigrams = df.select(F.col(id_col), toks.alias("_tk")).select(
         F.col(id_col), F.explode(pairs).alias("p")
     ).select(id_col, F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
     if reuse_tokens:
@@ -446,6 +481,10 @@ def bigram_logprob(
     model = big_counts.withColumn(
         "c1", F.sum("c12").over(Window.partitionBy("w1"))
     )
+    if broadcast_model is not None:
+        model = model.localCheckpoint(eager=True)
+        if model.count() <= broadcast_model:
+            model = F.broadcast(model)
 
     scored = doc_bigrams.join(model, ["w1", "w2"]).select(
         id_col,

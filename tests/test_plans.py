@@ -537,13 +537,33 @@ def test_bigram_logprob_scans_corpus_exactly_twice(spark):
     groupBy+self-join formulation duplicated the agg subtree and
     scanned a THIRD time (verified in the executed plan before the
     fix). Rots silently if someone reintroduces a second reference
-    to big_counts."""
+    to big_counts.
+
+    Round 9: with the default count-guarded broadcast_model, the
+    model-build scan happens eagerly at checkpoint time and the FINAL
+    plan shows one corpus FileScan + the checkpointed model relation,
+    with the MODEL as the broadcast build side (Catalyst's estimates
+    were observed picking the corpus-sized doc-bigram stream as build
+    side — a driver-OOM hazard at scale). broadcast_model=None keeps
+    the round-8 lazy two-scan shape."""
     from seqtables_spark.pipeline.text import bigram_logprob
 
     docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
-    plan = _plan(bigram_logprob(docs))
-    assert plan.count("FileScan parquet") == 2, plan
-    assert "Window" in plan
+    lazy = _plan(bigram_logprob(docs, broadcast_model=None))
+    assert lazy.count("FileScan parquet") == 2, lazy
+    assert "Window" in lazy
+
+    pinned = _plan(bigram_logprob(docs))
+    assert pinned.count("FileScan parquet") == 1, pinned
+    # the checkpointed model relation is the build side of the join
+    assert "BroadcastHashJoin" in pinned
+    bcast = pinned.index("BroadcastExchange")
+    assert "Scan ExistingRDD" in pinned[bcast:], (
+        "broadcast build side must be the checkpointed model, "
+        "not the doc-bigram stream")
+    # and the doc-stream Generate (explode) must NOT sit under the
+    # broadcast exchange
+    assert "Generate" not in pinned[bcast:], pinned
 
 
 def test_curate_corpus_single_scan_no_lang_forest_in_scan_filter(spark):
