@@ -50,11 +50,12 @@ from seqtables_spark.pipeline.text import (
 # ---------------------------------------------------------------- constants
 
 W = 24  # document prefix width used as the aligned-read window
-# hard bound on the BAM roundtrip fixture size: the fixture build is
-# the one driver-side collect in queries(), and this cap keeps it a
+# hard bound on the BAM roundtrip fixture size: keeps the fixture a
 # fixed-size oracle artifact no matter how large sf grows (sf0.01 has
 # ~500 docs, so the cap is a no-op at test scales; mirrored in the
-# oracle's WHERE doc_id < cap)
+# oracle's WHERE doc_id < cap). Round 9: the fixture is built by the
+# distributed write_bam sink - no driver-side data collect remains
+# anywhere in queries()
 _BAM_RT_CAP = 100_000
 DOC_REF = "TABLE VALUE DATA ROW SCAN"[:W]  # literal reference sequence
 SLICE_POSITIONS = [2, 3, 5, 7, 11, 13, 17, 19]
@@ -1963,41 +1964,31 @@ def q_bam_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     direct SQL derivation. Makes the BAM source's full path (BGZF
     framing, chunk index, range decode) oracle-checked, not
     tests-only."""
-    import hashlib
-    import os
-    import tempfile
-
-    from seqtables_spark.sources.bam import encode_bam, read_bam
+    from seqtables_spark.sources.bam import read_bam, write_bam
 
     reads = _doc_reads(spark, sf_dir)
     rid = F.col("read_id").cast("long")
     nt = _acgt24()
-    # ORACLE-FIXTURE construction, the one full-table collect in
-    # queries(): bounded with an explicit limit so no sf scale-up can
-    # ever turn it into a driver OOM (the oracle SQL mirrors the same
-    # `read_id < _BAM_RT_CAP` bound). A production BAM sink would be a
-    # distributed writer, not this.
-    rows = (
-        reads.filter(rid < _BAM_RT_CAP)
-        .select(
-            "read_id",
-            (rid % 2 * 16).cast("int").alias("flag"),
-            (rid % 8 + 1).cast("int").alias("pos"),
-            nt.alias("seq"),
-            "qual",
-        )
-        .orderBy(rid)
-        .limit(_BAM_RT_CAP)
-        .collect()
+    # Round 9: fixture built by the DISTRIBUTED sink - per-partition
+    # BGZF encode in mapInPandas, driver only streams part files
+    # together (write_bam docstring). No data collect() anywhere in
+    # this query (pinned by
+    # tests/test_round9_ops.py::test_bam_roundtrip_query_has_no_driver_collect);
+    # the _BAM_RT_CAP filter keeps the fixture a fixed-size oracle
+    # artifact no matter how large sf grows (the oracle SQL mirrors
+    # `doc_id < cap`).
+    src = reads.filter(rid < _BAM_RT_CAP).select(
+        F.col("read_id").alias("header"),
+        (rid % 2 * 16).cast("int").alias("flag"),
+        F.lit("ref1").alias("rname"),
+        (rid % 8 + 1).cast("int").alias("pos"),
+        F.lit(60).cast("int").alias("mapq"),
+        F.concat(F.length(nt).cast("string"), F.lit("M")).alias("cigar"),
+        nt.alias("seq"),
+        "qual",
     )
-    records = [
-        (r["read_id"], r["flag"], "ref1", r["pos"], 60, f"{len(r['seq'])}M",
-         r["seq"], r["qual"])
-        for r in rows
-    ]
     path = _rt_tmp("seqtables_bam_rt", sf_dir, ".bam")
-    with open(path, "wb") as fh:
-        fh.write(encode_bam(records, [("ref1", 100)]))
+    write_bam(src, path, [("ref1", 100)])
     df = read_bam(spark, path, records_per_chunk=64)
     return df.select("header", "flag", "pos", "cigar", "seq", "qual")
 

@@ -458,3 +458,52 @@ def test_region_fetch_property_random_cigars_and_windows():
             and (r[3] - 1 + max(ref_len(r[5]), 1)) > start
         ]
         assert sorted(got) == sorted(want), (contig, start, end)
+
+
+def test_write_bam_distributed_roundtrip(spark, tmp_path):
+    """Round 9: the distributed sink - many partitions, one .bam -
+    must read back record-exact through read_bam, and the bytes must
+    be one valid BGZF stream (stdlib gzip accepts concatenated
+    members)."""
+    from seqtables_spark.sources.bam import write_bam
+
+    rows = [
+        (f"r{i}", (i % 2) * 16, "ref1" if i % 3 else "phiX174",
+         i % 90 + 1, 60, "4M", "ACGT", "IIII")
+        for i in range(257)  # does not divide evenly into partitions
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "header string, flag int, rname string, pos int, mapq int,"
+        " cigar string, seq string, qual string",
+    ).repartition(7)
+    path = str(tmp_path / "sink.bam")
+    manifest = write_bam(df, path, REFS)
+    m = manifest.collect()
+    assert sum(r["n_records"] for r in m) == 257
+    assert 1 < len(m) <= 7  # genuinely multi-part
+    assert not (tmp_path / "sink.bam.parts").exists()  # parts cleaned
+
+    raw = gzip.decompress(open(path, "rb").read())
+    assert raw[:4] == b"BAM\x01"
+    got = sorted(
+        (r["header"], r["flag"], r["rname"], r["pos"], r["mapq"],
+         r["cigar"], r["seq"], r["qual"])
+        for r in read_bam(spark, path, records_per_chunk=32).collect()
+    )
+    assert got == sorted(rows)
+
+
+def test_write_bam_empty_df_is_valid_empty_bam(spark, tmp_path):
+    from seqtables_spark.sources.bam import write_bam
+
+    df = spark.createDataFrame(
+        [],
+        "header string, flag int, rname string, pos int, mapq int,"
+        " cigar string, seq string, qual string",
+    )
+    path = str(tmp_path / "empty.bam")
+    manifest = write_bam(df, path, REFS)
+    assert manifest.count() == 0
+    assert read_bam(spark, path).count() == 0
+    assert open(path, "rb").read().endswith(BGZF_EOF)

@@ -1,0 +1,54 @@
+"""Round-9 additions: distributed BAM sink wiring, PWM fold
+invariants, and the no-driver-collect contract for queries()."""
+
+import gzip
+import inspect
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def test_bam_roundtrip_query_has_no_driver_collect():
+    """Round-9 pin: the BAM roundtrip fixture is built by the
+    distributed write_bam sink - the round-8 version collected the
+    full (capped) table to the driver and encoded in-process. Guards
+    the regression at the source level: no .collect( in the query
+    body, write_bam present."""
+    import __spark_entry__ as e
+
+    src = inspect.getsource(e.q_bam_roundtrip)
+    assert ".collect(" not in src
+    assert "write_bam" in src
+
+
+def test_write_bam_preserves_partition_order(spark, tmp_path):
+    """Parts concatenate by partition index: a range-partitioned sort
+    order must survive into the file's record order (what a caller
+    producing a coordinate-sorted BAM for indexing relies on)."""
+    from seqtables_spark.sources.bam import read_bam, write_bam
+
+    rows = [(f"r{i:03d}", 0, "c1", i + 1, 60, "4M", "ACGT", "IIII")
+            for i in range(64)]
+    df = (
+        spark.createDataFrame(
+            rows,
+            "header string, flag int, rname string, pos int, mapq int,"
+            " cigar string, seq string, qual string",
+        )
+        .repartitionByRange(4, "pos")
+        .sortWithinPartitions("pos")
+    )
+    path = str(tmp_path / "sorted.bam")
+    write_bam(df, path, [("c1", 1000)])
+    got = [r["pos"] for r in read_bam(spark, path, records_per_chunk=16)
+           .orderBy("voffset").collect()] if "voffset" in read_bam(
+               spark, path).columns else None
+    if got is None:
+        # no voffset column: decode the payload stream directly -
+        # record order in the file IS the decode order
+        from seqtables_spark.sources.bam import decode_bam
+
+        _, recs = decode_bam(open(path, "rb").read())
+        got = [pos for (_n, _f, _r, pos, *_rest) in recs]
+    assert len(got) == 64
+    assert got == sorted(got)
