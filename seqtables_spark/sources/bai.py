@@ -310,6 +310,14 @@ def read_bam_refs(path: str) -> list[str]:
         off = 0
         while True:
             probe = _read_at(fh, off, 65536)
+            if not probe:
+                # file exhausted before the header parsed: truncated
+                # or not a BAM - fail HERE, not later with an
+                # AttributeError in some refs consumer
+                raise ValueError(
+                    f"could not parse BAM header from {path!r} "
+                    "(truncated or not a BAM file)"
+                )
             size = _member_size(probe, 0)
             head.extend(zlib.decompress(probe[:size], 31))
             off += size

@@ -274,10 +274,35 @@ def csi_candidate_ranges(
         if probe == 0:
             break
         probe = (probe - 1) >> 3  # parent bin
+    # candidate bins = reg2bins_csi(start, end) ∩ populated bins, but
+    # WITHOUT materializing the candidate id list: a whole-chromosome
+    # query at depth 6 spans ~131k leaf ids while the index holds only
+    # the bins that contain data. Per level, iterate whichever is
+    # smaller - the [lo, hi] id range or the populated-bin set.
+    def _hit_bins():
+        # clamp the query to the geometry: an end past
+        # 2^(min_shift + 3*depth) would walk a level's id window into
+        # the next level's id space
+        e = min(end, 1 << (min_shift + 3 * depth)) - 1
+        t, s = 0, min_shift + 3 * depth  # level 0: the root bin
+        for lvl in range(0, depth + 1):
+            lo = t + (start >> s)
+            hi = min(t + (e >> s), t + (1 << (3 * lvl)) - 1)
+            if hi - lo + 1 <= len(b):
+                for bid in range(lo, hi + 1):
+                    if bid in b:
+                        yield bid
+            else:
+                for bid in b:
+                    if lo <= bid <= hi:
+                        yield bid
+            t += 1 << (3 * lvl)
+            s -= 3
+
     ranges = [
         (cb, ce)
-        for bin_id in reg2bins_csi(start, end, min_shift, depth)
-        for cb, ce in b.get(bin_id, (0, ()))[1]
+        for bin_id in _hit_bins()
+        for cb, ce in b[bin_id][1]
         if ce > min_off
     ]
     ranges.sort()

@@ -193,3 +193,23 @@ def test_bai_external_reader_interop(tmp_path):
                 if p0 < end and p0 + max(span, 1) > start:
                     want.append(name)
             assert got == sorted(want), (contig, start, end)
+
+
+def test_read_bam_refs_truncated_file_raises_clear_error(tmp_path):
+    """Round-9 (advice): a file whose header never parses must raise
+    ValueError here, not AttributeError later in a refs consumer."""
+    from seqtables_spark.sources.bai import read_bam_refs
+    from seqtables_spark.sources.bam import _bgzf_block
+
+    import struct
+
+    p = tmp_path / "trunc.bam"
+    # valid BGZF framing and valid magic, but the header claims more
+    # SAM text than the stream ever delivers (bad magic already fails
+    # fast in _parse_header; truncation is the case that used to loop
+    # into a None return)
+    p.write_bytes(_bgzf_block(b"BAM\x01" + struct.pack("<i", 99999)))
+    import pytest
+
+    with pytest.raises(ValueError, match="BAM header"):
+        read_bam_refs(str(p))

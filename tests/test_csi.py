@@ -178,3 +178,65 @@ def test_csi_external_reader_interop(tmp_path):
                 if p0 < end and p0 + max(span, 1) > start:
                     want.append(name)
             assert got == sorted(want), (contig, start, end)
+
+
+def test_candidate_ranges_lazy_intersection_matches_bruteforce():
+    """Round-9 (advice): csi_candidate_ranges intersects the reg2bins
+    id ranges with the populated-bin keys per level instead of
+    materializing ~131k candidate ids for a whole-chromosome query.
+    Must stay result-identical to the brute-force union over
+    reg2bins_csi, across geometries and query windows."""
+    import random
+
+    from seqtables_spark.sources.csi import (
+        csi_candidate_ranges,
+        reg2bin_csi,
+        reg2bins_csi,
+    )
+
+    rng = random.Random(99)
+    for min_shift, depth in [(14, 5), (14, 6), (12, 4)]:
+        # synthetic populated index: random records -> leaf bins with
+        # fake virtual-offset chunks; loffset = chunk start
+        b: dict = {}
+        for _ in range(400):
+            beg = rng.randrange(0, 1 << (min_shift + 3 * depth - 1))
+            end = beg + rng.randrange(1, 5000)
+            bid = reg2bin_csi(beg, end, min_shift, depth)
+            off = rng.randrange(1, 1 << 40)
+            lof, chunks = b.get(bid, (off, []))
+            chunks.append((off, off + rng.randrange(1, 1 << 20)))
+            b[bid] = (min(lof, off), chunks)
+        per_ref = [b]
+        for _ in range(50):
+            start = rng.randrange(0, 1 << (min_shift + 3 * depth - 1))
+            span = rng.choice([1, 100, 1 << 16, 1 << 28])
+            # stay inside the geometry: out-of-range ends are clamped
+            # by the new code but spilled into other-level bin ids by
+            # the old brute force (an over-selection, not comparable)
+            end = min(start + span, 1 << (min_shift + 3 * depth))
+            got = csi_candidate_ranges(per_ref, min_shift, depth, 0, start, end)
+            # brute force replica (the pre-round-9 formulation)
+            min_off = 0
+            probe = reg2bin_csi(start, start + 1, min_shift, depth)
+            while True:
+                if probe in b:
+                    min_off = b[probe][0]
+                    break
+                if probe == 0:
+                    break
+                probe = (probe - 1) >> 3
+            ranges = sorted(
+                (cb, ce)
+                for bid in reg2bins_csi(start, end, min_shift, depth)
+                for cb, ce in b.get(bid, (0, ()))[1]
+                if ce > min_off
+            )
+            merged: list = []
+            for cb, ce in ranges:
+                if merged and cb <= merged[-1][1]:
+                    merged[-1][1] = max(merged[-1][1], ce)
+                else:
+                    merged.append([cb, ce])
+            assert got == [(cb, ce) for cb, ce in merged], (
+                min_shift, depth, start, end)
