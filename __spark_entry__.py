@@ -849,6 +849,18 @@ def q_dedup_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     return connected_components(pairs, driver_edge_limit=0, algorithm="star")
 
 
+def q_dedup_clusters_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round 9: the adaptive clustering path - probe with a few cheap
+    label rounds (the near-dup graph is a low-diameter clique forest,
+    so the probe normally answers), fall back to star's O(log n)
+    bound if it doesn't converge. Same answer, same oracle as the
+    fixed-algorithm variants."""
+    from seqtables_spark.pipeline.dedup import connected_components
+
+    pairs = _verified_pairs(spark, sf_dir).select("id_a", "id_b")
+    return connected_components(pairs, driver_edge_limit=0, algorithm="auto")
+
+
 def q_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fuzzy-dedup final output: the planted corpus with every
     non-canonical near-duplicate removed (anti-join against the
@@ -3833,21 +3845,29 @@ def _prepared(name: str, fn: Callable) -> Callable:
 # bounded KMV, AQE contamination join, distributed ntile deciles, the
 # vectorized CIGAR kernel and everything downstream of it, the
 # numpy-batched multimodal decode), then rolling round-3 coverage.
-_ORACLE_PRIORITY = [
-    # round-8 head, rule: every query the DRIVER has never checked
-    # first (VERDICT r7 #1: the 4 round-7 sketch queries sat past the
-    # 50-query sample), then every query whose implementation or plan
-    # changed THIS round (vectorized resize + truncated payload,
-    # curate filter/window reorder + widen(8), bigram window model,
-    # batched-BPE loop rewrite, _cc_star hook, quote-safe bai fetch),
-    # then rolling prior-round coverage.
+# Queries whose implementation or plan changed THIS round. RULE
+# (comment-enforced since r8, selfcheck-enforced since r9 - see
+# tools/selfcheck.py::check_priority_rotation): every name here MUST
+# lead _ORACLE_PRIORITY so the driver's 50-query correctness sample
+# attests exactly the code that moved.
+_ROUND_CHANGED = [
+    # round 9: row-local PWM fold, broadcast-model bigram LM,
+    # distributed BAM sink (roundtrip fixture path), lazy CSI bin
+    # intersection, connected-components auto mode (new query)
+    "pwm_score", "pwm_log_score", "perplexity_scores",
+    "bam_roundtrip", "bam_region_bai", "bam_region_csi",
+    "dedup_clusters_auto", "dedup_clusters", "dedup_clusters_star",
+]
+
+_ORACLE_PRIORITY = _ROUND_CHANGED + [
+    # then the round-8 head (rolling prior-round coverage; the union
+    # of driver attestations across rounds covers all queries)
     "value_quantiles_sketch", "weighted_sample_docs", "token_freq_cms",
     "streaming_token_cms",
     "image_resize", "curate_corpus", "curate_funnel", "curate_full",
-    "curate_llm", "perplexity_scores", "bam_region_bai",
-    "bam_region_csi", "audio_features",
+    "curate_llm", "audio_features",
     "bpe_merges", "bpe_tokens", "bpe_vocab",
-    "dedup_clusters", "dedup_clusters_star", "video_frames",
+    "video_frames",
     "warc_roundtrip",
     "warc_gz_roundtrip",
     "fuzzy_contamination",
@@ -3959,6 +3979,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_index_dedup": q_streaming_index_dedup,
         "dedup_clusters": q_dedup_clusters,
         "dedup_clusters_star": q_dedup_clusters_star,
+        "dedup_clusters_auto": q_dedup_clusters_auto,
         "dedup_survivors": q_dedup_survivors,
         "dedup_survivors_pref": q_dedup_survivors_pref,
         "embedding_near_dups": q_embedding_near_dups,
@@ -5793,6 +5814,7 @@ GROUP BY hashed.doc_id
 """
     sqls["dedup_clusters"] = _sql_dedup_clusters()
     sqls["dedup_clusters_star"] = _sql_dedup_clusters()
+    sqls["dedup_clusters_auto"] = _sql_dedup_clusters()
     sqls["dedup_survivors"] = _sql_dedup_survivors()
     sqls["dedup_survivors_pref"] = _sql_dedup_survivors_pref()
     sqls["embedding_near_dups"] = _sql_embedding_pairs()

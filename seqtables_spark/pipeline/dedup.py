@@ -550,6 +550,7 @@ def connected_components(
     driver_edge_limit: int = 5_000_000,
     algorithm: str = "star",
     on_round=None,
+    auto_label_rounds: int = 4,
 ) -> DataFrame:
     """Connected components over an undirected pair list
     DF(id_a, id_b) -> DF(doc_id, cluster_id) for every endpoint, with
@@ -579,6 +580,11 @@ def connected_components(
         min of its own and its neighbors' labels; converges in
         graph-diameter rounds. Cheapest per-round for the typical
         near-dup graph (forests of tiny cliques, diameter 2-3).
+      - ``"auto"`` (round 9): probe with ``auto_label_rounds`` label
+        rounds, keep the answer if it reached a fixed point (label
+        measured ~20% faster than star on clique forests in the
+        round-8 soak), else restart with star (whose O(log n) bound
+        covers the long-chain graphs label can't finish).
 
       Both paths truncate lineage every iteration with
       ``localCheckpoint(eager=True)`` — without it the nested
@@ -625,11 +631,32 @@ def connected_components(
         return _cc_label_propagation(pairs, max_iter)
     if algorithm == "star":
         return _cc_star(pairs, max_iter, on_round=on_round)
+    if algorithm == "auto":
+        # Round 9 (round-8 measurement): label propagation beat star
+        # ~20% on the low-diameter clique forests dedup actually
+        # produces, while star's O(log n) bound wins on adversarial
+        # long chains. Auto = run a few cheap label rounds; if the
+        # graph converges within them (diameter <= auto_label_rounds,
+        # the common case) keep that answer, else RESTART with star -
+        # the wasted label rounds are each one join+agg over the edge
+        # list, a bounded premium over star's from-scratch cost on
+        # exactly the graphs star is needed for.
+        labels = _cc_label_propagation(
+            pairs, min(auto_label_rounds, max_iter), require_convergence=True
+        )
+        if labels is not None:
+            return labels
+        return _cc_star(pairs, max_iter, on_round=on_round)
     raise ValueError(f"unknown connected_components algorithm: {algorithm!r}")
 
 
-def _cc_label_propagation(pairs: DataFrame, max_iter: int) -> DataFrame:
-    """Min-label propagation; one join+agg per round, diameter rounds."""
+def _cc_label_propagation(
+    pairs: DataFrame, max_iter: int, require_convergence: bool = False
+) -> DataFrame | None:
+    """Min-label propagation; one join+agg per round, diameter rounds.
+    require_convergence=True returns None instead of a possibly-stale
+    labeling when max_iter rounds pass without a fixed point (the
+    auto-mode probe)."""
     edges = (
         pairs.select(F.col("id_a").alias("s"), F.col("id_b").alias("d"))
         .union(pairs.select(F.col("id_b").alias("s"), F.col("id_a").alias("d")))
@@ -642,6 +669,7 @@ def _cc_label_propagation(pairs: DataFrame, max_iter: int) -> DataFrame:
         .select("id", F.col("id").alias("lab"))
         .localCheckpoint(eager=True)
     )
+    converged = False
     for _ in range(max_iter):
         # each node hears its neighbors' current labels
         nbr = edges.join(labels, edges["d"] == labels["id"]).select(
@@ -666,7 +694,10 @@ def _cc_label_propagation(pairs: DataFrame, max_iter: int) -> DataFrame:
         )
         labels = new_labels
         if changed == 0:
+            converged = True
             break
+    if require_convergence and not converged:
+        return None
     return labels.select(F.col("id").alias("doc_id"), F.col("lab").alias("cluster_id"))
 
 

@@ -1154,3 +1154,45 @@ def test_property_gopher_filter_deterministic_model(spark):
             if bad
         )
         assert got[i] == (reasons == "", reasons), (i, t)
+
+
+def test_connected_components_auto_picks_label_then_star(spark):
+    """Round 9: auto = probe with a few label rounds, keep the answer
+    on low-diameter graphs (the clique forests dedup produces), fall
+    back to star on long chains. The star path is the only caller of
+    on_round, so the hook doubles as the which-path-ran witness."""
+    from seqtables_spark.pipeline.dedup import connected_components
+
+    # clique forest, diameter 1: auto must finish inside the label
+    # probe (on_round never fires)
+    clique_rounds = []
+    cliques = spark.createDataFrame(
+        [(b * 10 + i, b * 10 + j)
+         for b in range(4) for i in range(4) for j in range(i + 1, 4)],
+        "id_a long, id_b long",
+    )
+    comp = {
+        r["doc_id"]: r["cluster_id"]
+        for r in connected_components(
+            cliques, driver_edge_limit=0, algorithm="auto",
+            on_round=lambda *a: clique_rounds.append(a),
+        ).collect()
+    }
+    assert comp == {b * 10 + i: b * 10 for b in range(4) for i in range(4)}
+    assert clique_rounds == []  # label probe answered; star never ran
+
+    # 40-node path, diameter >> auto_label_rounds: auto must fall back
+    star_rounds = []
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(40)], "id_a long, id_b long"
+    )
+    comp = {
+        r["doc_id"]: r["cluster_id"]
+        for r in connected_components(
+            chain, driver_edge_limit=0, algorithm="auto",
+            auto_label_rounds=2,
+            on_round=lambda *a: star_rounds.append(a),
+        ).collect()
+    }
+    assert set(comp.values()) == {0} and len(comp) == 41
+    assert star_rounds, "star fallback must have run (and reported rounds)"

@@ -134,6 +134,11 @@ def _validate(labels, rounds, algorithm, t0, chain_nodes, n_cliques,
     )
     assert roots_ok, f"non-canonical cluster roots ({algorithm})"
     nr = f"{len(rounds)} rounds" if rounds else "rounds n/a (label hook-less)"
+    if algorithm == "auto":
+        # the star path is the only on_round caller, so the hook
+        # witnesses which branch auto took
+        nr = (f"auto->star ({len(rounds)} star rounds)" if rounds
+              else "auto->label (converged in the probe)")
     print(
         f"OK [{algorithm}]: {nr}, {wall:6.1f}s wall, "
         f"labels exact ({n_cliques:,}x{clique_size}"

@@ -274,6 +274,77 @@ def perf_gate(spark, con, entry, names, sf_dir: str, baseline: dict | None) -> d
     return report
 
 
+def check_priority_rotation(entry) -> list[str]:
+    """VERDICT r8 #8: every query declared changed this round
+    (entry._ROUND_CHANGED) must sit inside the first 50 entries of
+    _ORACLE_PRIORITY (the driver's correctness sample size), so the
+    driver attests exactly the code that moved. Also cross-checks the
+    declaration against git: q_* functions in __spark_entry__.py with
+    diff hunks since the last round-boundary commit ("round N: ..."),
+    whose query name is missing from _ROUND_CHANGED, are reported too
+    (WARNINGS, not failures - library-level changes can't be seen this
+    way and need the manual list)."""
+    import ast
+    import subprocess
+
+    warnings: list[str] = []
+    prio: list[str] = []
+    for n in entry._ORACLE_PRIORITY:  # dedupe, keep first occurrence
+        if n not in prio:
+            prio.append(n)
+    head = set(prio[:50])
+    for name in entry._ROUND_CHANGED:
+        if name not in head:
+            warnings.append(
+                f"_ROUND_CHANGED query {name!r} sits past index 50 in "
+                "_ORACLE_PRIORITY - the driver sample will not attest it"
+            )
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    entry_py = os.path.join(root, "__spark_entry__.py")
+    try:
+        base = subprocess.run(
+            ["git", "log", "--grep", "^round [0-9]*:", "-1", "--format=%H"],
+            cwd=root, capture_output=True, text=True, timeout=30,
+        ).stdout.strip()
+        if not base:
+            return warnings
+        diff = subprocess.run(
+            ["git", "diff", "-U0", base, "--", "__spark_entry__.py"],
+            cwd=root, capture_output=True, text=True, timeout=30,
+        ).stdout
+    except Exception:
+        return warnings
+    changed_lines: set[int] = set()
+    for line in diff.splitlines():
+        if line.startswith("@@"):
+            # @@ -a,b +c,d @@ -> new-file lines [c, c+d)
+            new = line.split("+", 1)[1].split(" ", 1)[0]
+            c, _, d = new.partition(",")
+            start, count = int(c), int(d or 1)
+            changed_lines.update(range(start, start + max(count, 1)))
+    if not changed_lines:
+        return warnings
+    tree = ast.parse(open(entry_py).read())
+    fn_spans = {
+        node.name: (node.lineno, node.end_lineno)
+        for node in tree.body
+        if isinstance(node, ast.FunctionDef) and node.name.startswith("q_")
+    }
+    raw = entry._raw_queries()
+    fn_to_query = {fn.__name__: qname for qname, fn in raw.items()}
+    declared = set(entry._ROUND_CHANGED)
+    for fname, (lo, hi) in fn_spans.items():
+        if fname in fn_to_query and any(lo <= ln <= hi for ln in changed_lines):
+            q = fn_to_query[fname]
+            if q not in declared:
+                warnings.append(
+                    f"query {q!r} ({fname}) changed since round-boundary "
+                    f"commit {base[:8]} but is not in _ROUND_CHANGED"
+                )
+    return warnings
+
+
 def main():
     args = sys.argv[1:]
     perf = "--perf" in args
@@ -283,6 +354,9 @@ def main():
 
     import __spark_entry__ as entry
     from seqtables_spark import get_spark
+
+    for w in check_priority_rotation(entry):
+        print(f"ROTATION WARNING: {w}")
 
     spark = get_spark(app_name="selfcheck", cores=16, shuffle_partitions=16)
     con = duck_connect(sf_dir)
