@@ -87,7 +87,7 @@ PERF_ADJUDICATED = {
     "fastq_roundtrip": "real file I/O fixture harness",
     "sam_roundtrip": "real file I/O fixture harness",
     "jsonl_roundtrip": "real file I/O fixture harness (write + schema-pinned read-back)",
-    "image_resize": "mapInPandas Arrow roundtrip of 5k blobs; per-blob work is numpy gather; gap = python-worker floor",
+    "image_resize": "r9 decomposition at sf0.1: 0.16s scan + 0.22s python-worker roundtrip (the operator is a Pandas UDF by design) + 0.38s pyspark Row collect of 77k exploded pixel rows (protocol-counted output, not plan; count-vs-collect delta). The packed variant image_thumbs_packed removes the 77k-row collect",
     "video_frames": "same mapInPandas blob-decode floor",
     "token_budget": "2-phase distributed cumsum pays two exchanges + P-row broadcast BY DESIGN (bounded state)",
     "segment_dedup": "segs subtree evaluates on both anti-join sides (Catalyst has no common-subtree dedup) + rebuild agg; gap = stage floor over 3 cheap scans",
