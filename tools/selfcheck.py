@@ -420,12 +420,14 @@ def main():
     results = {}
     for name in names:
         t0 = time.time()
+        print(f"... {name}", flush=True)
         try:
             status, detail = compare_query(spark, con, entry, name, sf_dir)
         except Exception as e:
             status, detail = "HARNESS_ERROR", f"{type(e).__name__}: {e}"
             traceback.print_exc()
         results[name] = (status, detail, time.time() - t0)
+        print(f"    -> {status} {time.time() - t0:6.1f}s", flush=True)
 
     print("\n" + "=" * 72)
     n_ok = 0
