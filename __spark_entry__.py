@@ -1461,8 +1461,17 @@ def q_event_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     if dict(ev.dtypes).get("ts") not in ("bigint", "int", "long"):
         # native timestamp vintage -> ns (ntz cast is exact under UTC)
         ts = F.unix_micros(F.col("ts").cast("timestamp")) * 1000
-    ev = ev.select(F.col("event_type"), ts.alias("ts_ns"), F.col("value"))
-    w = Window.partitionBy("event_type").orderBy("ts_ns")
+    # round 9 (sf1 gate): ts_ns alone is not a total order once the
+    # data has duplicate timestamps (the 10x replica corpus does) -
+    # DuckDB evaluated the lag window and the running-sum window with
+    # DIFFERENT tie orders and split a tie group across sessions.
+    # event_id makes the sort total on both engines; semantics are
+    # unchanged wherever ts is unique.
+    ev = ev.select(
+        F.col("event_type"), ts.alias("ts_ns"), F.col("value"),
+        F.col("event_id"),
+    )
+    w = Window.partitionBy("event_type").orderBy("ts_ns", "event_id")
     new_sess = F.when(
         F.col("ts_ns") - F.lag("ts_ns").over(w) >= SESSION_GAP_NS, 1
     ).otherwise(0)
@@ -2421,8 +2430,15 @@ def q_classifier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast map."""
     from seqtables_spark.pipeline.text import classifier_logit
 
-    return classifier_logit(_t(spark, sf_dir, "documents")).select(
-        "doc_id", "n_tokens", (F.round("logit", 6) + F.lit(0.0)).alias("logit")
+    # round 9 (sf1 gate): logit emitted in exact integer micro-units -
+    # a replica doc landed on a shortest-repr ".5" boundary where
+    # Spark's BigDecimal.valueOf round and DuckDB's true-binary round
+    # disagree by 1e-6 (classifier_logit docstring); no double round()
+    # is engine-portable there, integers are
+    out = classifier_logit(_t(spark, sf_dir, "documents"), micro=True)
+    return out.select(
+        "doc_id", "n_tokens",
+        (F.col("logit_micro").cast("double") / 1_000_000.0).alias("logit"),
     )
 
 
@@ -3891,6 +3907,12 @@ _ROUND_CHANGED = [
     "bam_roundtrip", "bam_region_bai", "bam_region_csi",
     "dedup_clusters_auto", "dedup_clusters", "dedup_clusters_star",
     "image_thumbs_packed",
+    # sf1-gate fixes: exact-integer logit rounding, total-order
+    # sessionization, MATERIALIZED oracle CTEs for the dedup family +
+    # curate_full (oracle-only for the latter group, values unchanged)
+    "classifier_score", "event_sessions", "curate_full",
+    "dedup_survivors", "dedup_survivors_pref", "ngram_jaccard",
+    "minhash_lsh_pairs", "streaming_near_dup", "streaming_near_dup_ttl",
 ]
 
 _ORACLE_PRIORITY = _ROUND_CHANGED + [
@@ -5663,7 +5685,7 @@ GROUP BY source, pred_lang
     # decontamination vs the held-out slice -> DSIR weights; every
     # fragment mirrors its standalone oracle exactly
     _ph_dtok = _SQL_PORTABLE_HASH.format(x="tok")
-    sqls["curate_full"] = f"""
+    sqls["curate_full"] = _mat(f"""
 WITH gated AS (
   SELECT doc_id, source, text,
          len(regexp_extract_all(text, '\\S+')) AS n_tokens
@@ -5748,10 +5770,10 @@ SELECT c.doc_id, c.source, c.pred_lang,
        CAST(c.n_tokens AS BIGINT) AS n_tokens,
        round(coalesce(w.logw, 0.0), 6) + 0.0 AS logw
 FROM cur3 c LEFT JOIN w ON c.doc_id = w.doc_id
-"""
+""")
 
-    sqls["minhash_lsh_pairs"] = _sql_lsh_pairs()
-    sqls["ngram_jaccard"] = _sql_ngram_jaccard()
+    sqls["minhash_lsh_pairs"] = _mat(_sql_lsh_pairs())
+    sqls["ngram_jaccard"] = _mat(_sql_ngram_jaccard())
     sqls["incremental_dedup"] = f"""
 WITH corpus AS (SELECT doc_id, text FROM documents),
 batch AS (
@@ -5806,8 +5828,8 @@ FROM obanded o JOIN hist1 h
 WHERE o.doc_id != h.doc_id
 """
 
-    sqls["streaming_near_dup"] = _sql_streaming_near_dup()
-    sqls["streaming_near_dup_ttl"] = _sql_streaming_near_dup_ttl()
+    sqls["streaming_near_dup"] = _mat(_sql_streaming_near_dup())
+    sqls["streaming_near_dup_ttl"] = _mat(_sql_streaming_near_dup_ttl())
     _ph_tok = _SQL_PORTABLE_HASH.format(x="t")
     sqls["classifier_score"] = f"""
 WITH toks AS (
@@ -5818,10 +5840,16 @@ w AS (
          list_sum(list_transform(tk,
            t -> ({_ph_tok} % 1024) * 2654435761 % 1000003 - 500001)) AS s
   FROM toks WHERE len(tk) > 0
+),
+m AS (
+  SELECT doc_id, n_tokens, s, abs(s) * 2 + n_tokens AS mag
+  FROM w
 )
 SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
-       round(CAST(s AS DOUBLE) / n_tokens / 1000000.0, 6) + 0.0 AS logit
-FROM w
+       CAST(CASE WHEN s >= 0 THEN 1 ELSE -1 END
+            * ((mag - mag % (2 * n_tokens)) / (2 * n_tokens))
+            AS DOUBLE) / 1000000.0 AS logit
+FROM m
 """
     sqls["duplicate_spans"] = f"""
 WITH toks AS (
@@ -5847,11 +5875,11 @@ SELECT hashed.doc_id, count(*) AS n_spans,
 FROM hashed LEFT JOIN dup d ON hashed.h = d.h
 GROUP BY hashed.doc_id
 """
-    sqls["dedup_clusters"] = _sql_dedup_clusters()
-    sqls["dedup_clusters_star"] = _sql_dedup_clusters()
-    sqls["dedup_clusters_auto"] = _sql_dedup_clusters()
-    sqls["dedup_survivors"] = _sql_dedup_survivors()
-    sqls["dedup_survivors_pref"] = _sql_dedup_survivors_pref()
+    sqls["dedup_clusters"] = _mat(_sql_dedup_clusters())
+    sqls["dedup_clusters_star"] = _mat(_sql_dedup_clusters())
+    sqls["dedup_clusters_auto"] = _mat(_sql_dedup_clusters())
+    sqls["dedup_survivors"] = _mat(_sql_dedup_survivors())
+    sqls["dedup_survivors_pref"] = _mat(_sql_dedup_survivors_pref())
     sqls["embedding_near_dups"] = _sql_embedding_pairs()
     sqls["multimodal_features"] = _sql_multimodal()
 
@@ -5967,19 +5995,19 @@ FROM events GROUP BY 1, 2
 
     sqls["event_sessions"] = f"""
 WITH t AS (
-  SELECT event_type, epoch_ns(ts) AS ts_ns, value FROM events
+  SELECT event_type, epoch_ns(ts) AS ts_ns, value, event_id FROM events
 ),
 flagged AS (
-  SELECT event_type, ts_ns, value,
+  SELECT event_type, ts_ns, value, event_id,
          CASE WHEN lag(ts_ns) OVER w IS NULL THEN 1
               WHEN ts_ns - lag(ts_ns) OVER w >= {SESSION_GAP_NS} THEN 1
               ELSE 0 END AS is_new
   FROM t
-  WINDOW w AS (PARTITION BY event_type ORDER BY ts_ns)
+  WINDOW w AS (PARTITION BY event_type ORDER BY ts_ns, event_id)
 ),
 sess AS (
   SELECT event_type, ts_ns, value,
-         sum(is_new) OVER (PARTITION BY event_type ORDER BY ts_ns
+         sum(is_new) OVER (PARTITION BY event_type ORDER BY ts_ns, event_id
                            ROWS UNBOUNDED PRECEDING) AS sid
   FROM flagged
 )

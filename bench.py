@@ -22,6 +22,13 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 def main() -> int:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    # SPARK_GRAFT_BENCH_REPS (round 9): executions per query per
+    # engine. Default 2 (min-of-2 dodges host noise). The sf1 run
+    # sets 1 - several DuckDB oracles there cost minutes each (the
+    # dedup family's recursive-closure replay), so min-of-2 would
+    # triple a multi-hour run for noise resistance the headline
+    # ratio does not need; the JSON records the reps used.
+    reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "2")))
     m = re.search(r"sf([0-9]+(?:\.[0-9]+)?)", sf_dir)
     sf = float(m.group(1)) if m else -1.0
 
@@ -105,7 +112,7 @@ def main() -> int:
     duck_timings: dict[str, float] = {}
     for name, fn in qfns.items():
         best, n = None, 0
-        for _ in range(2):
+        for _ in range(reps):
             df = fn(spark, sf_dir)
             df._jdf.queryExecution().executedPlan()  # plan build off-clock
             t0 = time.perf_counter()
@@ -116,8 +123,9 @@ def main() -> int:
         d_best = None
         if con is not None and name in oracles:
             try:
-                con.execute(oracles[name]).fetchall()  # warm (I/O cache, plan)
-                for _ in range(2):
+                if reps > 1:
+                    con.execute(oracles[name]).fetchall()  # warm (I/O cache, plan)
+                for _ in range(reps):
                     t0 = time.perf_counter()
                     con.execute(oracles[name]).fetchall()
                     dt = time.perf_counter() - t0
@@ -151,6 +159,7 @@ def main() -> int:
         # gap vs the in-process oracle
         "floor_noop_s": floor_noop_s,
         "floor_shuffle_s": floor_shuffle_s,
+        "reps": reps,
     }
     if duck_timings:
         duck_total = round(sum(duck_timings.values()), 3)

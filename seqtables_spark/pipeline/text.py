@@ -324,6 +324,7 @@ def classifier_logit(
     n_buckets: int = 1024,
     text_col: str = "text",
     id_col: str = "doc_id",
+    micro: bool = False,
 ) -> DataFrame:
     """Linear text classifier over hashed token features - the
     fastText-style quality-filter shape (hash token -> feature
@@ -340,7 +341,19 @@ def classifier_logit(
     sigmoid downstream (exp() is libm-dependent, so the oracle-able
     surface stops at the logit).
 
-    Returns DF(id, n_tokens, logit).
+    micro=True (round 9): return `logit_micro` (long) instead - the
+    ratio rounded HALF-AWAY-FROM-ZERO to integer micro-units with
+    pure integer arithmetic ((2|s| + n) div (2n), signed back). The
+    sf1 gate caught why this exists: a doc landed on
+    s/n = -0.06385549999..., whose shortest decimal repr is
+    "-0.0638555" - Spark's round() goes through
+    BigDecimal.valueOf(double) (rounds the STRING, saw a midpoint,
+    HALF_UP'd to -0.063856) while DuckDB rounds the true binary value
+    (correctly, to -0.063855). No double round() of a ratio is
+    engine-portable at such boundaries; the integer form is exact
+    everywhere.
+
+    Returns DF(id, n_tokens, logit) or DF(id, n_tokens, logit_micro).
     """
     toks = F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(r"\S+"), 0)
     # bucket = portable_hash(token) % n_buckets; weight = centered
@@ -353,6 +366,16 @@ def classifier_logit(
     )
     n = F.size(toks)
     s = F.aggregate(weights, F.lit(0).cast("long"), lambda acc, w: acc + w)
+    if micro:
+        nl = n.cast("long")
+        mag = F.abs(s) * 2 + nl  # half-away numerator, exact longs
+        q = (mag - mag % (2 * nl)) / (2 * nl)  # exact: division of a multiple
+        m = F.when(s >= 0, q).otherwise(-q).cast("long")
+        return df.filter(n > 0).select(
+            F.col(id_col),
+            nl.alias("n_tokens"),
+            m.alias("logit_micro"),
+        )
     return df.filter(n > 0).select(
         F.col(id_col),
         n.cast("long").alias("n_tokens"),
