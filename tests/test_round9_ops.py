@@ -52,3 +52,51 @@ def test_write_bam_preserves_partition_order(spark, tmp_path):
         got = [pos for (_n, _f, _r, pos, *_rest) in recs]
     assert len(got) == 64
     assert got == sorted(got)
+
+
+def test_classifier_logit_micro_is_exact_half_away(spark):
+    """Round-9 sf1 finding: double round() of a ratio is not engine-
+    portable at shortest-repr '.5' boundaries. The micro path must
+    equal Python's exact Fraction-based half-away-from-zero rounding
+    for every doc - including adversarial near-boundary ratios."""
+    from fractions import Fraction
+
+    import hashlib
+
+    from seqtables_spark.pipeline.text import classifier_logit
+
+    def portable_string_hash_py(t):
+        return int(hashlib.md5(t.encode()).hexdigest()[:15], 16) % 2147483647
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(f"w{i}x{j}" for j in range(i % 37 + 1)))
+         for i in range(200)],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["logit_micro"])
+        for r in classifier_logit(docs, micro=True).collect()
+    }
+
+    def py_micro(text):
+        toks = text.lower().split()
+        s = sum(
+            (portable_string_hash_py(t) % 1024) * 2654435761 % 1000003
+            - 500001
+            for t in toks
+        )
+        n = len(toks)
+        q = Fraction(s, n) / 1_000_000  # logit as an exact rational
+        micro = Fraction(s, n)
+        sign = -1 if micro < 0 else 1
+        m = abs(micro)
+        # half away from zero to integer micro-units
+        import math
+        whole = math.floor(m)
+        rem = m - whole
+        r = whole + (1 if rem >= Fraction(1, 2) else 0)
+        return n, sign * r
+
+    for i in range(200):
+        text = " ".join(f"w{i}x{j}" for j in range(i % 37 + 1))
+        assert got[i] == py_micro(text), (i, got[i], py_micro(text))
