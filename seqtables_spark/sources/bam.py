@@ -773,6 +773,7 @@ def write_bam(
     cols: tuple[str, ...] = (
         "header", "flag", "rname", "pos", "mapq", "cigar", "seq", "qual"
     ),
+    index: str | None = None,
 ):
     """Distributed BAM sink: encode a DataFrame of alignment rows to
     ONE .bam file at `path`.
@@ -804,6 +805,16 @@ def write_bam(
     write_bam(read_bam(...)) roundtrips. Returns the part manifest
     DataFrame (path, n_records, n_bytes) - one row per non-empty
     partition.
+
+    index="bai"/"csi" (round 9) additionally writes `<path>.bai` /
+    `<path>.csi` after assembly (one driver-side streaming pass of the
+    finished file, constant memory - sources/bai.write_bai /
+    csi.write_csi). The caller owns coordinate order: sort the
+    DataFrame by (rname-id, pos) via repartitionByRange +
+    sortWithinPartitions first, as an indexed BAM requires; the
+    partition-order-preserving concat (pinned in
+    tests/test_round9_ops.py) makes the sorted write correct by
+    construction.
     """
     import pandas as pd  # noqa: F401 - mapInPandas contract
     from pyspark.sql import functions as F
@@ -860,6 +871,17 @@ def write_bam(
                 shutil.copyfileobj(part, out, 1 << 20)
         out.write(BGZF_EOF)
     shutil.rmtree(parts_dir)
+
+    if index == "bai":
+        from .bai import write_bai
+
+        write_bai(path)
+    elif index == "csi":
+        from .csi import write_csi
+
+        write_csi(path)
+    elif index is not None:
+        raise ValueError(f"index must be 'bai', 'csi' or None, got {index!r}")
 
     spark = df.sparkSession
     schema = "path string, n_records long, n_bytes long"

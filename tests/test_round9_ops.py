@@ -100,3 +100,53 @@ def test_classifier_logit_micro_is_exact_half_away(spark):
     for i in range(200):
         text = " ".join(f"w{i}x{j}" for j in range(i % 37 + 1))
         assert got[i] == py_micro(text), (i, got[i], py_micro(text))
+
+
+def test_write_bam_with_index_end_to_end(spark, tmp_path):
+    """Round 9: sorted distributed write + index build + indexed
+    region fetch, all through our own sink/codecs. The fetched rows
+    must equal the brute-force overlap filter."""
+    from seqtables_spark.sources.bai import read_bam_region_bai
+    from seqtables_spark.sources.bam import write_bam
+    from seqtables_spark.sources.csi import read_bam_region_csi
+
+    rows = [(f"r{i:04d}", 0, "c1", 3 * i + 1, 60, "4M", "ACGT", "IIII")
+            for i in range(500)]
+    df = (
+        spark.createDataFrame(
+            rows,
+            "header string, flag int, rname string, pos int, mapq int,"
+            " cigar string, seq string, qual string",
+        )
+        .repartitionByRange(5, "pos")
+        .sortWithinPartitions("pos")
+    )
+    refs = [("c1", 3 * 500 + 10)]
+    want = sorted(r[0] for r in rows
+                  if r[3] - 1 < 400 and r[3] - 1 + 4 > 150)  # [150,400)
+
+    for idx, reader in [("bai", read_bam_region_bai),
+                        ("csi", read_bam_region_csi)]:
+        path = str(tmp_path / f"sorted_{idx}.bam")
+        write_bam(df, path, refs, index=idx)
+        import os
+        assert os.path.exists(path + "." + idx)
+        got = sorted(
+            r["header"]
+            for r in reader(spark, path, "c1", 150, 400).collect()
+        )
+        assert got == want, idx
+
+
+def test_write_bam_rejects_unknown_index(spark, tmp_path):
+    import pytest
+
+    from seqtables_spark.sources.bam import write_bam
+
+    df = spark.createDataFrame(
+        [("r", 0, "c1", 1, 60, "4M", "ACGT", "IIII")],
+        "header string, flag int, rname string, pos int, mapq int,"
+        " cigar string, seq string, qual string",
+    )
+    with pytest.raises(ValueError, match="index"):
+        write_bam(df, str(tmp_path / "x.bam"), [("c1", 100)], index="tbi")
