@@ -2742,8 +2742,10 @@ def q_session_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     composed: gaps-and-islands sessionization per user (one shuffle,
     integer microsecond domain so engines agree exactly), then the
     bin-bucketed interval OVERLAP join (operators/ranges.py
-    interval_overlap_join) — both sides replicate to covered 15-minute
-    bins (the measured knee, SCALING.md "session_overlap bin width"), plain equi-join on the bin, exact predicate, and the
+    interval_overlap_join) — both sides replicate to density-adaptive
+    bins (bin_width="auto" = 2x avg session length; the round-7 fixed
+    15-min knee was density-tuned and lost at sf1 — auto_bin_width
+    docstring), plain equi-join on the bin, exact predicate, and the
     first-shared-bin filter dedups with NO distinct exchange. Never
     |sessions| x |sessions|."""
     from pyspark.sql import Window
@@ -2772,8 +2774,16 @@ def q_session_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     sess = sid.groupBy("user_id", "sid").agg(
         F.min("t").alias("s_us"), F.max("t").alias("e_us")
     ).drop("sid")
+    # Round 9: (a) checkpoint the sessions - the self-join references
+    # the sessionize subtree twice and Catalyst does not dedupe common
+    # subtrees, so the 2-window pass over events ran TWICE (measured
+    # 11.7s -> ~4s at sf1; the relation is session-count-bounded);
+    # (b) bin_width="auto" = 2x avg session length - the fixed 15-min
+    # knee was tuned at sf0.1's density and lost 1.4x at sf1's
+    # (auto_bin_width docstring has the sweep).
+    sess = sess.localCheckpoint(eager=True)
     pairs = interval_overlap_join(
-        sess, sess, "s_us", "e_us", bin_width=OVERLAP_BIN_US
+        sess, sess, "s_us", "e_us", bin_width="auto"
     ).filter(F.col("l_user_id") < F.col("r_user_id"))
     agg = pairs.groupBy(
         F.col("l_user_id").alias("user_a"),
@@ -3910,7 +3920,7 @@ _ROUND_CHANGED = [
     # sf1-gate fixes: exact-integer logit rounding, total-order
     # sessionization, MATERIALIZED oracle CTEs for the dedup family +
     # curate_full (oracle-only for the latter group, values unchanged)
-    "classifier_score", "event_sessions", "curate_full",
+    "classifier_score", "event_sessions", "session_overlap", "curate_full",
     "dedup_survivors", "dedup_survivors_pref", "ngram_jaccard",
     "minhash_lsh_pairs", "streaming_near_dup", "streaming_near_dup_ttl",
 ]

@@ -150,3 +150,32 @@ def test_write_bam_rejects_unknown_index(spark, tmp_path):
     )
     with pytest.raises(ValueError, match="index"):
         write_bam(df, str(tmp_path / "x.bam"), [("c1", 100)], index="tbi")
+
+
+def test_interval_overlap_auto_bin_matches_fixed(spark):
+    """bin_width='auto' must change only the physical binning - the
+    overlap pair set is bin-invariant (the property suite pins fixed
+    widths against the quadratic reference; this pins auto against a
+    fixed width)."""
+    from seqtables_spark.operators.ranges import (
+        auto_bin_width,
+        interval_overlap_join,
+    )
+
+    rows = [(i, (i * 37) % 500, (i * 37) % 500 + (i % 9) * 13 + 1)
+            for i in range(120)]
+    df = spark.createDataFrame(rows, "id long, s long, e long")
+    fixed = sorted(
+        (r["l_id"], r["r_id"])
+        for r in interval_overlap_join(df, df, "s", "e", bin_width=50)
+        .filter(F.col("l_id") < F.col("r_id")).collect()
+    )
+    auto = sorted(
+        (r["l_id"], r["r_id"])
+        for r in interval_overlap_join(df, df, "s", "e", bin_width="auto")
+        .filter(F.col("l_id") < F.col("r_id")).collect()
+    )
+    assert auto == fixed and len(fixed) > 100
+    w = auto_bin_width(df, df, "s", "e")
+    avg_len = sum(e - s for _, s, e in rows) / len(rows)
+    assert w == max(1, int(2 * avg_len))
