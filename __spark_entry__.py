@@ -895,30 +895,21 @@ def q_dedup_survivors_pref(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dedup (embedding cosine): all pairs with cosine >= 0.2 among
     the vec_id%10==0 slice (fixed-fold dot products, exact doubles)."""
-    from seqtables_spark.pipeline.similarity import _dot, _norm
+    from seqtables_spark.pipeline.similarity import pair_cosine
 
-    emb = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") % 10 == 0)
-    # norms are precomputed once per side (identical values to the
-    # per-pair recompute, 1/3 of the fold work over N^2 pairs)
-    a = emb.select(
-        F.col("vec_id").alias("id_a"),
-        F.col("embedding").alias("va"),
-        _norm(F.col("embedding")).alias("na"),
+    emb = _wide(
+        spark, _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") % 10 == 0)
     )
-    b = emb.select(
-        F.col("vec_id").alias("id_b"),
-        F.col("embedding").alias("vb"),
-        _norm(F.col("embedding")).alias("nb"),
+    a = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"))
+    b = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"))
+    pairs = a.join(b, F.col("id_a") < F.col("id_b")).select(
+        "id_a", "id_b", "va", "vb"
     )
-    pairs = a.join(b, F.col("id_a") < F.col("id_b"))
-    return (
-        pairs.select(
-            "id_a",
-            "id_b",
-            (_dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))).alias("sim"),
-        )
-        .filter(F.col("sim") >= 0.2)
-        .select("id_a", "id_b", F.round("sim", 6).alias("sim"))
+    # the vectorized Arrow kernel computes the identical sequential
+    # fold as the HOF expression (similarity.pair_cosine docstring);
+    # tau-filter inside the kernel, round outside
+    return pair_cosine(pairs, "va", "vb", sim_col="sim", tau=0.2).select(
+        "id_a", "id_b", F.round("sim", 6).alias("sim")
     )
 
 
@@ -1153,19 +1144,31 @@ _ivf_index_cache: dict = {}
 
 def _ivf_index(spark: SparkSession, sf_dir: str):
     """IVF index per (session x sf_dir): centroids + persisted cell
-    assignment. An IVF index is BUILT ONCE and searched many times -
-    at scale the assignment is written out partitioned by `_c`, so
-    re-training per query would misrepresent the operator's cost."""
-    from seqtables_spark.pipeline.similarity import ivf_assign, ivf_centroids
+    assignment + the derived (k, nprobe). An IVF index is BUILT ONCE
+    and searched many times - at scale the assignment is written out
+    partitioned by `_c`, so re-training per query would misrepresent
+    the operator's cost.
+
+    k is NOT pinned: it grows with the corpus (ivf_k_for, fixed
+    expected cell size of 250) so semantic_dedup's within-cluster
+    pair cost stays ~N*cell_size instead of N^2/k (the fixed-k
+    configuration measured 42x growth on 10x data; k=8->64 at x8 was
+    10.6s -> 1.9s). The count is one job at index-build time - the
+    build is already eager (seed collect), and the oracle derives the
+    identical k from count(*) in SQL (_sql_ivf_asg_ctes)."""
+    from seqtables_spark.pipeline.similarity import (
+        ivf_assign, ivf_centroids, ivf_k_for, ivf_nprobe_for,
+    )
 
     entry_ = _ivf_index_cache.get(sf_dir)
     if entry_ is None or entry_[0] is not spark:
         base, qvec = _emb_and_query(spark, sf_dir)
-        cents = ivf_centroids(base, k=8, n_iters=1, dim=len(qvec))
+        k = ivf_k_for(base.count())
+        cents = ivf_centroids(base, k=k, n_iters=1, dim=len(qvec))
         assigned = ivf_assign(base, cents).persist()
-        entry_ = (spark, cents, assigned)
+        entry_ = (spark, cents, assigned, len(cents), ivf_nprobe_for(len(cents)))
         _ivf_index_cache[sf_dir] = entry_
-    return entry_[1], entry_[2]
+    return entry_[1], entry_[2], entry_[3], entry_[4]
 
 
 def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1178,8 +1181,8 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     from seqtables_spark.pipeline.similarity import ivf_topk
 
     _, qvec = _emb_and_query(spark, sf_dir)
-    cents, assigned = _ivf_index(spark, sf_dir)
-    return ivf_topk(assigned, qvec, cents, k=10, nprobe=3).select(
+    cents, assigned, _k, nprobe = _ivf_index(spark, sf_dir)
+    return ivf_topk(assigned, qvec, cents, k=10, nprobe=nprobe).select(
         "vec_id", F.round("sim", 6).alias("sim")
     )
 
@@ -1192,13 +1195,13 @@ def q_cluster_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     downstream stage) and emit per-cluster mixing stats: size, corpus
     share, and the balanced-sampling quota min(n, floor(total/k)) a
     uniform-mix resampler would draw per cluster. The tiny k-row
-    aggregate rides one unpartitioned window (k=8 rows on one task -
-    bounded by construction). Value-exact: the oracle replays the
-    identical Lloyd step in SQL (_sql_ivf_asg_ctes) then the same
-    rollup."""
+    aggregate rides one unpartitioned window (k rows on one task,
+    k = corpus/250 - bounded by construction). Value-exact: the
+    oracle replays the identical Lloyd step AND the identical
+    k = GREATEST(8, count//250) in SQL (_sql_ivf_asg_ctes)."""
     from pyspark.sql import Window
 
-    _, assigned = _ivf_index(spark, sf_dir)
+    _, assigned, k, _np = _ivf_index(spark, sf_dir)
     counts = assigned.groupBy(F.col("_c").alias("cluster_id")).agg(
         F.count(F.lit(1)).alias("n_vecs"),
         F.min("vec_id").alias("first_vec"),
@@ -1210,7 +1213,7 @@ def q_cluster_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         "first_vec",
         F.round(F.col("n_vecs") / total, 6).alias("share"),
         F.least(
-            F.col("n_vecs"), F.floor(total / F.lit(8)).cast("long")
+            F.col("n_vecs"), F.floor(total / F.lit(k)).cast("long")
         ).alias("balanced_quota"),
     )
 
@@ -1222,11 +1225,13 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     lower-id neighbor at cosine >= 0.2 INSIDE their cluster. The
     pairwise step is an equi-join on the cell id, so cost is
     sum(|cluster|^2), never N^2 - clustering-first is what makes
-    semantic dedup tractable at 100 TB (fixed expected cluster size,
-    assignment written out partitioned by cell)."""
+    semantic dedup tractable at 100 TB. The index's k grows with the
+    corpus (ivf_k_for: fixed ~250-vector expected cell), so pair cost
+    is ~N*250, LINEAR in N - the fixed-k=8 configuration this
+    replaced measured 42x growth on 10x data (SCALING.md)."""
     from seqtables_spark.pipeline.similarity import semantic_dedup
 
-    _, assigned = _ivf_index(spark, sf_dir)
+    _, assigned, _k, _np = _ivf_index(spark, sf_dir)
     pruned = semantic_dedup(assigned, tau=0.2)
     return pruned.select(
         "vec_id", "keeper_id", F.round("max_sim", 6).alias("max_sim")
@@ -3910,24 +3915,27 @@ def _prepared(name: str, fn: Callable) -> Callable:
 # lead _ORACLE_PRIORITY so the driver's 50-query correctness sample
 # attests exactly the code that moved.
 _ROUND_CHANGED = [
-    # round 9: row-local PWM fold, broadcast-model bigram LM,
-    # distributed BAM sink (roundtrip fixture path), lazy CSI bin
-    # intersection, connected-components auto mode (new query)
-    "pwm_score", "pwm_log_score", "perplexity_scores",
+    # round 10: scale-correct IVF family - k/nprobe grow with the
+    # corpus (ivf_k_for/ivf_nprobe_for, fixed ~250-vector expected
+    # cell) on BOTH engines (kk CTE in _sql_ivf_asg_ctes); values at
+    # sf<=0.1 unchanged (k stays 8 there), sf1 k=79
+    "semantic_dedup", "ann_ivf", "cluster_mix",
+    # round 10: sharded write_bam roundtrip + attempt-safe part
+    # naming; bai/csi cross-index equivalence
     "bam_roundtrip", "bam_region_bai", "bam_region_csi",
-    "dedup_clusters_auto", "dedup_clusters", "dedup_clusters_star",
-    "image_thumbs_packed",
-    # sf1-gate fixes: exact-integer logit rounding, total-order
-    # sessionization, MATERIALIZED oracle CTEs for the dedup family +
-    # curate_full (oracle-only for the latter group, values unchanged)
-    "classifier_score", "event_sessions", "session_overlap", "curate_full",
-    "dedup_survivors", "dedup_survivors_pref", "ngram_jaccard",
-    "minhash_lsh_pairs", "streaming_near_dup", "streaming_near_dup_ttl",
+    # round 10: plan-build side-effect containment (lazy forms)
+    "perplexity_scores", "session_overlap", "dedup_clusters_auto",
+    # round 10: pwm fold polish
+    "pwm_score", "pwm_log_score",
 ]
 
 _ORACLE_PRIORITY = _ROUND_CHANGED + [
-    # then the round-8 head (rolling prior-round coverage; the union
+    # then the round-9 head (rolling prior-round coverage; the union
     # of driver attestations across rounds covers all queries)
+    "classifier_score", "event_sessions", "curate_full",
+    "dedup_clusters", "dedup_clusters_star", "image_thumbs_packed",
+    "dedup_survivors", "minhash_lsh_pairs",
+    # then the round-8 head
     "value_quantiles_sketch", "weighted_sample_docs", "token_freq_cms",
     "streaming_token_cms",
     "image_resize", "curate_corpus", "curate_funnel", "curate_full",
@@ -4318,24 +4326,32 @@ def _dk_norm(a: str) -> str:
     )
 
 
-def _sql_ann_ivf(k: int = 8, nprobe: int = 3, topk: int = 10, dim: int = 64) -> str:
+def _sql_ann_ivf(min_k: int = 8, min_probe: int = 3, topk: int = 10, dim: int = 64) -> str:
     """DuckDB twin of the IVF path (ivf_centroids n_iters=1 +
     ivf_topk): the Lloyd mean is fixed-point (1e-6-quantized int64
     sums), so the trained centroids are bit-identical across engines;
     seeding, argmin assignment (first-min tie-break), nprobe centroid
     selection and the exact re-rank all use the same fold order as
     the Spark expressions. An iterative algorithm with a value-exact
-    SQL oracle."""
+    SQL oracle. k and nprobe are data-derived (ivf_k_for /
+    ivf_nprobe_for replayed in integer SQL), so the oracle scales
+    with the corpus exactly like the engine."""
     dot, norm = _dk_dot, _dk_norm
 
     return f"""
-WITH {_sql_ivf_asg_ctes(k, dim)},
+WITH {_sql_ivf_asg_ctes(min_k, dim)},
 cq AS (
   SELECT c.c_idx,
          {dot('q.qv', 'c.cv')} / ({norm('q.qv')} * {norm('c.cv')}) AS cs
   FROM cents c, q
 ),
-probes AS (SELECT c_idx FROM cq ORDER BY cs DESC, c_idx ASC LIMIT {nprobe}),
+npv AS (SELECT GREATEST({min_probe}, count(*) * 3 // 8) AS np FROM seeds),
+probes AS (
+  SELECT c_idx FROM (
+    SELECT c_idx, row_number() OVER (ORDER BY cs DESC, c_idx ASC) AS pr
+    FROM cq
+  ) WHERE pr <= (SELECT np FROM npv)
+),
 scored AS (
   SELECT a.vec_id,
          {dot('a.embedding', 'q.qv')} / ({norm('a.embedding')} * {norm('q.qv')}) AS sim
@@ -4347,20 +4363,32 @@ FROM scored ORDER BY sim DESC, vec_id ASC LIMIT {topk}
 """
 
 
-def _sql_ivf_asg_ctes(k: int = 8, dim: int = 64) -> str:
+def _sql_ivf_asg_ctes(min_k: int = 8, dim: int = 64, cell: int = 250) -> str:
     """Shared CTE chain (no leading WITH): deterministic k-means
     seeding -> fixed-point 1-iter Lloyd -> final cell assignment
     `asg1(vec_id, embedding, c_idx)`. Used by both the ann_ivf and
     semantic_dedup oracles so the cluster assignment is the SAME
-    bit-exact computation in every consumer."""
+    bit-exact computation in every consumer.
+
+    k is DERIVED FROM THE DATA, not pinned: kk replays
+    ivf_k_for(count(*)) = GREATEST(min_k, n // cell) in integer
+    arithmetic, so the oracle scales its cluster count with the
+    corpus exactly like the engine (fixed ~cell expected cluster
+    size; the pinned-k form measured 42x semantic_dedup growth on
+    10x data). `seeds` therefore exposes exactly k = |seeds| rows -
+    downstream consumers that need k (nprobe, balanced quota) read
+    count(*) FROM seeds, matching the engine's len(centroids)."""
     sqdist = _dk_sqdist
 
     return f"""base AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id <> 0),
 q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+kk AS (SELECT GREATEST({min_k}, count(*) // {cell}) AS kv FROM base),
 seeds AS (
-  SELECT row_number() OVER (ORDER BY h ASC, vec_id ASC) - 1 AS c_idx, cv
-  FROM (SELECT md5(CAST(vec_id AS VARCHAR)) AS h, vec_id, embedding AS cv
-        FROM base ORDER BY h, vec_id LIMIT {k})
+  SELECT c_idx, cv FROM (
+    SELECT row_number() OVER (ORDER BY h ASC, vec_id ASC) - 1 AS c_idx, cv
+    FROM (SELECT md5(CAST(vec_id AS VARCHAR)) AS h, vec_id, embedding AS cv
+          FROM base)
+  ) WHERE c_idx < (SELECT kv FROM kk)
 ),
 a0 AS (
   SELECT b.vec_id, b.embedding, s.c_idx, {sqdist('b.embedding', 's.cv')} AS d
@@ -4405,16 +4433,17 @@ asg1 AS (
 )"""
 
 
-def _sql_semantic_dedup(k: int = 8, dim: int = 64, tau: float = 0.2) -> str:
+def _sql_semantic_dedup(min_k: int = 8, dim: int = 64, tau: float = 0.2) -> str:
     """DuckDB twin of pipeline.similarity.semantic_dedup: the SAME
     fixed-point k-means assignment as the ann_ivf oracle
-    (_sql_ivf_asg_ctes), then within-cluster pairwise cosine in the
-    engine's fold order. A row is pruned when a lower-id item in its
-    cluster has cosine >= tau; keeper = lowest such id."""
+    (_sql_ivf_asg_ctes, k data-derived = GREATEST(8, n//250)), then
+    within-cluster pairwise cosine in the engine's fold order. A row
+    is pruned when a lower-id item in its cluster has cosine >= tau;
+    keeper = lowest such id."""
     dot, norm = _dk_dot, _dk_norm
 
     return f"""
-WITH {_sql_ivf_asg_ctes(k, dim)},
+WITH {_sql_ivf_asg_ctes(min_k, dim)},
 pairs AS (
   SELECT a.vec_id AS id_a, b.vec_id AS id_b,
          {dot('a.embedding', 'b.embedding')}
@@ -5942,7 +5971,8 @@ counts AS (
 )
 SELECT cluster_id, n_vecs, first_vec,
        round(CAST(n_vecs AS DOUBLE) / sum(n_vecs) OVER (), 6) + 0.0 AS share,
-       CAST(least(n_vecs, CAST(floor(CAST(sum(n_vecs) OVER () AS DOUBLE) / 8)
+       CAST(least(n_vecs, CAST(floor(CAST(sum(n_vecs) OVER () AS DOUBLE)
+                                     / (SELECT count(*) FROM seeds))
                                AS BIGINT)) AS BIGINT) AS balanced_quota
 FROM counts
 """
