@@ -2013,9 +2013,17 @@ def q_bam_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         nt.alias("seq"),
         "qual",
     )
-    path = _rt_tmp("seqtables_bam_rt", sf_dir, ".bam")
-    write_bam(src, path, [("ref1", 100)])
-    df = read_bam(spark, path, records_per_chunk=64)
+    # Round 10: the fixture is written SHARDED (single_file=False) -
+    # each partition emits an independent, complete, EOF-terminated
+    # BAM shard; NO driver byte movement at any point (the round-9
+    # single-file mode still streamed all bytes through one driver
+    # pass; that mode remains for interop and is exercised by
+    # bam_region_bai/bam_region_csi). read_bam reads the shard
+    # directory straight back (binaryFile source, one decode task per
+    # shard).
+    path = _rt_tmp("seqtables_bam_rt", sf_dir, ".bamdir")
+    write_bam(src, path, [("ref1", 100)], single_file=False)
+    df = read_bam(spark, path)
     return df.select("header", "flag", "pos", "cigar", "seq", "qual")
 
 

@@ -774,31 +774,54 @@ def write_bam(
         "header", "flag", "rname", "pos", "mapq", "cigar", "seq", "qual"
     ),
     index: str | None = None,
+    single_file: bool = True,
 ):
-    """Distributed BAM sink: encode a DataFrame of alignment rows to
-    ONE .bam file at `path`.
+    """Distributed BAM sink.
 
     Reference parity: the reference writes BAM through pysam's
     in-process writer (one thread, one file); this is the
-    cluster-shaped equivalent. Scale design - BGZF is concatenation-
-    friendly (a BGZF stream is any sequence of <=64K gzip members, SAM
-    spec 4.1; blocks may split the record stream at ANY byte), so the
-    expensive work parallelizes perfectly:
+    cluster-shaped equivalent. BGZF is concatenation-friendly (a BGZF
+    stream is any sequence of <=64K gzip members, SAM spec 4.1;
+    blocks may split the record stream at ANY byte), so the expensive
+    work parallelizes perfectly: every partition compresses ITS OWN
+    records into BGZF blocks and writes a part file (mapInPandas, no
+    shuffle, no driver data movement - same shape as write_warc).
 
-      1. every partition compresses ITS OWN records into BGZF blocks
-         and writes a part file (mapInPandas, no shuffle, no driver
-         data movement - same shape as write_warc),
-      2. the driver assembles header-blocks + parts (streamed
-         copyfileobj, constant memory, never holds record data) +
-         the 28-byte EOF marker.
+    single_file=True (default, the interop contract): the driver then
+    assembles header-block + parts (streamed copyfileobj, constant
+    memory, never holds record data) + the 28-byte EOF marker into
+    ONE .bam at `path`. That assembly is O(total bytes) single-writer
+    IO - the unavoidable cost of "one .bam file" on a filesystem; on
+    an object store the same part layout maps to multipart-upload
+    compose. REQUIRES a filesystem shared between executors and the
+    driver (the driver opens the executor-written part paths) - true
+    in local mode and on NFS/object-store mounts; on a shuffle-local
+    cluster use single_file=False.
 
-    Step 2 is O(total bytes) single-writer IO - the unavoidable cost
-    of the "one .bam file" contract on a filesystem; on an object
-    store the same part layout maps to multipart-upload compose. Row
-    order inside the file follows partition index then partition-local
-    order; callers wanting a coordinate-sorted BAM (for .bai/.csi
-    indexing) sort the DataFrame first
-    (repartitionByRange + sortWithinPartitions on (rname, pos)).
+    single_file=False (the scale path): `path` becomes a DIRECTORY of
+    `shard-NNNNN.bam` files, each an INDEPENDENT, complete, valid BAM
+    (own header block, own EOF marker) written entirely by its
+    partition's task - no driver byte movement AT ALL, the only
+    driver work is the manifest metadata. read_bam(spark, path)
+    reads the directory back (binaryFile source takes a directory),
+    and any htslib tool can consume each shard standalone. A
+    `_manifest.json` (shards, records, bytes) is written alongside
+    (underscore-prefixed so Spark's hidden-file filter skips it on
+    read, like _SUCCESS).
+
+    Task-retry safety (both modes): each task writes
+    `<name>.attempt-<taskAttemptId>` and atomically os.rename()s into
+    place on success, so a speculative twin or a zombie attempt can
+    never interleave bytes with a committed writer - the last
+    complete attempt wins whole-file. Part assembly orders shards
+    NUMERICALLY by partition id parsed from the name (robust past
+    100000 partitions, where lexicographic part names would
+    misorder).
+
+    Row order follows partition index then partition-local order;
+    callers wanting a coordinate-sorted BAM (for .bai/.csi indexing)
+    sort the DataFrame first (repartitionByRange +
+    sortWithinPartitions on (rname, pos)).
 
     `cols` names the (name, flag, rname, pos_1based, mapq, cigar, seq,
     qual) source columns, matching read_bam's output so
@@ -809,27 +832,46 @@ def write_bam(
     index="bai"/"csi" (round 9) additionally writes `<path>.bai` /
     `<path>.csi` after assembly (one driver-side streaming pass of the
     finished file, constant memory - sources/bai.write_bai /
-    csi.write_csi). The caller owns coordinate order: sort the
-    DataFrame by (rname-id, pos) via repartitionByRange +
-    sortWithinPartitions first, as an indexed BAM requires; the
-    partition-order-preserving concat (pinned in
-    tests/test_round9_ops.py) makes the sorted write correct by
-    construction.
+    csi.write_csi). Single-file mode only (an index addresses one
+    BAM's virtual offsets; sharded output would index per shard).
+    The caller owns coordinate order: sort the DataFrame by (rname-id,
+    pos) via repartitionByRange + sortWithinPartitions first, as an
+    indexed BAM requires; the partition-order-preserving concat
+    (pinned in tests/test_round9_ops.py) makes the sorted write
+    correct by construction.
     """
     import pandas as pd  # noqa: F401 - mapInPandas contract
     from pyspark.sql import functions as F
 
+    if index is not None and not single_file:
+        raise ValueError(
+            "index writing requires single_file=True (an index addresses"
+            " one BAM's virtual offsets); index the shards individually"
+            " or assemble first"
+        )
+
     ref_index = {name: i for i, (name, _) in enumerate(refs)}
-    parts_dir = path + ".parts"
+    sharded = not single_file
+    parts_dir = path if sharded else path + ".parts"
     os.makedirs(parts_dir, exist_ok=True)
+    if sharded:
+        # overwrite semantics: stale shards from a previous (wider)
+        # write would otherwise survive and corrupt a directory read
+        for old in os.listdir(parts_dir):
+            if old.startswith(("shard-", "_manifest")):
+                os.remove(os.path.join(parts_dir, old))
     src = df.select(*[F.col(c) for c in cols])
+    header_blob = _bgzf_compress(_encode_bam_header(refs)) if sharded else None
 
     def _write(batches):
         import pandas as pd
         from pyspark import TaskContext
 
-        pid = TaskContext.get().partitionId()
-        fname = os.path.join(parts_dir, f"part-{pid:05d}")
+        ctx = TaskContext.get()
+        pid = ctx.partitionId()
+        base = f"shard-{pid:05d}.bam" if sharded else f"part-{pid:05d}"
+        fname = os.path.join(parts_dir, base)
+        tmp = f"{fname}.attempt-{ctx.taskAttemptId()}"
         out = None
         buf = bytearray()
         n = 0
@@ -837,7 +879,10 @@ def write_bam(
         try:
             for b in batches:
                 if out is None:
-                    out = open(fname, "wb")
+                    out = open(tmp, "wb")
+                    if sharded:
+                        out.write(header_blob)
+                        nbytes += len(header_blob)
                 for t in b.itertuples(index=False):
                     buf += _encode_bam_record(*t, ref_index=ref_index)
                     n += 1
@@ -852,8 +897,14 @@ def write_bam(
                     blk = _bgzf_block(bytes(buf))
                     out.write(blk)
                     nbytes += len(blk)
+                if sharded:
+                    out.write(BGZF_EOF)
+                    nbytes += len(BGZF_EOF)
                 out.close()
         if out is not None:  # empty partitions write no file, no row
+            # atomic commit: a failed/zombie attempt leaves only its
+            # .attempt-* temp; the rename is whole-file or nothing
+            os.replace(tmp, fname)
             yield pd.DataFrame(
                 [{"path": fname, "n_records": n, "n_bytes": nbytes}]
             )
@@ -862,15 +913,38 @@ def write_bam(
         _write, "path string, n_records long, n_bytes long"
     ).collect()
 
-    import shutil
+    def _pid_of(m):
+        # numeric partition id from shard-NNNNN.bam / part-NNNNN
+        import re
 
-    with open(path, "wb") as out:
-        out.write(_bgzf_compress(_encode_bam_header(refs)))
-        for m in sorted(manifest, key=lambda m: m["path"]):
-            with open(m["path"], "rb") as part:
-                shutil.copyfileobj(part, out, 1 << 20)
-        out.write(BGZF_EOF)
-    shutil.rmtree(parts_dir)
+        return int(re.search(r"(?:shard|part)-(\d+)", os.path.basename(m["path"])).group(1))
+
+    manifest = sorted(manifest, key=_pid_of)
+
+    if sharded:
+        import json
+
+        with open(os.path.join(path, "_manifest.json"), "w") as mf:
+            json.dump(
+                [
+                    {"path": os.path.basename(m["path"]),
+                     "n_records": int(m["n_records"]),
+                     "n_bytes": int(m["n_bytes"])}
+                    for m in manifest
+                ],
+                mf,
+                indent=1,
+            )
+    else:
+        import shutil
+
+        with open(path, "wb") as out:
+            out.write(_bgzf_compress(_encode_bam_header(refs)))
+            for m in manifest:
+                with open(m["path"], "rb") as part:
+                    shutil.copyfileobj(part, out, 1 << 20)
+            out.write(BGZF_EOF)
+        shutil.rmtree(parts_dir)
 
     if index == "bai":
         from .bai import write_bai
