@@ -392,7 +392,19 @@ class SeqTable:
         derivation of self.reads, so folding over the intact seq string
         is equivalent to the explode->join->groupBy formulation minus
         two shuffles (the reference kernel, numpy_ops.py:462-516, is
-        row-local too)."""
+        row-local too).
+
+        SEMANTIC NOTE (differs from the retired join formulation in
+        two edge cases, matching the reference's dense-matrix kernel):
+        (1) null_scores applies to read positions whose LETTER is
+        absent from the PWM at a position the PWM COVERS; positions
+        the PWM does not mention at all are ignored (the join path
+        used to score every uncovered cell with null_scores too -
+        with the default null_scores=1.0 the results are identical).
+        (2) reads with NULL/empty seq score 1.0 (the empty product)
+        instead of being dropped by the join. Use
+        operators.pwm.calculate_pwm (the join path, retained) for
+        masked/exploded inputs or the old uncovered-cell semantics."""
         from .operators.pwm import calculate_pwm_seq, pwm_entries
 
         if not isinstance(pwm, DataFrame):

@@ -112,20 +112,34 @@ def auto_bin_width(
     the 10x-denser sf1): fixed 15-min bins 0.43 s / 2.03 s, fixed 1 h
     0.45 s / 3.58 s, 2x-avg 0.37 s / 1.43 s - the fixed choice tuned
     at one density loses at another, the adaptive one tracks it. At
-    100 TB the same aggregate is one cheap partial+final pass."""
+    100 TB the same aggregate is one cheap partial+final pass.
+
+    Skew guard (round 10): the width is additionally clamped to
+    max_len/64 - a corpus of mostly zero-length intervals plus a few
+    long ones would otherwise drive the 2x-mean width toward 1 unit
+    and replicate each long interval to ~duration bin rows (unbounded
+    blowup); the clamp bounds ANY interval's replication to <= 65
+    bins while leaving non-degenerate length distributions (max under
+    ~32x the mean) on the measured 2x-avg knee.
+
+    Runs a job (streaming inputs are rejected by the caller -
+    interval_overlap_join - before reaching here)."""
     sides = [left] if right is None or right is left else [left, right]
     total_n = 0
     total_len = 0.0
+    max_len = 0
     for df in sides:
         row = df.select(
             F.count(F.lit(1)).alias("n"),
             F.sum(F.col(end_col) - F.col(start_col)).alias("s"),
+            F.max(F.col(end_col) - F.col(start_col)).alias("m"),
         ).first()
         total_n += row["n"] or 0
         total_len += float(row["s"] or 0.0)
+        max_len = max(max_len, int(row["m"] or 0))
     if total_n == 0:
         return 1
-    return max(1, int(2.0 * total_len / total_n))
+    return max(1, int(2.0 * total_len / total_n), max_len // 64)
 
 
 def interval_overlap_join(
@@ -154,10 +168,20 @@ def interval_overlap_join(
 
     bin_width="auto" (round 9) measures 2 x the average interval
     length with one bounded aggregate (auto_bin_width above - the
-    numbers for why) and runs a job at plan-BUILD time; pass an int
-    to stay lazy.
+    numbers for why, incl. the round-10 max_len/64 skew clamp) and
+    runs a job at plan-BUILD time; pass an int to stay lazy - plan
+    construction is then pure (no jobs; pinned in
+    tests/test_round10_ops.py). Streaming inputs MUST pass an int:
+    "auto" raises (a micro-batch cannot be sampled at plan time).
     """
     if bin_width == "auto":
+        if left.isStreaming or right.isStreaming:
+            raise ValueError(
+                "bin_width='auto' samples the data at plan-build time"
+                " and cannot run on a streaming DataFrame; pass a"
+                " precomputed integer bin_width (e.g. auto_bin_width"
+                " over a batch sample of the stream's source)"
+            )
         bin_width = auto_bin_width(left, right, start_col, end_col)
     w = int(bin_width)
     if w <= 0:

@@ -596,7 +596,20 @@ def connected_components(
     the measurement hook the SCALING.md 10M-edge soak uses: per-round
     surviving edge count (the shuffle volume of the NEXT round) and
     wall time.
+
+    Batch only: every path (driver union-find, star, label, auto's
+    probe) runs jobs while constructing the answer - a streaming pair
+    list raises here; for continuous near-dup clustering use the
+    incremental index path (streaming/ingest.py), which confines
+    state to the probe window.
     """
+    if pairs.isStreaming:
+        raise ValueError(
+            "connected_components runs iterative jobs and cannot"
+            " consume a streaming DataFrame; drain the stream to a"
+            " batch table first or use the incremental dedup path"
+            " (streaming/ingest.py)"
+        )
     if driver_edge_limit > 0:
         head = pairs.select("id_a", "id_b").limit(driver_edge_limit + 1).collect()
         if len(head) <= driver_edge_limit:

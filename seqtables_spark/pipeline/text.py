@@ -368,18 +368,76 @@ def classifier_logit(
     s = F.aggregate(weights, F.lit(0).cast("long"), lambda acc, w: acc + w)
     if micro:
         nl = n.cast("long")
-        mag = F.abs(s) * 2 + nl  # half-away numerator, exact longs
-        q = (mag - mag % (2 * nl)) / (2 * nl)  # exact: division of a multiple
-        m = F.when(s >= 0, q).otherwise(-q).cast("long")
-        return df.filter(n > 0).select(
+        # half-away trick: round(|s|/n) = (2|s| + n) div (2n); `div`
+        # is true LONG integer division (round 10 - the previous
+        # double division of the floored multiple was only exact
+        # while 2|s|+n stayed under 2^53, i.e. ~9e9 tokens/doc; the
+        # integer form is exact at any magnitude). Two projections so
+        # SQL `div` can name its operands; Catalyst collapses them.
+        pre = df.filter(n > 0).select(
             F.col(id_col),
             nl.alias("n_tokens"),
-            m.alias("logit_micro"),
+            s.alias("_s"),
+            (F.abs(s) * 2 + nl).alias("_mag"),
+            (nl * 2).alias("_den"),
+        )
+        q = F.expr("_mag div _den")
+        return pre.select(
+            F.col(id_col),
+            "n_tokens",
+            F.when(F.col("_s") >= 0, q).otherwise(-q)
+            .cast("long").alias("logit_micro"),
         )
     return df.filter(n > 0).select(
         F.col(id_col),
         n.cast("long").alias("n_tokens"),
         (s.cast("double") / n / F.lit(1000000.0)).alias("logit"),
+    )
+
+
+def _doc_bigram_stream(
+    df: DataFrame, text_col: str, id_col: str
+) -> DataFrame:
+    """(id, w1, w2) exploded bigram stream. Tokenize ONCE into a named
+    column: inlining the array expr into zip_with/slice/size wrote the
+    regexp 10x into the plan (runtime codegen subexpression-
+    elimination dedupes it - measured neutral - but the projection
+    keeps the plan readable and the codegen small). No `size(toks) >=
+    2` pre-filter: explode of an empty pairs array drops the row
+    anyway, and the pushed-down copy of the filter was the one regexp
+    codegen could NOT dedupe (it ran inside the scan)."""
+    toks = F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(r"\S+"), 0)
+    tk = F.col("_tk")
+    pairs = F.filter(
+        F.zip_with(
+            tk,
+            F.slice(F.concat(tk, F.array(F.lit(None))), 2, F.size(tk)),
+            lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+        ),
+        lambda p: p["w2"].isNotNull(),
+    )
+    return df.select(F.col(id_col), toks.alias("_tk")).select(
+        F.col(id_col), F.explode(pairs).alias("p")
+    ).select(id_col, F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+
+
+def bigram_model(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Train the bigram MLE model relation (w1, w2, c12, c1) from a
+    batch corpus - LAZY (no jobs at build; pinned). The precompute
+    companion of bigram_logprob(model_df=...): train once on a batch
+    corpus, persist/checkpoint/write it under CALLER control, then
+    score any stream or batch against it with a pure plan. Same
+    c1-as-window rollup as the inline path (one pass over the corpus,
+    vocabulary-bounded state)."""
+    from pyspark.sql import Window
+
+    big_counts = _doc_bigram_stream(df, text_col, id_col).groupBy(
+        "w1", "w2"
+    ).agg(F.count(F.lit(1)).alias("c12"))
+    return big_counts.withColumn(
+        "c1", F.sum("c12").over(Window.partitionBy("w1"))
     )
 
 
@@ -389,6 +447,7 @@ def bigram_logprob(
     id_col: str = "doc_id",
     reuse_tokens: bool = False,
     broadcast_model: int | None = 5_000_000,
+    model_df: DataFrame | None = None,
 ) -> DataFrame:
     """Corpus-LM perplexity scoring (the CCNet-style quality filter
     shape): train a bigram MLE model ON the corpus, then score each
@@ -449,7 +508,17 @@ def bigram_logprob(
     interleaved): default-estimates 1.35 s (and variance from AQE
     flipping build sides), pinned broadcast-model 0.95 s. Note the
     eager checkpoint makes this call run jobs at BUILD time; batch
-    only (a streaming df must pass broadcast_model=None).
+    only - a STREAMING df raises unless broadcast_model=None (round
+    10: explicit guard instead of the documented foot-gun).
+
+    model_df (round 10, the plan-purity escape hatch): a precomputed
+    model relation (w1, w2, c12, c1) - e.g. from
+    bigram_model(batch_corpus) persisted/checkpointed by the caller,
+    or loaded from parquet. When given, NO model is trained, NO
+    checkpoint/count runs, and plan construction is PURE (no jobs;
+    pinned in tests/test_round10_ops.py) - the form to use from
+    streaming or inside lazy plan builders. The caller decides
+    broadcast (wrap in F.broadcast) and owns the relation's lifetime.
 
     Determinism: each ln() lands in a fixed-point micro-unit long
     BEFORE the per-doc sum, so the aggregation is order-free and the
@@ -458,27 +527,7 @@ def bigram_logprob(
 
     Returns DF(id, n_bigrams, avg_logprob).
     """
-    # tokenize ONCE into a named column: inlining the array expr into
-    # zip_with/slice/size wrote the regexp 10x into the plan (runtime
-    # codegen subexpression-elimination dedupes it - measured neutral -
-    # but the projection keeps the plan readable and the codegen small).
-    # The old `filter(size(toks) >= 2)` pre-filter is gone: explode of
-    # an empty pairs array drops the row anyway, and the pushed-down
-    # copy of the filter was the one regexp codegen could NOT dedupe
-    # (it ran inside the scan).
-    toks = F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(r"\S+"), 0)
-    tk = F.col("_tk")
-    pairs = F.filter(
-        F.zip_with(
-            tk,
-            F.slice(F.concat(tk, F.array(F.lit(None))), 2, F.size(tk)),
-            lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
-        ),
-        lambda p: p["w2"].isNotNull(),
-    )
-    doc_bigrams = df.select(F.col(id_col), toks.alias("_tk")).select(
-        F.col(id_col), F.explode(pairs).alias("p")
-    ).select(id_col, F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+    doc_bigrams = _doc_bigram_stream(df, text_col, id_col)
     if reuse_tokens:
         from pyspark import StorageLevel
 
@@ -501,13 +550,23 @@ def bigram_logprob(
     # token spills, never OOMs.
     from pyspark.sql import Window
 
-    model = big_counts.withColumn(
-        "c1", F.sum("c12").over(Window.partitionBy("w1"))
-    )
-    if broadcast_model is not None:
-        model = model.localCheckpoint(eager=True)
-        if model.count() <= broadcast_model:
-            model = F.broadcast(model)
+    if model_df is not None:
+        model = model_df.select("w1", "w2", "c12", "c1")
+    else:
+        model = big_counts.withColumn(
+            "c1", F.sum("c12").over(Window.partitionBy("w1"))
+        )
+        if broadcast_model is not None:
+            if df.isStreaming:
+                raise ValueError(
+                    "broadcast_model trains and checkpoints the bigram"
+                    " model at plan-build time, which cannot run on a"
+                    " streaming DataFrame; pass broadcast_model=None"
+                    " (lazy plan) or a precomputed model_df"
+                )
+            model = model.localCheckpoint(eager=True)
+            if model.count() <= broadcast_model:
+                model = F.broadcast(model)
 
     scored = doc_bigrams.join(model, ["w1", "w2"]).select(
         id_col,

@@ -291,3 +291,110 @@ class TestBaiCsiCrossIndex:
                 assert rb == rc, (rid, s, e)  # invariant 2: equality
                 n_eq += 1
         assert n_eq > len(regions) * 0.9  # equality path dominates
+
+
+class TestPlanBuildPurity:
+    """Round-10 containment of the plan-build side-effect family:
+    every eager helper has (a) a lazy escape hatch that provably runs
+    NO jobs during plan construction and (b) a loud error on
+    streaming inputs instead of an obscure downstream failure."""
+
+    def _assert_no_jobs(self, spark, build):
+        group = f"purity-{id(build)}"
+        sc = spark.sparkContext
+        sc.setJobGroup(group, "plan-build purity pin")
+        try:
+            df = build()
+            jobs = sc.statusTracker().getJobIdsForGroup(group)
+            assert jobs == [], f"plan build ran jobs: {jobs}"
+            assert df.schema is not None  # plan resolves without jobs
+        finally:
+            sc.setJobGroup("", "")
+
+    def test_interval_overlap_join_int_width_is_pure(self, spark):
+        from seqtables_spark.operators.ranges import interval_overlap_join
+
+        left = spark.range(100).select(
+            F.col("id").alias("s"), (F.col("id") + 5).alias("e")
+        )
+        right = spark.range(100).select(
+            F.col("id").alias("s"), (F.col("id") + 3).alias("e")
+        )
+        self._assert_no_jobs(
+            spark, lambda: interval_overlap_join(left, right, "s", "e", 10)
+        )
+
+    def test_bigram_logprob_model_df_is_pure(self, spark):
+        from seqtables_spark.pipeline.text import bigram_logprob, bigram_model
+
+        docs = spark.createDataFrame(
+            [(1, "a b a c"), (2, "b a b")], "doc_id long, text string"
+        )
+        model = bigram_model(docs)  # lazy relation
+        self._assert_no_jobs(
+            spark, lambda: bigram_logprob(docs, model_df=model)
+        )
+
+    def test_bigram_logprob_model_df_matches_inline(self, spark):
+        from seqtables_spark.pipeline.text import bigram_logprob, bigram_model
+
+        docs = spark.createDataFrame(
+            [(i, f"tok{i % 3} tok{(i + 1) % 4} tok{i % 2} x")
+             for i in range(40)],
+            "doc_id long, text string",
+        )
+        inline = sorted(map(tuple, bigram_logprob(docs).collect()))
+        via_model = sorted(
+            map(tuple, bigram_logprob(docs, model_df=bigram_model(docs)).collect())
+        )
+        assert inline == via_model
+
+    def _stream(self, spark):
+        return (
+            spark.readStream.format("rate").option("rowsPerSecond", 1).load()
+            .selectExpr("value AS doc_id", "CAST(value AS STRING) AS text",
+                        "value AS s", "value + 1 AS e",
+                        "value AS id_a", "value + 1 AS id_b")
+        )
+
+    def test_streaming_inputs_raise_clearly(self, spark):
+        from seqtables_spark.operators.ranges import interval_overlap_join
+        from seqtables_spark.pipeline.dedup import connected_components
+        from seqtables_spark.pipeline.text import bigram_logprob
+
+        stream = self._stream(spark)
+        batch = spark.range(10).selectExpr("id AS s", "id + 1 AS e")
+        with pytest.raises(ValueError, match="streaming"):
+            interval_overlap_join(stream, batch, "s", "e", "auto")
+        with pytest.raises(ValueError, match="streaming"):
+            interval_overlap_join(batch, stream, "s", "e", "auto")
+        with pytest.raises(ValueError, match="streaming"):
+            bigram_logprob(stream)  # default broadcast_model is eager
+        with pytest.raises(ValueError, match="streaming"):
+            connected_components(stream.select("id_a", "id_b"))
+
+    def test_streaming_overlap_join_with_int_width_builds(self, spark):
+        from seqtables_spark.operators.ranges import interval_overlap_join
+
+        stream = self._stream(spark)
+        batch = spark.range(10).selectExpr("id AS s", "id + 1 AS e")
+        out = interval_overlap_join(stream, batch, "s", "e", 10)
+        assert out.isStreaming  # lazy form composes into a stream plan
+
+
+class TestAutoBinWidthSkewClamp:
+    def test_zero_length_skew_bounds_replication(self, spark):
+        """Mostly zero-length intervals + one long one: the old 2x-avg
+        width collapsed toward 1 and replicated the long interval to
+        ~duration rows; the max_len/64 clamp bounds it to <= 65 bins."""
+        from seqtables_spark.operators.ranges import auto_bin_width
+
+        rows = [(i * 10, i * 10) for i in range(5000)] + [(0, 640_000)]
+        df = spark.createDataFrame(rows, "s long, e long")
+        w = auto_bin_width(df, None, "s", "e")
+        assert w >= 640_000 // 64
+        # non-degenerate distributions keep the measured 2x-avg knee
+        even = spark.createDataFrame(
+            [(i, i + 100) for i in range(1000)], "s long, e long"
+        )
+        assert auto_bin_width(even, None, "s", "e") == 200
