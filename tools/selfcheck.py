@@ -86,6 +86,8 @@ PERF_ADJUDICATED = {
     "bam_roundtrip": "real file I/O + BGZF codec on both engines, fixture harness",
     "fastq_roundtrip": "real file I/O fixture harness",
     "sam_roundtrip": "real file I/O fixture harness",
+    "pwm_score": "r10 adjudication: one Project, zero shuffle, literal map constant-folded (plan inspected); warm 0.22s over 5k derived reads = doc->reads fixture derivation + stage floor. Unrolled non-HOF A/B measured identical (0.20-0.24s), so the HOF fold is NOT the cost",
+    "pwm_log_score": "same r10 adjudication as pwm_score (same fixture derivation + floor; log path differs only in the final exp)",
     "jsonl_roundtrip": "real file I/O fixture harness (write + schema-pinned read-back)",
     "image_resize": "r9 decomposition at sf0.1: 0.16s scan + 0.22s python-worker roundtrip (the operator is a Pandas UDF by design) + 0.38s pyspark Row collect of 77k exploded pixel rows (protocol-counted output, not plan; count-vs-collect delta). The packed variant image_thumbs_packed removes the 77k-row collect",
     "video_frames": "same mapInPandas blob-decode floor",

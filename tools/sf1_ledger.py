@@ -1,0 +1,108 @@
+"""Per-query sf1 ledger (round-10 verdict item #3): joins the sf1
+bench artifact against the sf0.1 one and emits SF1_LEDGER.json +
+a markdown table with, per query: spark_s, duck_s, spark/duck ratio,
+sf0.1 -> sf1 growth, and an adjudication note for anything growing
+past the GROWTH_BAR that is not a documented quadratic kernel.
+
+Usage: python tools/sf1_ledger.py [BENCH_sf1.json] [BENCH.json]
+Exits 1 if an UN-adjudicated query exceeds the growth bar - the same
+fail-loud contract as the PERFCHECK gate.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+
+GROWTH_BAR = 15.0
+
+# Queries whose superlinear sf0.1 -> sf1 growth is a measured,
+# documented property of the OPERATOR (their outputs / oracles grow
+# the same way), not a plan defect. Every entry must cite evidence.
+GROWTH_ADJUDICATED = {
+    "pairwise_hamming": "exact quadratic kernel: output itself grows "
+    "~100x (3.1M pairs at sf1); oracle grows 114x (SCALING.md r8)",
+    "embedding_near_dups": "exact N^2/2 cosine kernel; oracle grows "
+    "100x; r10 Arrow kernel cut the absolute time 36.6s -> ~1.1s",
+    "minhash_signatures": "row-local 128-hash shingling, linear in "
+    "corpus BYTES; sf1 docs are ~10x longer so bytes grow ~100x "
+    "(VERDICT r9 adjudication)",
+    "bowtie_distributed": "external aligner fixture: index staging + "
+    "4 subprocess launches per run dominate; growth is fixture I/O",
+}
+
+
+def main() -> int:
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    sf1_path = sys.argv[1] if len(sys.argv) > 1 else os.path.join(root, "BENCH_sf1.json")
+    sf01_path = sys.argv[2] if len(sys.argv) > 2 else os.path.join(root, "BENCH.json")
+    b1 = json.load(open(sf1_path))
+    b01 = json.load(open(sf01_path))
+    q1, q01 = b1["queries"], b01["queries"]
+    d1 = b1.get("duck_queries", {})
+
+    rows = []
+    flagged = []
+    for name in sorted(q1):
+        s1 = q1[name]
+        s01 = q01.get(name)
+        growth = round(s1 / s01, 1) if s01 and s01 > 0 else None
+        duck = d1.get(name)
+        ratio = round(s1 / duck, 2) if duck and duck > 0 else None
+        note = ""
+        if growth is not None and growth > GROWTH_BAR:
+            if name in GROWTH_ADJUDICATED:
+                note = "ADJUDICATED: " + GROWTH_ADJUDICATED[name]
+            else:
+                note = f"FLAG: growth {growth}x > {GROWTH_BAR}x, unadjudicated"
+                flagged.append(name)
+        rows.append({
+            "query": name,
+            "sf1_spark_s": s1,
+            "sf1_duck_s": duck,
+            "vs_oracle": ratio,
+            "sf01_spark_s": s01,
+            "growth_x": growth,
+            "note": note,
+        })
+
+    payload = {
+        "growth_bar": GROWTH_BAR,
+        "sf1_total_s": b1.get("value"),
+        "sf1_duck_total_s": b1.get("duck_total"),
+        "sf1_vs_oracle_ratio": b1.get("vs_oracle_ratio"),
+        "sf1_reps": b1.get("reps"),
+        "unadjudicated_flags": flagged,
+        "rows": rows,
+    }
+    out = os.path.join(root, "SF1_LEDGER.json")
+    with open(out, "w") as fh:
+        json.dump(payload, fh, indent=1)
+
+    md = [
+        "| query | sf1 spark (s) | sf1 duck (s) | vs oracle | sf0.1 (s) | growth | note |",
+        "|---|---|---|---|---|---|---|",
+    ]
+    for r in sorted(rows, key=lambda r: -(r["growth_x"] or 0)):
+        md.append(
+            "| {query} | {sf1_spark_s} | {sf1_duck_s} | {vs_oracle} |"
+            " {sf01_spark_s} | {growth_x} | {note} |".format(**r)
+        )
+    with open(os.path.join(root, "SF1_LEDGER.md"), "w") as fh:
+        fh.write(
+            "# sf0.1 -> sf1 per-query ledger (round 10)\n\n"
+            f"sf1 totals: spark {payload['sf1_total_s']} s, duck "
+            f"{payload['sf1_duck_total_s']} s, ratio "
+            f"{payload['sf1_vs_oracle_ratio']} (reps="
+            f"{payload['sf1_reps']}, min-of-reps, interleaved duck).\n\n"
+            + "\n".join(md) + "\n"
+        )
+    print(f"ledger -> {out} ({len(rows)} queries, {len(flagged)} unadjudicated flags)")
+    for name in flagged:
+        print(f"  FLAG {name}")
+    return 1 if flagged else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
