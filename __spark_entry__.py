@@ -3926,8 +3926,12 @@ _ROUND_CHANGED = [
     # round 10: scale-correct IVF family - k/nprobe grow with the
     # corpus (ivf_k_for/ivf_nprobe_for, fixed ~250-vector expected
     # cell) on BOTH engines (kk CTE in _sql_ivf_asg_ctes); values at
-    # sf<=0.1 unchanged (k stays 8 there), sf1 k=79
-    "semantic_dedup", "ann_ivf", "cluster_mix",
+    # sf<=0.1 unchanged (k stays 8 there), sf1 k=79. pair_cosine /
+    # ivf_assign moved to vectorized Arrow kernels (bit-equality
+    # pinned), which also rewrites embedding_near_dups
+    "semantic_dedup", "ann_ivf", "cluster_mix", "embedding_near_dups",
+    # round 10: classifier micro path on true integer div
+    "classifier_score",
     # round 10: sharded write_bam roundtrip + attempt-safe part
     # naming; bai/csi cross-index equivalence
     "bam_roundtrip", "bam_region_bai", "bam_region_csi",

@@ -30,6 +30,13 @@ GROWTH_ADJUDICATED = {
     "(VERDICT r9 adjudication)",
     "bowtie_distributed": "external aligner fixture: index staging + "
     "4 subprocess launches per run dominate; growth is fixture I/O",
+    "session_overlap": "replica corpus densifies TIME (10x sessions "
+    "in the same range) so per-bin candidate pairs grow "
+    "~quadratically - DuckDB's IEJoin pays the same shape (SCALING.md "
+    "'session_overlap' section; r9 measured 12x, this run 15.7x = "
+    "same curve + host variance). r10 check: the max_len/64 skew "
+    "clamp is INACTIVE here (max/64 = 62.6s < 2x avg = 86.2s at sf1) "
+    "- width unchanged from the r9-measured knee",
 }
 
 
