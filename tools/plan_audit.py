@@ -9,7 +9,14 @@ operators that decide whether the plan survives a 100x scale-up:
                    SinglePartition (shuffles; the dominant scale cost)
   single_part_exch Exchange SinglePartition specifically (global
                    funnels — only acceptable on bounded post-agg
-                   relations)
+                   relations). Reviewed 2026-08-16 over the full
+                   sf0.01 artifact: all 24 sites across 20 queries
+                   are final global aggregates (the exchange moves
+                   partial-agg rows, one per upstream partition),
+                   bounded post-agg relations (decile offsets: P
+                   rows; per-source mixes: |sources| rows; ts_tv:
+                   2 rows), or the 1-row scalar-threshold side of a
+                   broadcast — never a data-scaled stream.
   broadcasts       BroadcastExchange (small-dim joins — good, as long
                    as the broadcast side is genuinely bounded)
   bhj / smj / shj  join strategies chosen
@@ -20,7 +27,13 @@ operators that decide whether the plan survives a 100x scale-up:
                    slow path; the suite bans it)
   arrow_eval       ArrowEvalPython / MapInPandas / FlatMapGroupsIn-
                    Pandas / MapInArrow (vectorized Python — allowed)
-  wsc_spans        WholeStageCodegen span count (JVM compiled spans)
+  wsc_spans        WholeStageCodegen span count — INFORMATIONAL and
+                   an UNDERCOUNT: under AQE the initial plan only
+                   annotates `*(n)` stars on already-prepared
+                   subtrees (non-adaptive subplans, broadcast
+                   fixture sides); most codegen happens inside query
+                   stages prepared at runtime and is invisible here.
+                   Zero does NOT mean interpreted execution.
   scans            parquet scans
   pushed_scans     parquet scans carrying a non-empty PushedFilters
 
