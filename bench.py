@@ -23,11 +23,11 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 def main() -> int:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     # SPARK_GRAFT_BENCH_REPS (round 9): executions per query per
-    # engine. Default 2 (min-of-2 dodges host noise). The sf1 run
-    # sets 1 - several DuckDB oracles there cost minutes each (the
-    # dedup family's recursive-closure replay), so min-of-2 would
-    # triple a multi-hour run for noise resistance the headline
-    # ratio does not need; the JSON records the reps used.
+    # engine. Default 2 (min-of-2 dodges host noise). Round 10: the
+    # sf1 headline also runs reps=2 (BENCH_sf1.json) - the round-9
+    # AS MATERIALIZED oracle fix cut the dedup-family replay cost
+    # enough that min-of-2 is affordable at sf1; the JSON records
+    # the reps used.
     reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "2")))
     m = re.search(r"sf([0-9]+(?:\.[0-9]+)?)", sf_dir)
     sf = float(m.group(1)) if m else -1.0
