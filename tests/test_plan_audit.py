@@ -69,6 +69,27 @@ def test_star_join_broadcasts(audit_subset):
     assert row["cartesian"] == 0
 
 
+def test_join_strategy_invariant_across_sf(spark, audit_subset):
+    """Join strategies must not depend on the scale factor: a query
+    whose broadcast comes from Catalyst's SIZE-BASED auto-broadcast
+    (not an explicit bounded F.broadcast) would silently flip to a
+    shuffle join somewhere between bench scale and 100 TB. Audited
+    across sf0.001/0.01/0.1 in SCALING.md ('Plan-shape invariance');
+    this pins the subset at two sfs so a regression fails CI.
+    (Exchange counts are NOT pinned: Catalyst's size-gated runtime
+    bloom-filter injection legitimately adds bounded single-partition
+    exchanges at larger sfs.)"""
+    from tools.plan_audit import build_audit
+
+    bigger = build_audit(spark, "/root/testdata/sf0.01", names=set(SUBSET))
+    for q in SUBSET:
+        for k in ("bhj", "smj", "shj", "bnlj", "broadcasts", "cartesian"):
+            assert audit_subset[q][k] == bigger[q][k], (
+                f"{q}: {k} differs across sf "
+                f"({audit_subset[q][k]} at sf0.001 vs {bigger[q][k]} at sf0.01)"
+            )
+
+
 def test_planaudit_artifact_invariants():
     path = os.path.join(REPO, "PLANAUDIT.json")
     if not os.path.exists(path):
