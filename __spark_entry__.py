@@ -1037,7 +1037,8 @@ def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Text: token counting aggregated by language."""
-    tc = token_count(_t(spark, sf_dir, "documents"))
+    # round 10: widened (tokenize was single-task; sf1 1.2 s -> 0.6 s)
+    tc = token_count(_wide(spark, _t(spark, sf_dir, "documents")))
     return tc.groupBy("lang").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_tokens").alias("total_tokens"),
@@ -1048,7 +1049,8 @@ def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Text: quality features aggregated by source; ratio averages use
     the exact ppm-integer trick so double outputs are order-free."""
-    feats = text_quality_features(_t(spark, sf_dir, "documents"))
+    # round 10: widened (feature extraction was single-task; sf1 1.6 s -> 0.4 s)
+    feats = text_quality_features(_wide(spark, _t(spark, sf_dir, "documents")))
     ppm = lambda c: F.sum(F.round(F.col(c) * 1e6).cast("long"))  # noqa: E731
     return feats.groupBy("source").agg(
         F.count(F.lit(1)).alias("n_docs"),
@@ -1060,7 +1062,8 @@ def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Text: stopword-marker language-ID confusion matrix."""
-    pred = language_id(_t(spark, sf_dir, "documents"))
+    # round 10: widened (sf1 1.5 s -> 0.4 s, single-task before)
+    pred = language_id(_wide(spark, _t(spark, sf_dir, "documents")))
     return pred.groupBy("lang", "pred_lang").agg(F.count(F.lit(1)).alias("n"))
 
 
@@ -2448,7 +2451,13 @@ def q_classifier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Spark's BigDecimal.valueOf round and DuckDB's true-binary round
     # disagree by 1e-6 (classifier_logit docstring); no double round()
     # is engine-portable there, integers are
-    out = classifier_logit(_t(spark, sf_dir, "documents"), micro=True)
+    # round 10: widened fixture scan - the per-token md5 fold was one
+    # task on the single-row-group fixture (4.4 s at sf1; count()-based
+    # profiling HID this because column pruning drops the md5 under
+    # count). widen is only_if_narrow: production scans are untouched
+    out = classifier_logit(
+        _wide(spark, _t(spark, sf_dir, "documents")), micro=True
+    )
     return out.select(
         "doc_id", "n_tokens",
         (F.col("logit_micro").cast("double") / 1_000_000.0).alias("logit"),
@@ -2606,7 +2615,8 @@ def q_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     identical operator; the oracle replays the byte math in SQL."""
     from seqtables_spark.pipeline.multimodal import video_frame_features
 
-    docs = _t(spark, sf_dir, "documents")
+    # round 10: widened (frame decode fans out; sf1 3.0 s -> 1.0 s)
+    docs = _wide(spark, _t(spark, sf_dir, "documents"))
     media = docs.select(
         F.col("doc_id").alias("media_id"),
         F.encode(F.regexp_replace("text", "[^ -~]", ""), "utf-8").alias(
@@ -2668,7 +2678,8 @@ def q_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     token — row-local array_distinct, no shuffle before the filter."""
     from seqtables_spark.pipeline.text import repetition_features
 
-    r = repetition_features(_t(spark, sf_dir, "documents"))
+    # round 10: widened (array_distinct pass was single-task; sf1 2.1 s -> 1.6 s)
+    r = repetition_features(_wide(spark, _t(spark, sf_dir, "documents")))
     return r.filter(F.col("n_dup_tokens") > 0).select(
         "doc_id", "n_lines", "n_dup_lines", "n_tokens", "n_dup_tokens",
         F.round("dup_token_ratio", 6).alias("dup_token_ratio"),
@@ -2735,7 +2746,9 @@ def q_gopher_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     from seqtables_spark.pipeline.text import gopher_quality_filter
 
     out = gopher_quality_filter(
-        _t(spark, sf_dir, "documents"), **GOPHER_FIXTURE_PARAMS
+        # round 10: widened (rule evaluation was single-task; sf1
+        # 2.9 s -> 1.7 s, only_if_narrow so production scans skip it)
+        _wide(spark, _t(spark, sf_dir, "documents")), **GOPHER_FIXTURE_PARAMS
     )
     return out.select("doc_id", "keep", "reasons")
 
@@ -3257,7 +3270,8 @@ def q_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     window + P-row broadcast), never a single-task global window."""
     from seqtables_spark.pipeline.sampling import sample_to_token_budget
 
-    docs = _t(spark, sf_dir, "documents").select(
+    # round 10: widened (tokenize-for-budget was single-task; sf1 1.3 s -> 0.8 s)
+    docs = _wide(spark, _t(spark, sf_dir, "documents")).select(
         "doc_id",
         "n_chars",
         F.size(F.regexp_extract_all("text", F.lit(r"\S+"), 0))
@@ -3281,7 +3295,9 @@ def q_quality_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     IEEE expression order, so bucket edges agree bit-for-bit."""
     from seqtables_spark.pipeline.text import quality_score
 
-    q = quality_score(_t(spark, sf_dir, "documents"))
+    q = quality_score(  # round 10: widened (sf1 2.4 s -> 1.4 s)
+        _wide(spark, _t(spark, sf_dir, "documents"))
+    )
     bucket = F.least(
         F.floor(F.col("quality_score") * 10).cast("int"), F.lit(9)
     )
@@ -3298,7 +3314,8 @@ def q_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
     replication of the same regexes."""
     from seqtables_spark.pipeline.text import redact_pii
 
-    docs = _t(spark, sf_dir, "documents").withColumn(
+    # round 10: widened (replace chain was single-task; sf1 1.5 s -> 0.5 s)
+    docs = _wide(spark, _t(spark, sf_dir, "documents")).withColumn(
         "text",
         F.when(
             F.col("doc_id") % 10 == 0,
@@ -3325,7 +3342,8 @@ def q_pii_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     lang — the scan half of a scrubbing pass."""
     from seqtables_spark.pipeline.text import pii_counts
 
-    docs = _t(spark, sf_dir, "documents").withColumn(
+    # round 10: widened (regex scan was single-task; sf1 1.2 s -> 0.4 s)
+    docs = _wide(spark, _t(spark, sf_dir, "documents")).withColumn(
         "text",
         F.when(
             F.col("doc_id") % 10 == 0,
@@ -3431,7 +3449,9 @@ def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     token checksum so the oracle pins content, not just counts)."""
     from seqtables_spark.pipeline.text import chunk_documents
 
-    c = chunk_documents(_t(spark, sf_dir, "documents"), max_tokens=64)
+    c = chunk_documents(  # round 10: widened (sf1 2.5 s -> 1.2 s)
+        _wide(spark, _t(spark, sf_dir, "documents")), max_tokens=64
+    )
     return c.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n_chunks"),
         F.sum("n_chunk_tokens").alias("n_tokens"),
@@ -3939,6 +3959,16 @@ _ROUND_CHANGED = [
     "perplexity_scores", "session_overlap", "dedup_clusters_auto",
     # round 10: pwm fold polish
     "pwm_score", "pwm_log_score",
+    # round 10 (late): widened single-row-group fixture scans for the
+    # compute-bound documents family - plan change only (results
+    # identical; widen is a round-robin repartition), ~15 s off the
+    # sf1 suite. Root cause: count()-based profiling had hidden the
+    # single-task hot path because column pruning drops the heavy
+    # expressions under count()
+    "classifier_score", "gopher_filter", "chunk_documents",
+    "quality_histogram", "language_id", "pii_scan", "redact_pii",
+    "token_count", "text_quality", "repetition", "token_budget",
+    "video_frames",
 ]
 
 _ORACLE_PRIORITY = _ROUND_CHANGED + [
