@@ -2143,6 +2143,53 @@ def q_bam_region_csi(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df.select("header", "pos", "cigar", "seq", "qual")
 
 
+def q_bam_region_sharded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round 11: the region fetch on the SCALE path — a SHARDED
+    write_bam output where every shard carries its OWN .bai, written
+    by the shard's own task (zero driver byte movement end to end;
+    the round-10 verdict's missing piece #1). The fixture is built
+    fully distributed: range-partition the doc-derived reads on pos
+    (each shard a contiguous coordinate slice, the samtools-sort
+    precondition), sort within partitions, write sharded+indexed,
+    then dispatch the [150, 400) fetch through the two-level prune —
+    manifest extents drop whole shards unopened, surviving shards'
+    .bai files yield candidate virtual-offset ranges, one decode task
+    per range (bam.read_bam_region_sharded). Untouched-shards-never-
+    read is pinned in tests/test_round11_ops.py. Same window, same
+    oracle, same result as bam_region / bam_region_bai /
+    bam_region_csi — four index paths, one oracle. Reference
+    semantics: pysam fetch(contig, start, end),
+    /root/reference/seqtables/core/seqtables.py:226-283."""
+    from seqtables_spark.sources.bam import (
+        read_bam_region_sharded, write_bam,
+    )
+
+    reads = _doc_reads(spark, sf_dir)
+    rid = F.col("read_id").cast("long")
+    nt = _acgt24()
+    src = (
+        reads.filter(rid < _BAM_RT_CAP)
+        .select(
+            F.col("read_id").alias("header"),
+            F.lit(0).cast("int").alias("flag"),
+            F.lit("ref1").alias("rname"),
+            (rid * 3 + 1).alias("pos"),
+            F.lit(60).cast("int").alias("mapq"),
+            F.concat(F.length(nt).cast("string"), F.lit("M")).alias("cigar"),
+            nt.alias("seq"),
+            "qual",
+        )
+        .repartitionByRange(4, "pos")
+        .sortWithinPartitions("pos")
+    )
+    path = _rt_tmp("seqtables_bam_region_sharded", sf_dir, ".bamdir")
+    write_bam(src, path, [("ref1", 1 << 20)], single_file=False, index="bai")
+    df = read_bam_region_sharded(
+        spark, path, "ref1", BAM_REGION_START, BAM_REGION_END
+    )
+    return df.select("header", "pos", "cigar", "seq", "qual")
+
+
 BOWTIE_REF_DOCS = 16  # first N docs' ACGT seqs concatenate into the reference
 
 
@@ -3943,35 +3990,25 @@ def _prepared(name: str, fn: Callable) -> Callable:
 # lead _ORACLE_PRIORITY so the driver's 50-query correctness sample
 # attests exactly the code that moved.
 _ROUND_CHANGED = [
-    # round 10: scale-correct IVF family - k/nprobe grow with the
-    # corpus (ivf_k_for/ivf_nprobe_for, fixed ~250-vector expected
-    # cell) on BOTH engines (kk CTE in _sql_ivf_asg_ctes); values at
-    # sf<=0.1 unchanged (k stays 8 there), sf1 k=79. pair_cosine /
-    # ivf_assign moved to vectorized Arrow kernels (bit-equality
-    # pinned), which also rewrites embedding_near_dups
-    "semantic_dedup", "ann_ivf", "cluster_mix", "embedding_near_dups",
-    # round 10: classifier micro path on true integer div
-    "classifier_score",
-    # round 10: sharded write_bam roundtrip + attempt-safe part
-    # naming; bai/csi cross-index equivalence
+    # round 11: per-shard .bai/.csi for sharded write_bam + manifest
+    # extent pruning + read_bam_region_sharded two-level dispatch
+    "bam_region_sharded",
+    # round 11: read_bam directory scan now glob-filters *.bam (the
+    # sharded dir also holds index files); fetch_voffset_ranges
+    # refactored onto the multi-path fetch_voffset_triples core
     "bam_roundtrip", "bam_region_bai", "bam_region_csi",
-    # round 10: plan-build side-effect containment (lazy forms)
-    "perplexity_scores", "session_overlap", "dedup_clusters_auto",
-    # round 10: pwm fold polish
-    "pwm_score", "pwm_log_score",
-    # round 10 (late): widened single-row-group fixture scans for the
-    # compute-bound documents family - plan change only (results
-    # identical; widen is a round-robin repartition), ~15 s off the
-    # sf1 suite. Root cause: count()-based profiling had hidden the
-    # single-task hot path because column pruning drops the heavy
-    # expressions under count()
-    "classifier_score", "gopher_filter", "chunk_documents",
-    "quality_histogram", "language_id", "pii_scan", "redact_pii",
-    "token_count", "text_quality", "repetition", "token_budget",
-    "video_frames",
 ]
 
 _ORACLE_PRIORITY = _ROUND_CHANGED + [
+    # then the round-10 head
+    "semantic_dedup", "ann_ivf", "cluster_mix", "embedding_near_dups",
+    "classifier_score",
+    "perplexity_scores", "session_overlap", "dedup_clusters_auto",
+    "pwm_score", "pwm_log_score",
+    "gopher_filter", "chunk_documents",
+    "quality_histogram", "language_id", "pii_scan", "redact_pii",
+    "token_count", "text_quality", "repetition", "token_budget",
+    "video_frames",
     # then the round-9 head (rolling prior-round coverage; the union
     # of driver attestations across rounds covers all queries)
     "classifier_score", "event_sessions", "curate_full",
@@ -4183,6 +4220,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bam_region": q_bam_region,
         "bam_region_bai": q_bam_region_bai,
         "bam_region_csi": q_bam_region_csi,
+        "bam_region_sharded": q_bam_region_sharded,
         "bowtie_align": q_bowtie_align,
         "bowtie_distributed": q_bowtie_distributed,
         "rollup_revenue": q_rollup_revenue,
@@ -5697,6 +5735,9 @@ WHERE doc_id < {_BAM_RT_CAP}
     """
 
     sqls["bam_region_csi"] = sqls["bam_region"]
+    # round 11: the sharded two-level-prune fetch — same window, same
+    # records, fourth index path onto the one region oracle
+    sqls["bam_region_sharded"] = sqls["bam_region"]
 
     # bowtie_align: the stub aligner's decision rule is exact
     # first-occurrence substring search against the concatenated

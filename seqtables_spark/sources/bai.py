@@ -341,10 +341,28 @@ def fetch_voffset_ranges(
     .csi, manifest): candidate voffset ranges become a one-range-per-
     task relation; each task seeks, inflates only its members, decodes,
     and the exact half-open overlap predicate trims stragglers."""
+    return fetch_voffset_triples(
+        spark, [(path, cb, ce) for cb, ce in ranges], refs, contig,
+        start, end,
+    )
+
+
+def fetch_voffset_triples(
+    spark: SparkSession,
+    triples: list[tuple[str, int, int]],
+    refs: list[str],
+    contig: str,
+    start: int,
+    end: int,
+) -> DataFrame:
+    """Multi-file back half: (path, v_beg, v_end) triples — the shape
+    the sharded-BAM region dispatch produces, where candidate ranges
+    from MANY per-shard indexes union into one fetch relation. The
+    single-file fetch_voffset_ranges delegates here."""
     import pandas as pd
     from pyspark.sql import functions as F
 
-    if not ranges:
+    if not triples:
         return spark.createDataFrame([], BAM_SCHEMA)
     # JVM-born VALUES relation with the path quote-escaped (the warc
     # reader's pattern; round-8 ADVICE fix): a quote in the path can
@@ -353,14 +371,15 @@ def fetch_voffset_ranges(
     # python-RDD scan pays a python-worker roundtrip per action
     # (SCALING.md round-6 trap #1; measured 0.25 s -> 0.79 s on
     # bam_region_bai).
-    p_sql = path.replace("'", "''")
     rows = ", ".join(
-        f"('{p_sql}', CAST({int(cb)} AS BIGINT), CAST({int(ce)} AS BIGINT))"
-        for cb, ce in ranges
+        "('{}', CAST({} AS BIGINT), CAST({} AS BIGINT))".format(
+            p.replace("'", "''"), int(cb), int(ce)
+        )
+        for p, cb, ce in triples
     )
     rel = spark.sql(
         f"SELECT * FROM VALUES {rows} AS t(path, v_beg, v_end)"
-    ).repartition(min(len(ranges), spark.sparkContext.defaultParallelism))
+    ).repartition(min(len(triples), spark.sparkContext.defaultParallelism))
 
     def _decode(batches):
         for pdf in batches:

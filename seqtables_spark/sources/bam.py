@@ -448,11 +448,23 @@ def read_bam(
     shuffle; right when files >> cores). With ``records_per_chunk``:
     a per-file indexing task emits BGZF virtual-offset chunk specs,
     then the decode fans out one task per chunk — one large BAM no
-    longer serializes on a single core."""
+    longer serializes on a single core.
+
+    When `path` is a directory (a sharded write_bam output), only
+    `*.bam` entries are scanned — an indexed sharded directory also
+    holds per-shard `.bai`/`.csi` files, which are not BGZF streams
+    (round 11)."""
     import pandas as pd
 
+    reader = spark.read.format("binaryFile")
+    try:
+        if os.path.isdir(_local_path(path)):
+            reader = reader.option("pathGlobFilter", "*.bam")
+    except NotImplementedError:
+        pass  # non-local URI: caller controls the glob in `path`
+
     if records_per_chunk is None:
-        files = spark.read.format("binaryFile").load(path)
+        files = reader.load(path)
 
         def _decode(batches):
             for pdf in batches:
@@ -468,7 +480,7 @@ def read_bam(
         return files.select("content").mapInPandas(_decode, BAM_SCHEMA)
 
     # sub-file path: index (per file) -> decode (per chunk)
-    files = spark.read.format("binaryFile").load(path).select("path")
+    files = reader.load(path).select("path")
 
     def _index(batches):
         for pdf in batches:
@@ -832,23 +844,32 @@ def write_bam(
     index="bai"/"csi" (round 9) additionally writes `<path>.bai` /
     `<path>.csi` after assembly (one driver-side streaming pass of the
     finished file, constant memory - sources/bai.write_bai /
-    csi.write_csi). Single-file mode only (an index addresses one
-    BAM's virtual offsets; sharded output would index per shard).
-    The caller owns coordinate order: sort the DataFrame by (rname-id,
-    pos) via repartitionByRange + sortWithinPartitions first, as an
-    indexed BAM requires; the partition-order-preserving concat
-    (pinned in tests/test_round9_ops.py) makes the sorted write
-    correct by construction.
+    csi.write_csi).
+
+    index= with single_file=False (round 11): each shard is an
+    independent valid BAM, so per-shard virtual offsets are well-
+    defined — the shard's OWN task builds `shard-NNNNN.bam.bai` (or
+    `.csi`) right after committing the shard, attempt-safe like the
+    shard itself (tmp + os.replace), zero driver byte movement. The
+    `_manifest.json` rows additionally carry each shard's coordinate
+    extent (`first_ref`/`first_pos` 0-based inclusive,
+    `last_ref`/`last_end` 0-based exclusive; refs as ref-list
+    ordinals) so read_bam_region_sharded prunes whole shards from the
+    manifest alone, before opening any index file.
+
+    The caller owns coordinate order in every indexed mode: sort the
+    DataFrame by (rname-id, pos) via repartitionByRange +
+    sortWithinPartitions first, as an indexed BAM requires; the
+    partition-order-preserving concat (pinned in
+    tests/test_round9_ops.py) makes the single-file sorted write
+    correct by construction, and range partitioning makes each shard
+    a contiguous coordinate slice.
     """
     import pandas as pd  # noqa: F401 - mapInPandas contract
     from pyspark.sql import functions as F
 
-    if index is not None and not single_file:
-        raise ValueError(
-            "index writing requires single_file=True (an index addresses"
-            " one BAM's virtual offsets); index the shards individually"
-            " or assemble first"
-        )
+    if index not in (None, "bai", "csi"):
+        raise ValueError(f"index must be 'bai', 'csi' or None, got {index!r}")
 
     ref_index = {name: i for i, (name, _) in enumerate(refs)}
     sharded = not single_file
@@ -863,7 +884,11 @@ def write_bam(
     src = df.select(*[F.col(c) for c in cols])
     header_blob = _bgzf_compress(_encode_bam_header(refs)) if sharded else None
 
+    shard_index = index if sharded else None
+
     def _write(batches):
+        import re
+
         import pandas as pd
         from pyspark import TaskContext
 
@@ -876,6 +901,11 @@ def write_bam(
         buf = bytearray()
         n = 0
         nbytes = 0
+        # shard coordinate extent (only when a per-shard index is
+        # requested - the CIGAR ref-length walk costs a regex per
+        # record, so the unindexed roundtrip path stays untouched)
+        lo = hi = None
+        ref_consuming = re.compile(r"(\d+)([MDN=X])").findall
         try:
             for b in batches:
                 if out is None:
@@ -886,6 +916,18 @@ def write_bam(
                 for t in b.itertuples(index=False):
                     buf += _encode_bam_record(*t, ref_index=ref_index)
                     n += 1
+                    if shard_index is not None:
+                        rid = ref_index[t[2]]
+                        pos0 = int(t[3]) - 1
+                        rlen = sum(
+                            int(d) for d, _ in ref_consuming(t[5] or "")
+                        )
+                        beg = (rid, pos0)
+                        end_ = (rid, pos0 + max(rlen, 1))
+                        if lo is None or beg < lo:
+                            lo = beg
+                        if hi is None or end_ > hi:
+                            hi = end_
                     while len(buf) >= 60000:
                         blk = _bgzf_block(bytes(buf[:60000]))
                         out.write(blk)
@@ -905,12 +947,38 @@ def write_bam(
             # atomic commit: a failed/zombie attempt leaves only its
             # .attempt-* temp; the rename is whole-file or nothing
             os.replace(tmp, fname)
+            if shard_index is not None:
+                # the shard's own task indexes it: the shard is an
+                # independent valid BAM, so its virtual offsets are
+                # self-contained. Same attempt-tmp + whole-file
+                # rename commit as the shard bytes.
+                if shard_index == "bai":
+                    from .bai import build_bai
+                    with open(fname, "rb") as sf:
+                        idx_bytes = build_bai(sf)
+                else:
+                    from .csi import build_csi
+                    with open(fname, "rb") as sf:
+                        idx_bytes = build_csi(sf)
+                idx_name = f"{fname}.{shard_index}"
+                idx_tmp = f"{idx_name}.attempt-{ctx.taskAttemptId()}"
+                with open(idx_tmp, "wb") as xf:
+                    xf.write(idx_bytes)
+                os.replace(idx_tmp, idx_name)
+            fr, fp = lo if lo is not None else (-1, -1)
+            lr, le = hi if hi is not None else (-1, -1)
             yield pd.DataFrame(
-                [{"path": fname, "n_records": n, "n_bytes": nbytes}]
+                [{
+                    "path": fname, "n_records": n, "n_bytes": nbytes,
+                    "first_ref": fr, "first_pos": fp,
+                    "last_ref": lr, "last_end": le,
+                }]
             )
 
     manifest = src.mapInPandas(
-        _write, "path string, n_records long, n_bytes long"
+        _write,
+        "path string, n_records long, n_bytes long, first_ref long, "
+        "first_pos long, last_ref long, last_end long",
     ).collect()
 
     def _pid_of(m):
@@ -924,17 +992,20 @@ def write_bam(
     if sharded:
         import json
 
+        entries = []
+        for m in manifest:
+            e = {"path": os.path.basename(m["path"]),
+                 "n_records": int(m["n_records"]),
+                 "n_bytes": int(m["n_bytes"])}
+            if index is not None:
+                e["index"] = os.path.basename(m["path"]) + "." + index
+                e["first_ref"] = int(m["first_ref"])
+                e["first_pos"] = int(m["first_pos"])
+                e["last_ref"] = int(m["last_ref"])
+                e["last_end"] = int(m["last_end"])
+            entries.append(e)
         with open(os.path.join(path, "_manifest.json"), "w") as mf:
-            json.dump(
-                [
-                    {"path": os.path.basename(m["path"]),
-                     "n_records": int(m["n_records"]),
-                     "n_bytes": int(m["n_bytes"])}
-                    for m in manifest
-                ],
-                mf,
-                indent=1,
-            )
+            json.dump(entries, mf, indent=1)
     else:
         import shutil
 
@@ -946,16 +1017,14 @@ def write_bam(
             out.write(BGZF_EOF)
         shutil.rmtree(parts_dir)
 
-    if index == "bai":
+    if index == "bai" and not sharded:
         from .bai import write_bai
 
         write_bai(path)
-    elif index == "csi":
+    elif index == "csi" and not sharded:
         from .csi import write_csi
 
         write_csi(path)
-    elif index is not None:
-        raise ValueError(f"index must be 'bai', 'csi' or None, got {index!r}")
 
     spark = df.sparkSession
     schema = "path string, n_records long, n_bytes long"
@@ -969,4 +1038,135 @@ def write_bam(
     )
     return spark.sql(
         f"SELECT * FROM VALUES {rows} AS t(path, n_records, n_bytes)"
+    )
+
+
+# --------------------------------------------- sharded region dispatch
+
+def _sharded_region_plan(
+    path: str,
+    contig: str,
+    start: int,
+    end: int,
+    index: str | None = None,
+) -> tuple[list[tuple[str, int, int]], list[str], dict]:
+    """Pure (no-Spark) planning half of read_bam_region_sharded:
+    manifest -> (fetch triples, refs, stats). Two-level pruning:
+
+    1. MANIFEST prune: a shard whose recorded coordinate extent
+       [(first_ref, first_pos), (last_ref, last_end)) does not
+       overlap (ref_id, [start, end)) is dropped WITHOUT opening its
+       index file (lexicographic interval test - valid because an
+       indexed shard is coordinate-sorted, the same precondition
+       .bai itself has, SAM spec 5.2).
+    2. INDEX prune: each surviving shard's own .bai/.csi yields its
+       candidate virtual-offset ranges (bai_candidate_ranges /
+       csi_candidate_ranges); a shard whose index has no candidates
+       contributes nothing.
+
+    The returned triples are the ONLY byte ranges the fetch stage
+    will open - the task-level "untouched shards are never read" pin
+    in tests/test_round11_ops.py asserts pruned shard paths never
+    appear here (and stays true even when the pruned shards' index
+    files are DELETED, proving step 1 never opens them).
+
+    stats = {"shards_total", "shards_after_manifest",
+    "shards_scanned"} for observability.
+    """
+    import json
+
+    from .bai import bai_candidate_ranges, parse_bai, read_bam_refs
+    from .csi import csi_candidate_ranges, parse_csi
+
+    mpath = os.path.join(_local_path(path), "_manifest.json")
+    with open(mpath) as mf:
+        entries = json.load(mf)
+    if not entries:
+        return [], [], {"shards_total": 0, "shards_after_manifest": 0,
+                        "shards_scanned": 0}
+    base_dir = _local_path(path)
+    refs = read_bam_refs(os.path.join(base_dir, entries[0]["path"]))
+    try:
+        ref_id = refs.index(contig)
+    except ValueError:
+        return [], refs, {"shards_total": len(entries),
+                          "shards_after_manifest": 0, "shards_scanned": 0}
+
+    start, end = int(start), int(end)
+    survivors = []
+    for e in entries:
+        if "first_ref" in e and e["first_ref"] >= 0:
+            beg = (e["first_ref"], e["first_pos"])
+            fin = (e["last_ref"], e["last_end"])
+            if not (beg < (ref_id, end) and fin > (ref_id, start)):
+                continue
+        survivors.append(e)
+
+    triples: list[tuple[str, int, int]] = []
+    scanned = 0
+    for e in survivors:
+        shard = os.path.join(base_dir, e["path"])
+        idx_kind = index
+        idx_path = None
+        if "index" in e:
+            cand = os.path.join(base_dir, e["index"])
+            if os.path.exists(cand):
+                idx_path = cand
+                idx_kind = idx_kind or e["index"].rsplit(".", 1)[-1]
+        if idx_path is None:
+            for kind in ([index] if index else ["bai", "csi"]):
+                cand = shard + "." + kind
+                if os.path.exists(cand):
+                    idx_path, idx_kind = cand, kind
+                    break
+        if idx_path is None:
+            raise FileNotFoundError(
+                f"no .bai/.csi index next to shard {shard!r}; write with "
+                "write_bam(..., single_file=False, index='bai'|'csi')"
+            )
+        with open(idx_path, "rb") as fh:
+            raw = fh.read()
+        if idx_kind == "bai":
+            per_ref, _ = parse_bai(raw)
+            ranges = bai_candidate_ranges(per_ref, ref_id, start, end)
+        else:
+            per_ref, min_shift, depth, _ = parse_csi(raw)
+            ranges = csi_candidate_ranges(
+                per_ref, min_shift, depth, ref_id, start, end
+            )
+        if ranges:
+            scanned += 1
+            triples.extend((shard, cb, ce) for cb, ce in ranges)
+    return triples, refs, {
+        "shards_total": len(entries),
+        "shards_after_manifest": len(survivors),
+        "shards_scanned": scanned,
+    }
+
+
+def read_bam_region_sharded(
+    spark: SparkSession,
+    path: str,
+    contig: str,
+    start: int,
+    end: int,
+    index: str | None = None,
+) -> DataFrame:
+    """Region fetch over a SHARDED write_bam output directory (the
+    scale path's answer to pysam fetch, reference from_pysam at
+    /root/reference/seqtables/core/seqtables.py:226-283): manifest-
+    level shard pruning, then per-shard .bai/.csi candidate ranges,
+    unioned into ONE fetch relation (one task per candidate range,
+    fetch_voffset_triples). Untouched shards are never opened; driver
+    work is the manifest read plus the surviving shards' tiny index
+    files. Same result contract as read_bam_region /
+    read_bam_region_bai / read_bam_region_csi on the assembled
+    equivalent (pinned in tests/test_round11_ops.py)."""
+    from .bai import fetch_voffset_triples
+
+    triples, refs, _ = _sharded_region_plan(
+        path, contig, int(start), int(end), index
+    )
+    return fetch_voffset_triples(
+        spark, triples, refs, contig, int(start), int(end)
     )

@@ -188,13 +188,23 @@ class TestShardedWriteBam:
         write_bam(narrow, path, REFS, single_file=False)
         assert read_bam(spark, path).count() == 10  # no stale shards
 
-    def test_index_requires_single_file(self, spark, tmp_path):
+    def test_index_with_sharded_mode_writes_per_shard_indexes(
+        self, spark, tmp_path
+    ):
+        """Round 10 rejected index= with single_file=False; round 11
+        supports it (per-shard .bai, each shard an independent valid
+        BAM with self-contained virtual offsets) — the full contract
+        is pinned in tests/test_round11_ops.py."""
+        import os
+
         from seqtables_spark.sources.bam import write_bam
 
+        path = str(tmp_path / "x")
         df = spark.createDataFrame(_bam_rows(4), _BAM_ROW_SCHEMA)
-        with pytest.raises(ValueError, match="single_file"):
-            write_bam(df, str(tmp_path / "x"), REFS, index="bai",
-                      single_file=False)
+        write_bam(df, path, REFS, index="bai", single_file=False)
+        names = os.listdir(path)
+        shards = [n for n in names if n.endswith(".bam")]
+        assert shards and all(s + ".bai" in names for s in shards)
 
     def test_manifest_sorted_numerically(self):
         """Lexicographic part ordering breaks at >=100000 partitions
