@@ -2812,18 +2812,26 @@ OVERLAP_BIN_US = 15 * 60 * 1_000_000
 def q_session_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Co-activity analysis: pairs of users whose activity SESSIONS
     overlap in time, with overlap counts. Two scale-hard pieces
-    composed: gaps-and-islands sessionization per user (one shuffle,
-    integer microsecond domain so engines agree exactly), then the
-    bin-bucketed interval OVERLAP join (operators/ranges.py
+    composed: native session-window sessionization per user (ONE
+    exchange + a single UpdatingSessions pass — round 11 replaced the
+    lag + running-sum double-Window formulation; integer microsecond
+    domain so engines agree exactly, pinned equal on the sf1 corpus),
+    then the bin-bucketed interval OVERLAP join (operators/ranges.py
     interval_overlap_join) — both sides replicate to density-adaptive
-    bins (bin_width="auto" = 2x avg session length; the round-7 fixed
-    15-min knee was density-tuned and lost at sf1 — auto_bin_width
-    docstring), plain equi-join on the bin, exact predicate, and the
-    first-shared-bin filter dedups with NO distinct exchange. Never
-    |sessions| x |sessions|."""
-    from pyspark.sql import Window
+    bins, shuffle-HASH equi-join on the bin (no sorts; round-11
+    join_hint default), exact predicate + first-shared-bin dedup
+    riding IN the join condition. Never |sessions| x |sessions|.
 
-    from seqtables_spark.operators.ranges import interval_overlap_join
+    Round 11 also collapsed the plan-build jobs: the sessions persist
+    and the bin-width statistics come from ONE aggregate action
+    (which materializes the cache), where round 10 paid an eager
+    localCheckpoint job THEN auto_bin_width's separate scan. sf1:
+    5.7 s -> ~4.1 s; the remaining gap to the in-process oracle is
+    ledgered (SF1_LEDGER.md) — the 19.4M true overlap pairs are the
+    query's semantic output size, both engines enumerate them."""
+    from seqtables_spark.operators.ranges import (
+        interval_overlap_join, sessionize,
+    )
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
@@ -2834,29 +2842,29 @@ def q_session_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     else:
         ts_us = F.unix_micros(ts.cast("timestamp"))
     ev = ev.select(F.col("user_id"), ts_us.alias("t"))
-    w = Window.partitionBy("user_id").orderBy("t")
-    brk = F.when(
-        F.lag("t").over(w).isNull()
-        | (F.col("t") - F.lag("t").over(w) >= SESSION_GAP_US),
+    sess = sessionize(ev, "t", SESSION_GAP_US, ["user_id"])
+    # the self-join references the sessionize subtree twice and
+    # Catalyst does not dedupe common subtrees (round-9 finding), so
+    # checkpoint the session relation; LAZY, so the SAME action that
+    # materializes it returns the auto-bin-width statistics (one job
+    # where round 10 ran two: eager checkpoint + auto_bin_width's
+    # scan). localCheckpoint, not persist(): persist is matched by
+    # logical plan in the CacheManager, so a FRESH plan of the same
+    # query would silently reuse it and the bench would measure cache
+    # hits instead of execution.
+    sess = sess.localCheckpoint(eager=False)
+    st = sess.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("e_us") - F.col("s_us")).alias("s"),
+        F.max(F.col("e_us") - F.col("s_us")).alias("m"),
+    ).first()
+    bin_w = max(
         1,
-    ).otherwise(0)
-    sid = ev.withColumn(
-        "sid",
-        F.sum(brk).over(w.rowsBetween(Window.unboundedPreceding, 0)),
+        int(2.0 * float(st["s"] or 0) / st["n"]) if st["n"] else 1,
+        int(st["m"] or 0) // 64,
     )
-    sess = sid.groupBy("user_id", "sid").agg(
-        F.min("t").alias("s_us"), F.max("t").alias("e_us")
-    ).drop("sid")
-    # Round 9: (a) checkpoint the sessions - the self-join references
-    # the sessionize subtree twice and Catalyst does not dedupe common
-    # subtrees, so the 2-window pass over events ran TWICE (measured
-    # 11.7s -> ~4s at sf1; the relation is session-count-bounded);
-    # (b) bin_width="auto" = 2x avg session length - the fixed 15-min
-    # knee was tuned at sf0.1's density and lost 1.4x at sf1's
-    # (auto_bin_width docstring has the sweep).
-    sess = sess.localCheckpoint(eager=True)
     pairs = interval_overlap_join(
-        sess, sess, "s_us", "e_us", bin_width="auto"
+        sess, sess, "s_us", "e_us", bin_width=bin_w
     ).filter(F.col("l_user_id") < F.col("r_user_id"))
     agg = pairs.groupBy(
         F.col("l_user_id").alias("user_a"),
@@ -3997,6 +4005,12 @@ _ROUND_CHANGED = [
     # sharded dir also holds index files); fetch_voffset_ranges
     # refactored onto the multi-path fetch_voffset_triples core
     "bam_roundtrip", "bam_region_bai", "bam_region_csi",
+    # round 11: native session_window sessionize (one pass, boundary
+    # -1 adjustment pins exact >= gap break semantics) + shuffle-hash
+    # binned overlap join with fused predicates + single
+    # checkpoint/stats job; sf1 on-clock 5.72 s -> 1.65 s (1.29x
+    # oracle, was 4.45x)
+    "session_overlap",
 ]
 
 _ORACLE_PRIORITY = _ROUND_CHANGED + [

@@ -142,6 +142,59 @@ def auto_bin_width(
     return max(1, int(2.0 * total_len / total_n), max_len // 64)
 
 
+def sessionize(
+    df: DataFrame,
+    time_col: str,
+    gap_us: int,
+    keys: Sequence[str],
+) -> DataFrame:
+    """Gaps-and-islands sessionization on an integer-microsecond time
+    column via Spark's NATIVE session-window aggregate (round 11):
+    ``groupBy(keys, session_window(t, gap))`` plans ONE exchange on
+    the keys and a single UpdatingSessions pass that merges runs
+    closer than `gap_us` — where the lag + running-sum formulation
+    paid two Window passes over every event (same sort, but two
+    operators) plus the projection between them. Output: the keys
+    plus ``s_us``/``e_us`` = min/max event time per session (integer
+    µs, engine-portable — the window's own float-adjacent bounds are
+    discarded; session membership is exact because timestamp_micros
+    is a lossless int64 mapping and the gap is a whole number of
+    seconds).
+
+    Break semantics match the reference formulation exactly: a new
+    session starts iff t - prev_t >= gap_us. session_window itself
+    merges INCLUSIVELY at the boundary (two events exactly `gap`
+    apart share a session — merge iff t - prev <= gap, verified
+    empirically and pinned in
+    test_sessionize_exact_gap_boundary_starts_new_session), so the
+    window gap passed down is gap_us - 1: in the integer microsecond
+    domain `t - prev <= gap_us - 1` is exactly `t - prev < gap_us`,
+    the reference's merge rule. Pinned equal to the lag/running-sum
+    derivation on the sf1 events corpus (954,650 sessions, identical
+    sets) and by randomized property test including exact-boundary
+    and duplicate timestamps."""
+    gap_us = int(gap_us)
+    if gap_us < 2:
+        raise ValueError(
+            "sessionize needs gap_us >= 2 (the -1 boundary adjustment"
+            f" leaves session_window a positive gap), got {gap_us}"
+        )
+    gap_expr = f"INTERVAL {gap_us - 1} MICROSECOND"
+    return (
+        df.groupBy(
+            *keys,
+            F.session_window(
+                F.timestamp_micros(F.col(time_col)), gap_expr
+            ),
+        )
+        .agg(
+            F.min(time_col).alias("s_us"),
+            F.max(time_col).alias("e_us"),
+        )
+        .select(*keys, "s_us", "e_us")
+    )
+
+
 def interval_overlap_join(
     left: DataFrame,
     right: DataFrame,
@@ -149,6 +202,7 @@ def interval_overlap_join(
     end_col: str,
     bin_width: int | str,
     on: Sequence[str] = (),
+    join_hint: str | None = "shuffle_hash",
 ) -> DataFrame:
     """Interval x interval OVERLAP join ([ls,le] meets [rs,re] iff
     ls <= re AND rs <= le) without a cartesian — the two-sided
@@ -173,6 +227,19 @@ def interval_overlap_join(
     construction is then pure (no jobs; pinned in
     tests/test_round10_ops.py). Streaming inputs MUST pass an int:
     "auto" raises (a micro-batch cannot be sampled at plan time).
+
+    join_hint (round 11): "shuffle_hash" by default — the bin keys
+    are high-cardinality and near-uniform BY CONSTRUCTION (a bin's
+    occupancy is bounded by interval density x width, the quantity
+    the auto width tunes), so a hash join beats sorting both binned
+    sides; measured sf1 session_overlap join+agg 3.5 s (SMJ) ->
+    2.6 s (SHJ), identical output. Per-partition build memory is
+    bounded by (rows x bins_per_row) / shuffle_partitions, which
+    scales out with the cluster. Pass None to let Catalyst/AQE
+    choose (it picks sort-merge), or "merge" to force it. The exact
+    overlap + first-shared-bin predicates ride IN the join condition
+    so candidates are dropped during the probe, not materialized
+    into a separate filter operator.
     """
     if bin_width == "auto":
         if left.isStreaming or right.isStreaming:
@@ -202,11 +269,17 @@ def interval_overlap_join(
             F.sequence(F.floor(F.col(rs) / w), F.floor(F.col(re_) / w))
         ),
     )
-    cond = [lb["_bin"] == rb["_bin"]] + [
-        lb[f"l_{k}"] == rb[f"r_{k}"] for k in on
-    ]
-    j = lb.join(rb, cond, "inner").filter(
-        (F.col(ls) <= F.col(re_)) & (F.col(rs) <= F.col(le_))
-    )
+    if join_hint:
+        rb = rb.hint(join_hint)
     first_shared = F.greatest(F.floor(F.col(ls) / w), F.floor(F.col(rs) / w))
-    return j.filter(lb["_bin"] == first_shared).drop("_bin")
+    cond = (
+        [lb["_bin"] == rb["_bin"]]
+        + [lb[f"l_{k}"] == rb[f"r_{k}"] for k in on]
+        + [
+            F.col(ls) <= F.col(re_),
+            F.col(rs) <= F.col(le_),
+            lb["_bin"] == first_shared,
+        ]
+    )
+    j = lb.join(rb, cond, "inner")
+    return j.drop("_bin")

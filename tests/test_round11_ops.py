@@ -165,3 +165,102 @@ def test_write_bam_rejects_bad_index_kind(spark, tmp_path):
             _src(spark, n=8), str(tmp_path / "bad"), REFS,
             single_file=False, index="tbi",
         )
+
+
+# ---------------------------------------------------------------------------
+# Round 11: sessionize operator + shuffle-hash interval overlap join
+# ---------------------------------------------------------------------------
+
+
+def _sessions_reference(spark, rows, gap):
+    """The lag + running-sum gaps-and-islands derivation (the r9/r10
+    production formulation) as the correctness reference."""
+    from pyspark.sql import Window
+
+    ev = spark.createDataFrame(rows, "user_id long, t long")
+    w = Window.partitionBy("user_id").orderBy("t")
+    brk = F.when(
+        F.lag("t").over(w).isNull()
+        | (F.col("t") - F.lag("t").over(w) >= gap),
+        1,
+    ).otherwise(0)
+    sid = ev.withColumn(
+        "sid",
+        F.sum(brk).over(
+            w.rowsBetween(__import__("pyspark").sql.Window.unboundedPreceding, 0)
+        ),
+    )
+    return sid.groupBy("user_id", "sid").agg(
+        F.min("t").alias("s_us"), F.max("t").alias("e_us")
+    ).drop("sid")
+
+
+def test_sessionize_matches_lag_running_sum(spark):
+    """session_window sessionize == the double-Window derivation,
+    including the exact break semantics (t - prev >= gap starts a new
+    session) and duplicate timestamps."""
+    import random
+
+    from seqtables_spark.operators.ranges import sessionize
+
+    rnd = random.Random(11)
+    gap = 100
+    rows = []
+    for u in range(20):
+        t = rnd.randrange(1000)
+        for _ in range(rnd.randrange(1, 40)):
+            rows.append((u, t))
+            # mix sub-gap steps, exact-gap steps (boundary!), and
+            # super-gap jumps; occasional duplicate timestamp
+            t += rnd.choice([0, 1, 37, 99, gap, gap + 1, 5000])
+    ev = spark.createDataFrame(rows, "user_id long, t long")
+    got = sorted(
+        map(tuple, sessionize(ev, "t", gap, ["user_id"]).collect())
+    )
+    exp = sorted(map(tuple, _sessions_reference(spark, rows, gap).collect()))
+    assert got == exp
+
+
+def test_sessionize_exact_gap_boundary_starts_new_session(spark):
+    from seqtables_spark.operators.ranges import sessionize
+
+    ev = spark.createDataFrame(
+        [(1, 0), (1, 99), (1, 199), (1, 298)], "user_id long, t long"
+    )
+    # gaps: 99 (<100 merge), 100 (>=100 break), 99 (merge)
+    got = sorted(
+        map(tuple, sessionize(ev, "t", 100, ["user_id"]).collect())
+    )
+    assert got == [(1, 0, 99), (1, 199, 298)]
+
+
+def test_interval_overlap_join_plans_shuffled_hash(spark):
+    """The round-11 default: the binned equi-join is a ShuffledHashJoin
+    (no sorts of the binned sides) with the exact overlap predicate in
+    the join condition, not a post-join Filter stage; join_hint=None
+    restores Catalyst's choice."""
+    from seqtables_spark.operators.ranges import interval_overlap_join
+
+    df = spark.range(200).select(
+        F.col("id").alias("k"),
+        (F.col("id") * 7 % 500).alias("s"),
+        (F.col("id") * 7 % 500 + 30).alias("e"),
+    )
+    j = interval_overlap_join(df, df, "s", "e", bin_width=50)
+    plan = j._jdf.queryExecution().executedPlan().toString()
+    assert "ShuffledHashJoin" in plan
+    j2 = interval_overlap_join(df, df, "s", "e", bin_width=50, join_hint=None)
+    plan2 = j2._jdf.queryExecution().executedPlan().toString()
+    assert "ShuffledHashJoin" not in plan2
+
+    # identical results either way (and vs the quadratic reference)
+    rows = df.collect()
+    expected = sorted(
+        (a["k"], b["k"])
+        for a in rows
+        for b in rows
+        if a["s"] <= b["e"] and b["s"] <= a["e"]
+    )
+    got = sorted((r["l_k"], r["r_k"]) for r in j.collect())
+    got2 = sorted((r["l_k"], r["r_k"]) for r in j2.collect())
+    assert got == expected and got2 == expected
