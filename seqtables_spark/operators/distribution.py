@@ -213,6 +213,8 @@ def seq_dist_dense(
     reads: DataFrame,
     seq_col: str = "seq",
     pos_start: int = 1,
+    algorithm: str = "dense",
+    crossover_cells: int = 100_000_000,
 ) -> DataFrame:
     """The reference's dense bincount kernel (numpy_ops.py:107-134),
     distributed: each Arrow batch becomes a uint8 char matrix,
@@ -235,13 +237,54 @@ def seq_dist_dense(
     path pays a fixed Arrow-transit + Python-worker cost per batch,
     so below ~100M cells (rows x width) the JVM explode plan is
     FASTER (1.1-1.4x at 6-60M cells) and this kernel only wins above
-    it (0.70x at 240M, 0.60x at ~1B cells, 32 local cores). Pick the
-    explode plan for small slices; there is no auto-switch because
-    deciding would cost a count() action on an un-materialized input
-    — at 100 TB you know which regime you are in.
+    it (0.70x at 240M, 0.60x at ~1B cells, 32 local cores).
+
+    algorithm (round 11, verdict #3):
+      * "dense" (default)   — always the bincount kernel; pure plan
+        build (no jobs), streaming-safe.
+      * "explode"           — always the JVM posexplode + hash-agg
+        plan (identical result, pinned by test); pure, streaming-safe.
+      * "auto"              — measure the EXACT cell count with one
+        bounded aggregate (sum(length(seq)) — cheaper than it sounds:
+        column-pruned scan + partial agg) and pick the measured
+        crossover winner (`crossover_cells`, default the 100M knee
+        above). Runs a job at plan-BUILD time, so it raises on
+        streaming input — pass an explicit algorithm there (the
+        round-10 eager-plan-build containment pattern).
     """
     import numpy as np
     import pandas as pd
+
+    if algorithm not in ("dense", "explode", "auto"):
+        raise ValueError(
+            f"algorithm must be dense|explode|auto, got {algorithm!r}"
+        )
+    if algorithm == "auto":
+        if reads.isStreaming:
+            raise ValueError(
+                "algorithm='auto' counts cells at plan-build time and"
+                " cannot run on a streaming DataFrame; pass"
+                " algorithm='dense' or 'explode' explicitly"
+            )
+        cells_n = reads.agg(
+            F.sum(F.length(F.col(seq_col)))
+        ).first()[0] or 0
+        algorithm = "dense" if cells_n >= crossover_cells else "explode"
+    if algorithm == "explode":
+        # the (?!$) split of "" still yields one empty element; the
+        # dense kernel contributes nothing for a zero-width read, so
+        # drop empties BEFORE exploding (pushed-down scan filter)
+        exploded = reads.filter(F.length(F.col(seq_col)) > 0).select(
+            F.posexplode(F.split(F.col(seq_col), "(?!$)")).alias(
+                "_off", "base"
+            )
+        )
+        return exploded.groupBy(
+            (F.lit(pos_start) + F.col("_off")).cast("long").alias(
+                "position"
+            ),
+            "base",
+        ).agg(F.count(F.lit(1)).alias("cnt"))
 
     def part(batches):
         counts: dict[int, "np.ndarray"] = {}  # 0-based offset -> 256 bins

@@ -264,3 +264,46 @@ def test_interval_overlap_join_plans_shuffled_hash(spark):
     got = sorted((r["l_k"], r["r_k"]) for r in j.collect())
     got2 = sorted((r["l_k"], r["r_k"]) for r in j2.collect())
     assert got == expected and got2 == expected
+
+
+# ---------------------------------------------------------------------------
+# Round 11: seq_dist_dense crossover auto-switch
+# ---------------------------------------------------------------------------
+
+
+def test_seq_dist_dense_algorithms_agree_and_auto_picks_explode(spark):
+    from seqtables_spark.operators.distribution import seq_dist_dense
+
+    reads = spark.createDataFrame(
+        [("r1", "ACGT"), ("r2", "AAAA"), ("r3", "ACG"), ("r4", "")],
+        "read_id string, seq string",
+    )
+    dense = sorted(
+        map(tuple, seq_dist_dense(reads, algorithm="dense").collect())
+    )
+    explode = sorted(
+        map(tuple, seq_dist_dense(reads, algorithm="explode").collect())
+    )
+    auto = seq_dist_dense(reads, algorithm="auto")
+    assert dense == explode == sorted(map(tuple, auto.collect()))
+    # 11 cells << 100M: auto must have chosen the JVM explode plan
+    plan = auto._jdf.queryExecution().executedPlan().toString()
+    assert "MapInPandas" not in plan
+    # and forcing the crossover down flips it to the Arrow kernel
+    forced = seq_dist_dense(reads, algorithm="auto", crossover_cells=5)
+    assert "MapInPandas" in forced._jdf.queryExecution().executedPlan().toString()
+    assert sorted(map(tuple, forced.collect())) == dense
+
+
+def test_seq_dist_dense_auto_rejects_streaming(spark, tmp_path):
+    from seqtables_spark.operators.distribution import seq_dist_dense
+
+    src = str(tmp_path / "stream_src")
+    spark.createDataFrame([("r1", "ACGT")], "read_id string, seq string")\
+        .write.parquet(src)
+    stream = spark.readStream.schema("read_id string, seq string").parquet(src)
+    with pytest.raises(ValueError, match="streaming"):
+        seq_dist_dense(stream, algorithm="auto")
+    # explicit algorithms stay pure and streaming-safe at plan build
+    seq_dist_dense(stream, algorithm="dense")
+    seq_dist_dense(stream, algorithm="explode")
