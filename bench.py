@@ -118,8 +118,13 @@ def main() -> int:
     # Recording the per-query steal share lets a reader (and the
     # sf1 ledger) adjudicate outliers with data instead of rerunning.
     def _cpu_counters():
-        v = list(map(int, open("/proc/stat").readline().split()[1:]))
-        total = sum(v)
+        with open("/proc/stat") as fh:
+            v = list(map(int, fh.readline().split()[1:]))
+        # fields: user nice system idle iowait irq softirq steal
+        # guest guest_nice — the kernel already folds guest time into
+        # user, so summing all 10 would double-count it and slightly
+        # understate steal_pct (round-11 ADVICE fix)
+        total = sum(v[:8])
         steal = v[7] if len(v) > 7 else 0
         return total, steal
 

@@ -288,6 +288,39 @@ def ivf_centroids(
     return centroids
 
 
+def _ivf_argmin_np(C, v):
+    """Batch argmin of squared distance: rows of `v` (n x d float64)
+    against centroid matrix `C` (k x d float64) -> int32 indices.
+
+    Pure so BOTH the ivf_assign Arrow kernel and the tie property
+    test (tests/test_arrow_kernel_properties.py) exercise THIS code —
+    a regression here (e.g. `<` becoming `<=`) fails the test
+    (round-11 ADVICE fix; the test previously replayed a hand copy).
+
+    Semantics pinned to the SQL argmin: per centroid the squared
+    distance is the sequential per-dimension left fold (one
+    vectorized float64 add per dim keeps the per-row IEEE order), and
+    the STRICT `<` running-min update keeps the LOWEST index on ties,
+    exactly array_position(ds, array_min(ds))."""
+    import numpy as np
+
+    best_d = None
+    best_i = None
+    for ci in range(C.shape[0]):
+        acc = np.zeros(v.shape[0], dtype=np.float64)
+        for j in range(v.shape[1]):
+            t = v[:, j] - C[ci, j]
+            acc = acc + t * t
+        if best_d is None:
+            best_d = acc
+            best_i = np.zeros(v.shape[0], dtype=np.int32)
+        else:
+            m = acc < best_d
+            best_d = np.where(m, acc, best_d)
+            best_i = np.where(m, np.int32(ci), best_i)
+    return best_i
+
+
 def ivf_assign(
     df: DataFrame,
     centroids: list[list[float]],
@@ -328,20 +361,7 @@ def ivf_assign(
             if batch.num_rows == 0:
                 continue
             v = _list_to_2d(batch.column(vec_col)).astype(np.float64)
-            best_d = None
-            best_i = None
-            for ci in range(C.shape[0]):
-                acc = np.zeros(v.shape[0], dtype=np.float64)
-                for j in range(v.shape[1]):
-                    t = v[:, j] - C[ci, j]
-                    acc = acc + t * t
-                if best_d is None:
-                    best_d = acc
-                    best_i = np.zeros(v.shape[0], dtype=np.int32)
-                else:
-                    m = acc < best_d
-                    best_d = np.where(m, acc, best_d)
-                    best_i = np.where(m, np.int32(ci), best_i)
+            best_i = _ivf_argmin_np(C, v)
             yield batch.append_column("_c", pa.array(best_i, type=pa.int32()))
 
     return df.mapInArrow(assign, out_schema)

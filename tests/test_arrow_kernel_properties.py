@@ -108,11 +108,15 @@ def test_fold_order_genuinely_matters_and_kernel_is_forward():
 @given(st.data())
 @settings(max_examples=150, deadline=None)
 def test_ivf_assign_argmin_first_tie_wins(data):
-    """The ivf_assign numpy loop updates best only on STRICT
-    improvement (acc < best_d) — ties keep the LOWEST centroid index,
-    matching the SQL argmin's deterministic first-match rule. Replay
-    the loop semantics against a scalar reference on small instances
-    (duplicate centroids force exact ties)."""
+    """ivf_assign's batch argmin (the REAL kernel code —
+    pipeline/similarity._ivf_argmin_np, shared with the Arrow assign
+    path; round-11 ADVICE fix replaced the hand-copied replay) updates
+    best only on STRICT improvement (acc < best_d) — ties keep the
+    LOWEST centroid index, matching the SQL argmin's deterministic
+    first-match rule. Checked against a scalar reference on small
+    instances (duplicate centroids force exact ties)."""
+    from seqtables_spark.pipeline.similarity import _ivf_argmin_np
+
     dim = data.draw(st.integers(min_value=1, max_value=8))
     n_c = data.draw(st.integers(min_value=1, max_value=5))
     cents = [[data.draw(f32) for _ in range(dim)] for _ in range(n_c)]
@@ -122,18 +126,7 @@ def test_ivf_assign_argmin_first_tie_wins(data):
 
     C = np.asarray(cents, dtype=np.float64)
     vv = v.astype(np.float64)
-    best_d, best_i = None, None
-    for ci in range(C.shape[0]):
-        acc = np.zeros(1, dtype=np.float64)
-        for j in range(dim):
-            t = vv[:, j] - C[ci, j]
-            acc = acc + t * t
-        if best_d is None:
-            best_d, best_i = acc, np.zeros(1, dtype=np.int32)
-        else:
-            m = acc < best_d
-            best_d = np.where(m, acc, best_d)
-            best_i = np.where(m, np.int32(ci), best_i)
+    best_i = _ivf_argmin_np(C, vv)
 
     # scalar reference: sequential-fold distance per centroid, first
     # strictly-smaller wins

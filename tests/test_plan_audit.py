@@ -103,3 +103,6 @@ def test_planaudit_artifact_invariants():
     # every query's plan built (no error rows)
     errs = {k: v for k, v in art["queries"].items() if "error" in v}
     assert errs == {}
+    # round 11: join-strategy invariance across the audited sf dirs
+    # (sf0.01 + sf1 = four decades when run per the round protocol)
+    assert art.get("strategy_deltas", []) == []

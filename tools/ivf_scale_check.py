@@ -37,6 +37,15 @@ def build_emb_replica(dst: str, mult: int) -> None:
     dim = con.execute(
         f"SELECT len(embedding) FROM parquet_scan('{SF1}/embeddings.parquet') LIMIT 1"
     ).fetchone()[0]
+    # the rotation offset below repeats with period `dim`, so a
+    # multiplier past dim would emit cross-replica DUPLICATE vectors
+    # and break the docstring's no-duplicates claim (round-11 ADVICE
+    # fix); the harness's purpose is x1-x8 sweeps, so fail loud
+    if mult > dim:
+        raise ValueError(
+            f"mult={mult} exceeds embedding dim={dim}: rotations would"
+            " repeat and replicas would duplicate vectors"
+        )
     selects = []
     for i in range(mult):
         if i == 0:

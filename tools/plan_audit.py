@@ -149,33 +149,97 @@ def violations(audit: dict) -> list[str]:
     return bad
 
 
+# the canonical metric list — totals derive from HERE, never from the
+# first audit row (round-11 ADVICE fix: an error first-row collapsed
+# totals to {'error': 0}, and an empty audit raised StopIteration)
+METRICS = tuple(audit_plan("").keys())
+
+# join-strategy fingerprint: the fields whose cross-sf INVARIANCE is
+# the "no size-gated flips between here and 100 TB" claim
+STRATEGY_FIELDS = ("bhj", "smj", "shj", "bnlj", "cartesian", "broadcasts")
+
+
+def strategy_deltas(audits_by_sf: dict) -> list[str]:
+    """Compare every query's join-strategy fingerprint across the
+    audited sf dirs; returns human-readable delta strings ([] = the
+    invariance holds across all audited decades)."""
+    labels = list(audits_by_sf)
+    if len(labels) < 2:
+        return []
+    base_label = labels[0]
+    base = audits_by_sf[base_label]
+    deltas = []
+    for label in labels[1:]:
+        other = audits_by_sf[label]
+        for name in sorted(set(base) & set(other)):
+            a, b = base[name], other[name]
+            if "error" in a or "error" in b:
+                continue
+            fa = tuple(a.get(f, 0) for f in STRATEGY_FIELDS)
+            fb = tuple(b.get(f, 0) for f in STRATEGY_FIELDS)
+            if fa != fb:
+                deltas.append(
+                    f"{name}: {base_label}={dict(zip(STRATEGY_FIELDS, fa))}"
+                    f" vs {label}={dict(zip(STRATEGY_FIELDS, fb))}"
+                )
+    return deltas
+
+
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    # sf_dir may be a comma-separated list (round 11, verdict #5):
+    # the FIRST is the primary audit (back-compat artifact shape),
+    # the rest are compared for join-strategy invariance — running
+    # with sf0.01,sf1 turns "no size-gated flips up to sf0.1" into
+    # "none across four decades" (AQE sees the real 10x sizes at
+    # plan build because fixture-writing queries materialize eagerly)
+    sf_spec = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    sf_dirs = [s for s in sf_spec.split(",") if s]
     out_path = sys.argv[2] if len(sys.argv) > 2 else os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "PLANAUDIT.json"
     )
     from seqtables_spark import get_spark
 
     spark = get_spark(app_name="plan_audit", cores=8, shuffle_partitions=8)
-    audit = build_audit(spark, sf_dir)
+    audits_by_sf = {d: build_audit(spark, d) for d in sf_dirs}
+    audit = audits_by_sf[sf_dirs[0]]
     bad = violations(audit)
+    for d in sf_dirs[1:]:
+        bad.extend(
+            f"[{d}] {v}" for v in violations(audits_by_sf[d])
+        )
+    deltas = strategy_deltas(audits_by_sf)
     totals = {
         k: sum(r.get(k, 0) for r in audit.values() if "error" not in r)
-        for k in next(iter(audit.values())).keys()
+        for k in METRICS
     }
     artifact = {
-        "sf_dir": sf_dir,
+        "sf_dir": sf_dirs[0],
+        "sf_dirs": sf_dirs,
         "n_queries": len(audit),
         "totals": totals,
         "violations": bad,
+        "strategy_fields": list(STRATEGY_FIELDS),
+        "strategy_deltas": deltas,
         "bnlj_allowed": sorted(BNLJ_ALLOWED),
         "queries": audit,
+        "queries_by_sf": {
+            d: {
+                name: {
+                    f: row.get(f, 0) for f in STRATEGY_FIELDS
+                } if "error" not in row else row
+                for name, row in audits_by_sf[d].items()
+            }
+            for d in sf_dirs[1:]
+        },
     }
     with open(out_path, "w") as f:
         json.dump(artifact, f, indent=1, sort_keys=True)
-    print(json.dumps({"n": len(audit), "violations": bad, "totals": totals}))
+    print(json.dumps({
+        "n": len(audit), "violations": bad, "totals": totals,
+        "strategy_deltas": deltas,
+    }))
     print(f"artifact -> {out_path}")
-    return 1 if bad else 0
+    return 1 if bad or deltas else 0
 
 
 if __name__ == "__main__":

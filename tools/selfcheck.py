@@ -360,6 +360,55 @@ def main():
     for w in check_priority_rotation(entry):
         print(f"ROTATION WARNING: {w}")
 
+    # round 11: the committed sf1 ledger must never hold a naked >2x
+    # row (tools/sf1_ledger.validate); fail loud here so a regenerated
+    # ledger with an unadjudicated ratio cannot ride a green selfcheck
+    ledger_path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "SF1_LEDGER.json",
+    )
+    if os.path.exists(ledger_path):
+        from sf1_ledger import validate as _ledger_validate
+
+        ledger_bad = _ledger_validate(json.load(open(ledger_path)))
+        for v in ledger_bad:
+            print(f"SF1 LEDGER VIOLATION: {v}")
+        if ledger_bad:
+            return 1
+
+    # round 11 (ADVICE): PLANAUDIT.json can go stale relative to the
+    # code — a new plan violation then passes CI until someone
+    # regenerates it. A FULL selfcheck (the round gate) fails when any
+    # query source is newer than the committed artifact; filtered runs
+    # only warn (regenerating mid-iteration would be churn).
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    pa_path = os.path.join(repo_root, "PLANAUDIT.json")
+    if os.path.exists(pa_path):
+        pa_mtime = os.path.getmtime(pa_path)
+        newest, newest_path = 0.0, None
+        srcs = [os.path.join(repo_root, "__spark_entry__.py")]
+        for dirpath, _dirs, files in os.walk(
+            os.path.join(repo_root, "seqtables_spark")
+        ):
+            srcs.extend(
+                os.path.join(dirpath, f) for f in files if f.endswith(".py")
+            )
+        for p in srcs:
+            m = os.path.getmtime(p)
+            if m > newest:
+                newest, newest_path = m, p
+        if newest > pa_mtime:
+            msg = (
+                "PLANAUDIT.json is STALE: "
+                f"{os.path.relpath(newest_path, repo_root)} is newer — "
+                "regenerate with `python tools/plan_audit.py`"
+            )
+            if only:
+                print(f"WARNING: {msg}")
+            else:
+                print(f"FAIL: {msg}")
+                return 1
+
     spark = get_spark(app_name="selfcheck", cores=16, shuffle_partitions=16)
     con = duck_connect(sf_dir)
 
