@@ -97,13 +97,14 @@ PERF_ADJUDICATED = {
     "source_overlap": "sketch build = corpus md5 + distinct exchange (duck's vectorized md5 ~3x faster); pairwise stage is one bounded task (see kmv_pairwise_jaccard docstring)",
     "bam_region_bai": "fixture harness: BAM write + spec BAI build + ranged decode (real file I/O both engines); .bai pruning pinned in tests/test_bai.py",
     "bam_region_csi": "fixture harness: BAM write + spec CSI build + ranged decode (real file I/O both engines); .csi pruning + >512Mb exactness pinned in tests/test_csi.py; x8 sweep FLAT (SCALING.md round-8 new queries)",
+    "bam_region_sharded": "fixture harness (r11): distributed sharded write + per-shard .bai build at plan build, then manifest-pruned multi-shard ranged decode; real file I/O both engines, untouched-shards-never-read pinned in tests/test_round11_ops.py",
     "audio_features": "fixture harness: WAV container write at plan build + mapInPandas chunk-walk decode of 236-byte blobs; gap = python-worker floor (same class as image_resize); x8 sweep sublinear",
     "bam_region": "fixture harness: driver-side BAM write + inline region index + decode (real file I/O both engines); the pruning win is pinned codec-level in tests/test_bam.py",
     "warc_gz_roundtrip": "real file I/O fixture harness (per-record gzip members)",
     "consensus_ins": "mapInArrow fixture round-trip + interleave join on a 6-row result; stage floor",
-    "seq_dist_dense": "alternate Arrow-partials physical plan (bincount kernel) + the qual-derivation HOF in the reads fixture; the kernel's scale throughput is the SCALING.md head-to-head, the fixture floor is not it",
+    "seq_dist_dense": "r11: algorithm='auto' picks the JVM explode plan below the measured 100M-cell crossover (every bench sf) and the Arrow bincount kernel above it; residual gap vs duck = the qual-derivation HOF in the reads fixture + stage floor",
     "json_events": "per-row JVM JSON tokenize vs DuckDB's vectorized json_extract; parse-once + widen shipped r7 (SCALING.md), remainder is 2-stage dispatch floor",
-    "session_overlap": "r7 sweep (SCALING.md 'session_overlap bin width'): join+agg knee at 15min bins (0.55s vs 0.97s at 1h, shipped); remaining gap is the sessionize window shuffle + 4-stage dispatch vs DuckDB's single fused window+IEJoin pipeline on 95k sessions — full query warm 1.15s vs duck 0.09s, structural floor, shrinks at scale (pairs grow with concurrency, dispatch does not)",
+    "session_overlap": "r11 rework: native session_window sessionize (one pass) + shuffle-hash binned overlap join with fused predicates; sf1 on-clock 5.72s -> 1.65s = 1.29x oracle. At sf0.1 the remaining gap is the 3-stage dispatch floor vs DuckDB's fused window+IEJoin on 95k sessions; shrinks at scale (measured: the sf1 ratio is BELOW the sf0.1 one)",
     "bpe_merges": "iterative trainer runs its 8 rounds eagerly at plan build (drain convention); the timed relation is the 8-row rule table while the oracle's timed SQL replays full training — ratio structurally favors the engine, read it as ~0",
     "bpe_tokens": "training epochs run eagerly (drain convention); timed part is the honest corpus-wide encode (codegen replace chain)",
     "warc_roundtrip": "real file I/O fixture harness (CRLF-framed archive write + stream parse)",
