@@ -212,7 +212,12 @@ def main() -> int:
     # driver's BENCH_r0N.json keeps only a truncated stdout tail, so
     # per-round regression tracking needs the full per-query map on
     # disk
-    out = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH.json")
+    # sf-suffixed name off the default sf so an sf1 run cannot
+    # clobber the sf0.1 artifact the ledger joins against (round-11
+    # fix: the sf1 bench silently overwrote BENCH.json and the ledger
+    # compared sf1 to itself, growth_x=1.0 everywhere)
+    name = "BENCH.json" if sf == 0.1 else f"BENCH_sf{sf:g}.json"
+    out = os.path.join(os.path.dirname(os.path.abspath(__file__)), name)
     with open(out, "w") as fh:
         json.dump(payload, fh, indent=1, sort_keys=True)
     spark.stop()

