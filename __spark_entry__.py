@@ -1822,16 +1822,28 @@ def q_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_pending_orders_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Relational core (Q4 shape): orders with at least one line item
-    shipped AFTER the order date, counted per priority - a LEFT SEMI
-    join (EXISTS): the probe streams, each order materializes at most
-    once however many line items match."""
+    shipped AFTER the order date, counted per priority.
+
+    Round 11 rewrite: EXISTS(shipdate > orderdate) is equivalent to
+    max(shipdate) > orderdate, so aggregate lineitem FIRST -
+    max(l_shipdate) per orderkey is partial-agg friendly (map-side
+    combine shrinks the shuffle below the distinct-key count) - then
+    one shuffle-hash equi-join against orders with the date predicate
+    riding in the join condition. vs the left-semi SMJ this removes
+    both sorts AND shrinks the join's build side from |lineitem| to
+    |distinct orderkeys| rows of (key, date); measured sf1 min-of-3:
+    semi-SMJ 4.59 s / semi-SHJ 2.13 s / preagg 1.56 s / preagg-SHJ
+    1.01 s, identical result. At 100 TB both shapes shuffle on
+    orderkey; the preagg strictly reduces bytes moved and the SHJ
+    build is bounded per partition (scales out with partitions)."""
     orders = _t(spark, sf_dir, "orders")
     li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    mx = li.groupBy("l_orderkey").agg(F.max("l_shipdate").alias("_mx"))
     late = orders.join(
-        li,
-        (orders.o_orderkey == li.l_orderkey)
-        & (li.l_shipdate > orders.o_orderdate),
-        "left_semi",
+        mx.hint("SHUFFLE_HASH"),
+        (orders.o_orderkey == mx.l_orderkey)
+        & (mx["_mx"] > orders.o_orderdate),
+        "inner",
     )
     return late.groupBy("o_orderpriority").agg(
         F.count(F.lit(1)).alias("n_orders")
@@ -4022,6 +4034,9 @@ _ROUND_CHANGED = [
     # below 100M cells, Arrow bincount kernel above; the bench no
     # longer pays the losing side at any measured sf)
     "seq_dist_dense",
+    # round 11: EXISTS -> max-shipdate preagg + shuffle-hash join
+    # (sf1 4.59 s -> 1.01 s, identical result)
+    "pending_orders_priority",
 ]
 
 _ORACLE_PRIORITY = _ROUND_CHANGED + [

@@ -362,7 +362,11 @@ def test_round3_relational_query_plan_shapes(spark):
     assert "IsNotNull(text)" in cur  # pushed gate residue on the scan
 
     q4 = _plan(raw["pending_orders_priority"](spark, sf))
-    assert "LeftSemi" in q4  # EXISTS decorrelates to a semi join
+    # round 11: EXISTS rewritten to max(shipdate)-per-order preagg +
+    # shuffle-hash equi-join (4.5x at sf1, docstring variant table);
+    # the date predicate must ride in the join, not a post-filter
+    assert "ShuffledHashJoin" in q4 and "LeftSemi" not in q4
+    assert q4.count("HashAggregate") >= 4  # partial+final: preagg + priority agg
 
     q17 = _plan(raw["small_quantity_revenue"](spark, sf))
     # correlated avg decorrelates to ONE extra agg + a join, never a
