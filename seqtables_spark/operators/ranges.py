@@ -169,7 +169,12 @@ def sessionize(
     test_sessionize_exact_gap_boundary_starts_new_session), so the
     window gap passed down is gap_us - 1: in the integer microsecond
     domain `t - prev <= gap_us - 1` is exactly `t - prev < gap_us`,
-    the reference's merge rule. Pinned equal to the lag/running-sum
+    the reference's merge rule. The inclusive-merge behavior is a
+    Spark internal (UpdatingSessionsExec), verified on Spark 4.1.2;
+    test_sessionize_exact_gap_boundary_starts_new_session is the
+    LOAD-BEARING pin — it must stay mandatory across Spark upgrades,
+    and a flip to strict-boundary merging there means this -1
+    compensation must be dropped. Pinned equal to the lag/running-sum
     derivation on the sf1 events corpus (954,650 sessions, identical
     sets) and by randomized property test including exact-boundary
     and duplicate timestamps."""

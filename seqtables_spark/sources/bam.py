@@ -168,7 +168,19 @@ def _parse_record(raw: bytes, o: int, refs: list[str]) -> tuple[tuple, int]:
 def decode_bam(data: bytes) -> tuple[list[str], Iterator[tuple]]:
     """Decode one BAM file's bytes -> (reference names, record iter).
     Records are (header, flag, rname, pos_1based, mapq, cigar, seq,
-    qual) matching BAM_SCHEMA."""
+    qual) matching BAM_SCHEMA.
+
+    Fails LOUDLY on truncation (round 12): a cut mid-member raises in
+    gzip.decompress (CRC/length check), and a cut at a member
+    boundary — invisible to inflation — is caught by the trailing
+    BGZF EOF magic (the same 28-byte sentinel samtools checks) plus a
+    per-record bound check, so a partial stream can never return a
+    silently shorter result."""
+    if not data.endswith(BGZF_EOF):
+        raise ValueError(
+            "truncated BAM: BGZF EOF marker absent (stream cut at a "
+            "member boundary, or not a finished BAM)"
+        )
     raw = gzip.decompress(data)  # multi-member aware
     refs, off = _parse_header(raw)
 
@@ -176,8 +188,19 @@ def decode_bam(data: bytes) -> tuple[list[str], Iterator[tuple]]:
         o = off
         n = len(raw)
         while o + 4 <= n:
+            (block_size,) = struct.unpack_from("<i", raw, o)
+            if block_size < 32 or o + 4 + block_size > n:
+                raise ValueError(
+                    "truncated BAM: record body incomplete at "
+                    f"uncompressed offset {o}"
+                )
             row, o = _parse_record(raw, o, refs)
             yield row
+        if o != n:
+            raise ValueError(
+                "truncated BAM: trailing partial record length at "
+                f"uncompressed offset {o}"
+            )
 
     return refs, records()
 
@@ -917,17 +940,25 @@ def write_bam(
                     buf += _encode_bam_record(*t, ref_index=ref_index)
                     n += 1
                     if shard_index is not None:
-                        rid = ref_index[t[2]]
-                        pos0 = int(t[3]) - 1
-                        rlen = sum(
-                            int(d) for d, _ in ref_consuming(t[5] or "")
-                        )
-                        beg = (rid, pos0)
-                        end_ = (rid, pos0 + max(rlen, 1))
-                        if lo is None or beg < lo:
-                            lo = beg
-                        if hi is None or end_ > hi:
-                            hi = end_
+                        # unmapped/unknown-ref records ('*' rname) get
+                        # the -1 sentinel, same as _encode_bam_record;
+                        # they carry no coordinate so they can't extend
+                        # the shard extent (manifest pruning for a
+                        # shard holding ONLY such records is disabled
+                        # by the lo=None -> first_ref=-1 path below)
+                        rid = ref_index.get(t[2], -1)
+                        if rid >= 0:
+                            pos0 = int(t[3]) - 1
+                            rlen = sum(
+                                int(d)
+                                for d, _ in ref_consuming(t[5] or "")
+                            )
+                            beg = (rid, pos0)
+                            end_ = (rid, pos0 + max(rlen, 1))
+                            if lo is None or beg < lo:
+                                lo = beg
+                            if hi is None or end_ > hi:
+                                hi = end_
                     while len(buf) >= 60000:
                         blk = _bgzf_block(bytes(buf[:60000]))
                         out.write(blk)
@@ -1109,10 +1140,27 @@ def _sharded_region_plan(
         idx_kind = index
         idx_path = None
         if "index" in e:
-            cand = os.path.join(base_dir, e["index"])
-            if os.path.exists(cand):
-                idx_path = cand
-                idx_kind = idx_kind or e["index"].rsplit(".", 1)[-1]
+            man_kind = e["index"].rsplit(".", 1)[-1]
+            if index is not None and man_kind != index:
+                # the caller asked for a specific index kind but the
+                # manifest points at the other: prefer a sibling file
+                # of the requested kind; never parse CSI bytes with
+                # the BAI parser (or vice versa)
+                cand = shard + "." + index
+                if os.path.exists(cand):
+                    idx_path = cand
+                else:
+                    raise FileNotFoundError(
+                        f"index={index!r} requested but shard "
+                        f"{shard!r} only has a {man_kind!r} index "
+                        f"({e['index']!r}); pass index={man_kind!r} "
+                        "or index=None to use it"
+                    )
+            else:
+                cand = os.path.join(base_dir, e["index"])
+                if os.path.exists(cand):
+                    idx_path = cand
+                    idx_kind = man_kind
         if idx_path is None:
             for kind in ([index] if index else ["bai", "csi"]):
                 cand = shard + "." + kind
