@@ -128,11 +128,9 @@ def main() -> int:
         steal = v[7] if len(v) > 7 else 0
         return total, steal
 
-    timings: dict[str, float] = {}
-    duck_timings: dict[str, float] = {}
-    steal_pcts: dict[str, float] = {}
-    run_t0, run_s0 = _cpu_counters()
-    for name, fn in qfns.items():
+    def _measure_spark(fn) -> tuple[float, int, float]:
+        """min-of-reps execute-to-driver + the steal share sampled
+        around exactly these reps -> (best_s, rows, steal_pct)."""
         best, n = None, 0
         q_t0, q_s0 = _cpu_counters()
         for _ in range(reps):
@@ -143,25 +141,90 @@ def main() -> int:
             dt = time.perf_counter() - t0
             best = dt if best is None else min(best, dt)
         q_t1, q_s1 = _cpu_counters()
-        if q_t1 > q_t0:
-            steal_pcts[name] = round(100.0 * (q_s1 - q_s0) / (q_t1 - q_t0), 2)
+        stl = (
+            round(100.0 * (q_s1 - q_s0) / (q_t1 - q_t0), 2)
+            if q_t1 > q_t0
+            else 0.0
+        )
+        return best, n, stl
+
+    def _measure_duck(name) -> float | None:
+        if con is None or name not in oracles:
+            return None
+        try:
+            if reps > 1:
+                con.execute(oracles[name]).fetchall()  # warm (I/O cache, plan)
+            d_best = None
+            for _ in range(reps):
+                t0 = time.perf_counter()
+                con.execute(oracles[name]).fetchall()
+                dt = time.perf_counter() - t0
+                d_best = dt if d_best is None else min(d_best, dt)
+            return d_best
+        except Exception as e:
+            print(f"# duck {name} failed: {e}", file=sys.stderr)
+            return None
+
+    timings: dict[str, float] = {}
+    duck_timings: dict[str, float] = {}
+    steal_pcts: dict[str, float] = {}
+    run_t0, run_s0 = _cpu_counters()
+    for name, fn in qfns.items():
+        best, n, stl = _measure_spark(fn)
+        steal_pcts[name] = stl
         timings[name] = round(best, 3)
-        d_best = None
-        if con is not None and name in oracles:
-            try:
-                if reps > 1:
-                    con.execute(oracles[name]).fetchall()  # warm (I/O cache, plan)
-                for _ in range(reps):
-                    t0 = time.perf_counter()
-                    con.execute(oracles[name]).fetchall()
-                    dt = time.perf_counter() - t0
-                    d_best = dt if d_best is None else min(d_best, dt)
-                duck_timings[name] = round(d_best, 3)
-            except Exception as e:
-                print(f"# duck {name} failed: {e}", file=sys.stderr)
+        d_best = _measure_duck(name)
+        if d_best is not None:
+            duck_timings[name] = round(d_best, 3)
         print(
             f"# {name}: {best:.3f}s ({n} rows)"
             + (f" | duck {d_best:.3f}s" if d_best is not None else ""),
+            file=sys.stderr,
+        )
+
+    # Anti-flap steal retry (round 12, verdict item #1 — the
+    # PERFCHECK retry ported to the artifact that prices every other
+    # number): a query whose sampled steal share spikes well above
+    # the run average was taxed by the hypervisor, not by its plan
+    # (observed: session_overlap at 16.5% steal read 4.5x the oracle
+    # while the quiet-host protocol run measured 1.29x). Re-measure
+    # the WHOLE per-query block — Spark reps AND the interleaved
+    # oracle, so the pair stays same-load-window honest — and keep
+    # the quietest-steal measurement. Both samples + the steal
+    # receipt land in the artifact (`steal_retries`), so a reader
+    # can audit every adopted number.
+    avg_steal = (
+        sum(steal_pcts.values()) / len(steal_pcts) if steal_pcts else 0.0
+    )
+    steal_bar = max(3.0 * avg_steal, 5.0)
+    steal_retries: dict[str, dict] = {}
+    for name in [q for q, s in steal_pcts.items() if s > steal_bar]:
+        rec = {
+            "first_s": timings[name],
+            "first_steal_pct": steal_pcts[name],
+            "attempts": [],
+        }
+        for _ in range(2):  # at most two quiet-window attempts
+            r_best, _, r_stl = _measure_spark(qfns[name])
+            r_duck = _measure_duck(name)
+            rec["attempts"].append(
+                {"spark_s": round(r_best, 3), "steal_pct": r_stl,
+                 "duck_s": round(r_duck, 3) if r_duck is not None else None}
+            )
+            if r_stl < steal_pcts[name]:
+                timings[name] = round(r_best, 3)
+                steal_pcts[name] = r_stl
+                if r_duck is not None:
+                    duck_timings[name] = round(r_duck, 3)
+            if r_stl <= steal_bar:
+                break
+        rec["kept_s"] = timings[name]
+        rec["kept_steal_pct"] = steal_pcts[name]
+        steal_retries[name] = rec
+        print(
+            f"# steal-retry {name}: {rec['first_s']:.3f}s @"
+            f"{rec['first_steal_pct']}% -> {rec['kept_s']:.3f}s @"
+            f"{rec['kept_steal_pct']}% (bar {steal_bar:.2f}%)",
             file=sys.stderr,
         )
 
@@ -197,6 +260,9 @@ def main() -> int:
             100.0 * (run_s1 - run_s0) / (run_t1 - run_t0), 2
         )
         payload["query_steal_pct"] = steal_pcts
+    if steal_retries:
+        payload["steal_retry_bar_pct"] = round(steal_bar, 2)
+        payload["steal_retries"] = steal_retries
     if duck_timings:
         duck_total = round(sum(duck_timings.values()), 3)
         # ratio over the PAIRED set only, so NO_ORACLE queries don't
