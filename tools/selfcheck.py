@@ -102,7 +102,7 @@ PERF_ADJUDICATED = {
     "bam_region": "fixture harness: driver-side BAM write + inline region index + decode (real file I/O both engines); the pruning win is pinned codec-level in tests/test_bam.py",
     "warc_gz_roundtrip": "real file I/O fixture harness (per-record gzip members)",
     "consensus_ins": "mapInArrow fixture round-trip + interleave join on a 6-row result; stage floor",
-    "seq_dist_dense": "r11: algorithm='auto' picks the JVM explode plan below the measured 100M-cell crossover (every bench sf) and the Arrow bincount kernel above it; residual gap vs duck = the qual-derivation HOF in the reads fixture + stage floor",
+    "seq_dist_dense": "r12: auto crossover picker (r11) + position-explode rewrite (explode(sequence)+substr instead of posexplode(split) - no per-read char-array allocation) + seq-only reads (qual HOF dropped, 32-way _wide replaced by the measured widen(8)); sf1 bench-protocol 1.03 s -> 0.37 s = 1.6x oracle, under the bar",
     "json_events": "per-row JVM JSON tokenize vs DuckDB's vectorized json_extract; parse-once + widen shipped r7 (SCALING.md), remainder is 2-stage dispatch floor",
     "session_overlap": "r11 rework: native session_window sessionize (one pass) + shuffle-hash binned overlap join with fused predicates; sf1 on-clock 5.72s -> 1.65s = 1.29x oracle. At sf0.1 the remaining gap is the 3-stage dispatch floor vs DuckDB's fused window+IEJoin on 95k sessions; shrinks at scale (measured: the sf1 ratio is BELOW the sf0.1 one)",
     "bpe_merges": "iterative trainer runs its 8 rounds eagerly at plan build (drain convention); the timed relation is the 8-row rule table while the oracle's timed SQL replays full training — ratio structurally favors the engine, read it as ~0",

@@ -129,10 +129,18 @@ SF1_RATIO_ADJUDICATED = {
     # JVM regex throughput vs DuckDB's vectorized scanner on <=1 s
     # absolute walls, plus the dispatch floor; all grow sublinearly
     # or with corpus bytes per the growth column)
-    "library_alignment": "per-row regex vs the degenerate-library"
-    " pattern - compute-bound row-local projection, linear in corpus"
-    " bytes (r10 judge-read); no exchange to remove (one scan + one"
-    " projection); gap = JVM regex vs duck's vectorized regex engine",
+    "library_alignment": "r12 measured adjudication (verdict item"
+    " #2): the plan is already optimal - the Arrow batch matcher the"
+    " verdict proposed was BUILT and A/B'd at sf1 (numpy uint8"
+    " degenerate-match kernel, bit-identical 1.2M rows) and TIED the"
+    " JVM regex plan (5.28 s vs 5.07 s same-host); decomposition"
+    " shows compute is ~0.6 s (count/noop-agg vs collect delta)"
+    " = 8x FASTER than the oracle's 4.5 s, and a bare literal frame"
+    " of the same 1.2M-row 10-col shape takes 4.6 s to collect -"
+    " the entire ratio is the protocol-counted pyspark Row-object"
+    " materialization of the 1.2M-row output (duck builds C tuples),"
+    " not plan cost; toPandas (Arrow) moves the same rows in 0.42 s."
+    " Same class as image_resize's exploded-pixel collect",
     "pii_scan": "row-local regex scan projection, zero exchange;"
     " 0.6 s absolute = regex throughput + dispatch floor",
     "redact_pii": "row-local regex replace projection, zero"
