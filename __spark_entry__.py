@@ -1575,7 +1575,19 @@ def q_salted_brand_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     fact row's primary key (retry-safe, spreads even duplicate hot
     keys). Either plan's result is identical to the plain equi-join,
     which is what the oracle checks; the salted plan itself is pinned
-    in tests/test_round2_ops.py."""
+    in tests/test_round2_ops.py.
+
+    Round 12 (verdict #5): the salt-explode is now ALSO gated by the
+    sampled hot-key detector (skew_sample=100_000 limit-sample, one
+    bounded plan-time job at any input scale). At sf1, part (200k
+    rows) exceeds the broadcast guard, but lineitem's l_partkey is
+    uniform — the old plan paid the measured 33x salting premium as
+    unconditional insurance; the detector sees no key above 4x the
+    uniform per-reducer share and plans the PLAIN equi-join instead
+    (the no-skew floor). A genuinely hot key still salts — pinned
+    both ways in tests/test_round12_ops.py; the unconditional form
+    (skew_sample=None) remains the demonstration twin pinned in
+    tests/test_round2_ops.py."""
     from seqtables_spark.operators.skew import salted_join
 
     li = _t(spark, sf_dir, "lineitem").select(
@@ -1589,6 +1601,8 @@ def q_salted_brand_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         # opt-in eager guard (round 7: the default is now None = lazy):
         # part is a cheap scan, counting it twice is free at any SF
         max_broadcast_rows=100_000,
+        # opt-in sampled hot-key gate (round 12): bounded limit-sample
+        skew_sample=100_000,
     )
     return joined.groupBy("p_brand").agg(
         F.sum(

@@ -189,3 +189,77 @@ def test_sharded_region_fetch_truncated_shard_is_loud(spark, tmp_path):
             _truncate(os.path.join(path, name), 200)
     with pytest.raises(Exception, match="(?i)bgzf|gzip|truncat|crc|invalid|member|incomplete"):
         read_bam_region_sharded(spark, path, "ref1", 0, 10**6).collect()
+
+
+# -------------------------------------- adaptive salting (verdict #5)
+
+class TestAdaptiveSalting:
+    def _mk(self, spark, skewed):
+        from pyspark.sql import functions as F
+        n = 20000
+        big = spark.range(n).select(
+            (F.when(F.col("id") % 2 == 0, 7).otherwise(F.col("id") % 500)
+             if skewed else F.col("id") % 500).alias("k"),
+            F.col("id").alias("rid"),
+        )
+        dim = spark.range(500).select(
+            F.col("id").alias("k"), F.concat(F.lit("v"), F.col("id")).alias("v")
+        )
+        return big, dim
+
+    def test_uniform_keys_skip_the_salt(self, spark):
+        """No hot key -> the gated plan is a PLAIN equi-join: no
+        explode of the dim side, shuffle/join key stays just `k`."""
+        from seqtables_spark.operators.skew import salted_join
+
+        big, dim = self._mk(spark, skewed=False)
+        out = salted_join(
+            big, dim, ["k"], n_salts=8, salt_cols=["rid"],
+            skew_sample=5000,
+        )
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "__salted_join_salt__" not in plan
+        assert "Generate explode" not in plan
+        # result parity with the plain join
+        exp = big.join(dim, ["k"]).count()
+        assert out.count() == exp
+
+    def test_hot_key_still_salts(self, spark):
+        from seqtables_spark.operators.skew import salted_join
+
+        big, dim = self._mk(spark, skewed=True)
+        out = salted_join(
+            big, dim, ["k"], n_salts=8, salt_cols=["rid"],
+            skew_sample=5000,
+        )
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "__salted_join_salt__" in plan
+        exp = sorted((r["k"], r["rid"], r["v"]) for r in big.join(dim, ["k"]).collect())
+        got = sorted((r["k"], r["rid"], r["v"]) for r in out.collect())
+        assert got == exp
+
+    def test_fraction_mode_detects_uniform(self, spark):
+        from seqtables_spark.operators.skew import _keys_are_skewed
+
+        big, _ = self._mk(spark, skewed=False)
+        assert _keys_are_skewed(big, ["k"], 0.25, 4.0) is False
+        big2, _ = self._mk(spark, skewed=True)
+        assert _keys_are_skewed(big2, ["k"], 0.25, 4.0) is True
+
+    def test_default_stays_lazy_and_salted(self, spark):
+        """skew_sample=None (default) = the unconditional
+        demonstration form: always salts, runs no plan-time job."""
+        from seqtables_spark.operators.skew import salted_join
+
+        big, dim = self._mk(spark, skewed=False)
+        out = salted_join(big, dim, ["k"], n_salts=4, salt_cols=["rid"])
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "__salted_join_salt__" in plan
+
+    def test_bad_fraction_raises(self, spark):
+        from seqtables_spark.operators.skew import _keys_are_skewed
+        import pytest as _pt
+
+        big, _ = self._mk(spark, skewed=False)
+        with _pt.raises(ValueError, match="skew_sample"):
+            _keys_are_skewed(big, ["k"], 1.5, 4.0)

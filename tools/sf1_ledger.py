@@ -95,10 +95,16 @@ SF1_RATIO_ADJUDICATED = {
     "running_revenue": "2-phase distributed cumsum pays two exchanges"
     " + P-row broadcast BY DESIGN (bounded state, no single-task"
     " window); same trade as token_budget/training_order",
-    "salted_brand_revenue": "the SALTING DEMONSTRATION: deliberately"
-    " pays salt-explode + two-level agg for hot-key immunity; the"
-    " unsalted twin brand_revenue sits at the floor - the delta IS"
-    " the documented insurance premium (SCALING.md skew section)",
+    "salted_brand_revenue": "r12 (verdict #5): the salt-explode is"
+    " now gated by the sampled hot-key detector (skew.py"
+    " _keys_are_skewed, one bounded limit-sample job at plan time) -"
+    " lineitem's uniform l_partkey shows no key above 4x the uniform"
+    " reducer share, so the plain equi-join plans (sf1 4.1 s -> 1.34"
+    " s); a genuinely hot key still salts, pinned both ways in"
+    " tests/test_round12_ops.py. Residual vs the 0.12 s oracle ="
+    " the 6M-row scan+join+agg stage floor (rollup_revenue class);"
+    " the unconditional demonstration form remains the skew_sample"
+    "=None default, pinned in tests/test_round2_ops.py",
     # doc-cells fixture family
     "softclip": _DOC_CELLS_FLOOR,
     "sam_flags": _DOC_CELLS_FLOOR,
