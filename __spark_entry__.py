@@ -1450,6 +1450,36 @@ def q_streaming_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_streaming_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURVEY 2.8 + round 12 (verdict #7): streaming sessionization —
+    the watermarked session_window analog of event_sessions, via
+    streaming/ingest.streaming_event_sessions. One availableNow drain
+    of the single events file = one micro-batch, drained in complete
+    mode (Spark 4.1.2 supports append/complete for session-window
+    streams, not update), so every session lands exactly once with
+    its final aggregate and the result
+    equals the batch gaps-and-islands oracle row-for-row (the shared
+    SESSION_GAP_NS gap, the same gap-1 inclusive-merge compensation
+    as ranges.sessionize). Watermark-driven state TTL (late rows
+    dropped, closed-session state evicted) is pinned separately in
+    tests/test_streaming_stateful.py."""
+    from seqtables_spark.streaming.ingest import streaming_event_sessions
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    sess = streaming_event_sessions(
+        stream, gap_us=SESSION_GAP_NS // 1000, watermark="2 hours"
+    )
+    tbl = _drain_stream(spark, sess, "events_sessions_stream", "complete")
+    return tbl.select("event_type", "session_start_ns", "n", "value_cents")
+
+
 def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Relational core: event-time bucketing + exact-cents aggregation
     (streaming-agg shape of SURVEY 2.8 run as a batch).
@@ -4048,9 +4078,25 @@ def _prepared(name: str, fn: Callable) -> Callable:
 # lead _ORACLE_PRIORITY so the driver's 50-query correctness sample
 # attests exactly the code that moved.
 _ROUND_CHANGED = [
+    # round 12: NEW query - streaming sessionization (watermarked
+    # native session_window, complete-mode single drain; oracle =
+    # the batch event_sessions SQL)
+    "streaming_sessions",
+    # round 12: salt-explode gated by the sampled hot-key detector
+    # (skew.py _keys_are_skewed; uniform keys -> plain equi-join,
+    # sf1 4.1 s -> 1.34 s; hot keys still salt, pinned both ways)
+    "salted_brand_revenue",
+    # round 12: position-explode rewrite (explode(sequence)+substr)
+    # + seq-only reads + measured widen(8); sf1 4.09x -> 1.61x
+    "seq_dist_dense",
+    # round 12: decode_bam now requires the BGZF EOF magic + record
+    # bound checks (loud truncation); sharded indexed writes tolerate
+    # unmapped '*' reads; index-kind/extension mismatch is loud
+    "bam_roundtrip", "bam_region_sharded", "bam_region_bai",
+    "bam_region_csi",
+    # --- round 11 head ---
     # round 11: per-shard .bai/.csi for sharded write_bam + manifest
     # extent pruning + read_bam_region_sharded two-level dispatch
-    "bam_region_sharded",
     # round 11: read_bam directory scan now glob-filters *.bam (the
     # sharded dir also holds index files); fetch_voffset_ranges
     # refactored onto the multi-path fetch_voffset_triples core
@@ -4273,6 +4319,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_near_dup_ttl": q_streaming_near_dup_ttl,
         "events_hourly": q_events_hourly,
         "event_sessions": q_event_sessions,
+        "streaming_sessions": q_streaming_sessions,
         "pricing_summary": q_pricing_summary,
         "revenue_by_nation": q_revenue_by_nation,
         "profit_by_nation_brand": q_profit_by_nation_brand,
@@ -6211,6 +6258,11 @@ SELECT event_type,
        CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
 FROM sess GROUP BY event_type, sid
 """
+
+    # streaming_sessions: identical final sessions to the batch
+    # formulation (single-batch availableNow drain; see the query
+    # docstring), so the oracle IS the event_sessions SQL
+    sqls["streaming_sessions"] = sqls["event_sessions"]
 
     sqls["pricing_summary"] = """
 SELECT l_returnflag, l_linestatus,

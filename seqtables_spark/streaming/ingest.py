@@ -126,6 +126,69 @@ def windowed_event_counts(
     )
 
 
+def streaming_event_sessions(
+    events_stream: DataFrame,
+    ts_col: str = "ts",
+    gap_us: int = 30 * 60 * 1_000_000,
+    key_cols: Sequence[str] = ("event_type",),
+    watermark: str = "2 hours",
+    nanos: bool | None = None,
+) -> DataFrame:
+    """Streaming sessionization — the watermarked session_window form
+    of operators/ranges.sessionize (round 12, verdict #7): rows per
+    key whose event-time gap is < gap_us merge into one session,
+    maintained as native SessionWindowStateStore state across
+    micro-batches; the watermark both drops rows arriving later than
+    `watermark` behind max event time AND evicts closed-session state
+    (sessions whose window end precedes the watermark can never merge
+    again — that eviction IS the state TTL, pinned in
+    tests/test_streaming_stateful.py).
+
+    Boundary parity with the batch formulation: a new session starts
+    iff t - prev >= gap_us, so the window gap passed down is
+    gap_us - 1 (session_window merges INCLUSIVELY at the boundary;
+    same compensation, same Spark-4.1.2-verified pin as
+    ranges.sessionize — see its docstring). The events fixture's
+    int64 nanosecond timestamps are all µs-aligned (checked across
+    every sf), so the µs-domain window reproduces the ns-domain
+    oracle exactly.
+
+    Emission contract (Spark 4.1.2 allows append or complete for
+    session-window streams, NOT update): in APPEND mode a session is
+    emitted exactly once, when the advancing watermark passes its
+    window end + gap and its state is evicted — the production
+    continuous form; sessions still open at end-of-stream stay
+    unemitted. In COMPLETE mode every batch re-emits all sessions;
+    with a single availableNow batch that is exactly the final
+    session set (the oracle-checked harness form). State is NOT
+    evicted in complete mode, so long-running deployments must use
+    append + watermark."""
+    if gap_us < 2:
+        raise ValueError(f"streaming_event_sessions needs gap_us >= 2, got {gap_us}")
+    if nanos is None:
+        dtype = dict(events_stream.dtypes).get(ts_col, "")
+        nanos = dtype in ("bigint", "int", "long")
+    ts_ns = (
+        F.col(ts_col).cast("long")
+        if nanos
+        else F.unix_micros(F.col(ts_col).cast("timestamp")) * 1000
+    )
+    with_ts = events_stream.withColumn("_ts_ns", ts_ns).withColumn(
+        "_event_time",
+        F.timestamp_micros(F.floor(F.col("_ts_ns") / 1000).cast("long")),
+    ).withWatermark("_event_time", watermark)
+    return with_ts.groupBy(
+        *[F.col(c) for c in key_cols],
+        F.session_window(
+            F.col("_event_time"), f"INTERVAL {int(gap_us) - 1} MICROSECOND"
+        ),
+    ).agg(
+        F.min("_ts_ns").alias("session_start_ns"),
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.round(F.col("value") * 100).cast("long")).alias("value_cents"),
+    )
+
+
 def streaming_dedup(
     stream: DataFrame,
     keys: Sequence[str],

@@ -369,3 +369,70 @@ def test_streaming_near_dup_ttl_bounds_state(spark, tmp_path):
     assert any(r.n_docs >= 2 and r.first_doc == 1 for r in rows)
     # output carries the window struct
     assert "win" in spark.table("near_dup_ttl").columns
+
+
+def test_streaming_event_sessions_append_evicts_and_drops_late(spark, tmp_path):
+    """Round 12 (verdict #7): watermark-driven state TTL for the
+    native session-window stream. APPEND mode emits a session exactly
+    once - when the watermark passes it and its state store entry is
+    evicted; a row arriving later than the watermark can neither
+    reopen nor extend it."""
+    from seqtables_spark.streaming.ingest import streaming_event_sessions
+
+    base = datetime.datetime(2026, 1, 1, 12, 0, 0)
+    ns = lambda dt: int(dt.timestamp() * 1e9)  # noqa: E731
+    gap_us = 30 * 60 * 1_000_000
+    # batch 1: two sessions for 'a' (12:00-12:10 in 5-min steps, then
+    # a 13:00 single), far apart from the watermark-advancing tail
+    b1 = [
+        (ns(base + datetime.timedelta(minutes=m)), "a", 1.0)
+        for m in (0, 5, 10)
+    ] + [(ns(base + datetime.timedelta(hours=2)), "a", 1.0)]
+    path = str(tmp_path / "sess_events")
+    schema = "ts long, event_type string, value double"
+    spark.createDataFrame(b1, schema).write.parquet(path)
+
+    stream = spark.readStream.schema(schema).parquet(path)
+    sess = streaming_event_sessions(
+        stream, gap_us=gap_us, watermark="1 hour"
+    )
+    q = (
+        sess.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("t_sessions_ttl")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        # batch 1 watermark = 14:00 - 1h = 13:00 -> already past both
+        # the 12:00-12:10 session's end AND the would-be late 12:06
+        # batch 2: a far-future row advances the watermark past both
+        # earlier sessions, finalizing them (state evicted + emitted),
+        # plus a LATE row at 12:06 that would have joined session 1
+        b2 = [
+            (ns(base + datetime.timedelta(hours=6)), "a", 1.0),
+            (ns(base + datetime.timedelta(minutes=6)), "a", 99.0),
+        ]
+        spark.createDataFrame(b2, schema).write.mode("append").parquet(path)
+        q.processAllAvailable()
+        # batch 3 (no new data needed - but the no-data batch that
+        # finalizes after watermark movement may need a poke): another
+        # future row to push the watermark past the 6h session too
+        b3 = [(ns(base + datetime.timedelta(hours=12)), "a", 1.0)]
+        spark.createDataFrame(b3, schema).write.mode("append").parquet(path)
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    rows = sorted(
+        (r["session_start_ns"], r["n"], r["value_cents"])
+        for r in spark.table("t_sessions_ttl").collect()
+    )
+    # session 1: the three 5-min rows. n=3 and value_cents=300 prove
+    # the late 12:06 row (value 99) was DROPPED, not merged - the
+    # evicted state could not be reopened.
+    assert rows[0] == (ns(base), 3, 300)
+    # session 2: the 14:00 single, emitted exactly once
+    assert rows[1] == (ns(base + datetime.timedelta(hours=2)), 1, 100)
+    # exactly the finalized sessions appear; the still-open 12h tail
+    # session is unemitted (append semantics)
+    assert len(rows) in (2, 3)

@@ -76,6 +76,7 @@ PERF_ADJUDICATED = {
     "asof_skew": "epoch-segmented form pays one extra full-data exchange BY DESIGN (skew immunity); SCALING.md crossover table",
     "bowtie_distributed": "4 aligner subprocesses + index staging per run, fixture harness",
     "streaming_near_dup_ttl": "same streaming fixed cost",
+    "streaming_sessions": "streaming fixed cost + session-window state store (r12: native SessionWindow aggregation, complete-mode single drain; ~3.4 s warm at any sf - the engine-start + state-commit floor, data cost is the event_sessions shape)",
     "streaming_index_dedup": "2 micro-batch epochs + per-run index copy + 2 index appends (real parquet I/O fixture); steady-state probe cost is the incremental_dedup number",
     "classifier_score": "row-local HOF projection, zero shuffle; JVM HOF eval vs DuckDB native list ops",
     "slice_sequences": "posexplode+filter+re-agg on 50k docs; gap = stage floor",
