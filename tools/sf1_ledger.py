@@ -78,6 +78,18 @@ _DOC_CELLS_FLOOR = (
     " grows sublinearly (growth column)"
 )
 SF1_RATIO_ADJUDICATED = {
+    "pairwise_hamming": "bar-edge (2.01x this run, 1.34x r11): exact"
+    " quadratic kernel whose OUTPUT is 3.1M pair rows; the engine"
+    " side pays the protocol-counted pyspark Row materialization of"
+    " those rows (the r12 Row-collect table in SCALING.md: same"
+    " frame moves in 4.0 s via Arrow vs ~10 s as Rows) while duck"
+    " builds C tuples; oracle grows identically (growth note)",
+    "image_thumbs_packed": "bar-edge (2.03x at 1.29 s absolute):"
+    " mapInPandas blob-decode fixture (stub codec) - python-worker"
+    " round-trip + one-row-per-image packed output; same floor class"
+    " as video_frames/image_resize; the PACKED shape is already the"
+    " scale form (it exists to avoid image_resize's exploded-pixel"
+    " collect)",
     # relational core - stage floor class
     "revenue_by_nation": _STAGE_FLOOR,
     "rollup_revenue": _STAGE_FLOOR + "; single ROLLUP pass, no union of aggregates",
