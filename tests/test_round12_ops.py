@@ -194,6 +194,18 @@ def test_sharded_region_fetch_truncated_shard_is_loud(spark, tmp_path):
 # -------------------------------------- adaptive salting (verdict #5)
 
 class TestAdaptiveSalting:
+    @pytest.fixture(autouse=True)
+    def _pin_shuffle_partitions(self, spark):
+        """The detector's hot bar is skew_factor x (sample /
+        shuffle.partitions) - CORRECTLY conf-dependent (a 50% key is
+        not 4x a uniform reducer when there are only 4 reducers), so
+        these tests pin the denominator their fixtures were sized
+        for instead of inheriting whatever a prior test left."""
+        prev = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", "32")
+        yield
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+
     def _mk(self, spark, skewed):
         from pyspark.sql import functions as F
         n = 20000
