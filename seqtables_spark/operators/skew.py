@@ -51,6 +51,12 @@ def _keys_are_skewed(
     out-weigh four uniform reducers' worth of the sample before the
     salting premium is paid."""
     on = list(on)
+    if big.isStreaming:
+        raise ValueError(
+            "skew_sample runs a plan-time sampling job and cannot be "
+            "used with a streaming big side; leave it None (the "
+            "always-salt form is streaming-safe)"
+        )
     if isinstance(skew_sample, float):
         if not (0.0 < skew_sample <= 1.0):
             raise ValueError(

@@ -275,3 +275,39 @@ class TestAdaptiveSalting:
         big, _ = self._mk(spark, skewed=False)
         with _pt.raises(ValueError, match="skew_sample"):
             _keys_are_skewed(big, ["k"], 1.5, 4.0)
+
+    def test_composite_key_and_nulls(self, spark):
+        """Detector handles multi-column keys and null key values
+        (a null-heavy sentinel key is the classic 100 TB hot key)."""
+        from pyspark.sql import functions as F
+        from seqtables_spark.operators.skew import _keys_are_skewed
+
+        n = 10000
+        big = spark.range(n).select(
+            F.when(F.col("id") % 2 == 0, None).otherwise(
+                F.col("id") % 100
+            ).alias("k1"),
+            (F.col("id") % 7).alias("k2"),
+            F.col("id").alias("rid"),
+        )
+        # the (null, *) groups hold ~714 rows each of a 5000-row
+        # sample half; with 32 reducers the uniform share is ~312
+        assert _keys_are_skewed(big, ["k1", "k2"], 1.0, 2.0) is True
+        uniform = spark.range(n).select(
+            (F.col("id") % 100).alias("k1"),
+            (F.col("id") % 7).alias("k2"),
+        )
+        assert _keys_are_skewed(uniform, ["k1", "k2"], 1.0, 4.0) is False
+
+    def test_streaming_big_side_raises(self, spark, tmp_path):
+        from pyspark.sql import functions as F
+        from seqtables_spark.operators.skew import salted_join
+
+        path = str(tmp_path / "stream_src")
+        spark.range(10).select(
+            (F.col("id") % 3).alias("k"), F.col("id").alias("rid")
+        ).write.parquet(path)
+        stream = spark.readStream.schema("k long, rid long").parquet(path)
+        dim = spark.range(3).select(F.col("id").alias("k"))
+        with pytest.raises(ValueError, match="streaming"):
+            salted_join(stream, dim, ["k"], skew_sample=100)
