@@ -78,6 +78,14 @@ _DOC_CELLS_FLOOR = (
     " grows sublinearly (growth column)"
 )
 SF1_RATIO_ADJUDICATED = {
+    "view_with_ins": "first consumer of the shared _aligned fixture"
+    " cache in bench order, so it alone pays the one-time mapInArrow"
+    " aligner materialization ON-clock (honesty rule: data-dependent"
+    " work stays on-clock) - r12 receipts: artifact 8.2 s at 0.19%"
+    " steal vs 2.4 s warm-cache quiet measure (0.82x the oracle);"
+    " the other five family rows run 0.2-1.1 s because they reuse"
+    " the persisted alignment. The 6 s delta is the aligner kernel"
+    " once per session x sf, amortized across 6 queries",
     "pairwise_hamming": "bar-edge (2.01x this run, 1.34x r11): exact"
     " quadratic kernel whose OUTPUT is 3.1M pair rows; the engine"
     " side pays the protocol-counted pyspark Row materialization of"
