@@ -250,7 +250,7 @@ def main() -> int:
         # off-clock); totals are directly comparable to the DuckDB
         # oracle's warm re-execution. See SCALING.md "Measurement
         # protocol".
-        "protocol": "fresh-plan warm min-of-2, driver plan build off-clock, duck oracle interleaved per query",
+        "protocol": "fresh-plan warm min-of-N, driver plan build off-clock, duck oracle interleaved per query, steal-spiked queries re-measured (min adopted; receipts in steal_retries)",
         # fixed per-job scheduler cost (see comment above): a query at
         # ~floor_shuffle_s is Spark's dispatch floor, not a compute
         # gap vs the in-process oracle
