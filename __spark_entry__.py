@@ -1118,6 +1118,27 @@ def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ann_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Similarity under int8 storage (round 12): symmetric per-vector
+    quantization (pipeline/similarity.quantize_embeddings - the 4x
+    scan/memory lever for petabyte embedding stores), then the same
+    fixed-fold cosine top-10 as q_cosine_topk over the DEQUANTIZED
+    codes. Engine-portable exactly (the scale division and round()
+    agree bit-for-bit with DuckDB, like the cents trick), so this is
+    a value-hash row, not an approximate one; recall vs the exact
+    top-k is pinned separately in tests/test_round12_ops.py."""
+    from seqtables_spark.pipeline.similarity import (
+        quantize_embeddings,
+        quantized_cosine_topk,
+    )
+
+    base, qvec = _emb_and_query(spark, sf_dir)
+    qdf = quantize_embeddings(base)
+    return quantized_cosine_topk(qdf, qvec, k=10).select(
+        "vec_id", F.round("sim", 6).alias("sim")
+    )
+
+
 def q_seq_bits(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A7 get_bits: information-content letter heights (sequence logo)
     with the small-sample correction."""
@@ -4078,6 +4099,9 @@ def _prepared(name: str, fn: Callable) -> Callable:
 # lead _ORACLE_PRIORITY so the driver's 50-query correctness sample
 # attests exactly the code that moved.
 _ROUND_CHANGED = [
+    # round 12: NEW query - int8 embedding quantization + dequantized
+    # exact top-k (pipeline/similarity.quantize_embeddings)
+    "ann_quantized",
     # round 12: NEW query - streaming sessionization (watermarked
     # native session_window, complete-mode single drain; oracle =
     # the batch event_sessions SQL)
@@ -4262,6 +4286,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality": q_text_quality,
         "language_id": q_language_id,
         "cosine_topk": q_cosine_topk,
+        "ann_quantized": q_ann_quantized,
         "seq_bits": q_seq_bits,
         "relative_entropy": q_relative_entropy,
         "plogo": q_plogo,
@@ -6161,6 +6186,38 @@ FROM cells GROUP BY read_id
 """
 
     sqls["cosine_topk"] = _sql_cosine_topk()
+
+    # ann_quantized: replay the symmetric int8 quantization (scale =
+    # max|x|/127, round half-away-from-zero matches Spark's HALF_UP)
+    # and the same fixed-fold cosine over the dequantized doubles
+    sqls["ann_quantized"] = """
+WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+qt AS (
+  SELECT vec_id,
+         list_max(list_transform(embedding, v -> abs(CAST(v AS DOUBLE)))) / 127.0 AS scale,
+         embedding
+  FROM embeddings WHERE vec_id <> 0
+),
+deq AS (
+  SELECT vec_id,
+         CASE WHEN scale = 0 THEN list_transform(embedding, v -> 0.0)
+              ELSE list_transform(embedding,
+                     v -> CAST(CAST(round(CAST(v AS DOUBLE) / scale) AS INT) AS DOUBLE) * scale)
+         END AS dv
+  FROM qt
+),
+scored AS (
+  SELECT d.vec_id,
+         list_reduce(list_transform(list_zip(d.dv, q.qv),
+                     x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)), (a,b) -> a+b)
+         / (sqrt(list_reduce(list_transform(d.dv, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE)), (a,b) -> a+b))
+            * sqrt(list_reduce(list_transform(q.qv, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE)), (a,b) -> a+b)))
+         AS sim
+  FROM deq d, q
+)
+SELECT vec_id, round(sim, 6) AS sim
+FROM scored ORDER BY sim DESC, vec_id ASC LIMIT 10
+"""
     sqls["ann_lsh"] = _sql_ann_lsh()
     sqls["ann_ivf"] = _sql_ann_ivf()
 

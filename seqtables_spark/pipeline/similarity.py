@@ -178,6 +178,76 @@ def cosine_topk(
     return scored.orderBy(F.desc("sim"), F.asc(id_col)).limit(k)
 
 
+def quantize_embeddings(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Symmetric per-vector int8 quantization (round 12): scale =
+    max(|x|)/127, q_i = round(x_i / scale) in [-127, 127]. Returns
+    DF(id, qvec array<int>, scale double). An all-zero vector gets
+    scale = 0 and an all-zero qvec (dequantizes to itself).
+
+    The 100 TB lever: int8 cells are 4x smaller than float32 on
+    scan, shuffle, and in IVF cell memory — at petabyte embedding
+    stores that is the difference between in-memory probe cells and
+    disk spill. The op is a row-local projection (zero exchanges,
+    composes under the same partitioning as ivf_assign), and the
+    quantization error is bounded by scale/2 per coordinate
+    (recall@10 pinned >= 0.9 on the fixture in tests).
+
+    Engine-portable by construction, like the cents trick: the
+    scale division and round() agree bit-for-bit between Spark
+    (BigDecimal HALF_UP = half away from zero) and DuckDB
+    (std::round), so a DuckDB replay produces the IDENTICAL int8
+    codes — the `ann_quantized` query is value-hash-checked like
+    every other, not approximately compared."""
+    x = F.col(vec_col)
+    scale = (
+        F.array_max(
+            F.transform(x, lambda v: F.abs(v.cast("double")))
+        ) / F.lit(127.0)
+    ).alias("scale")
+    out = df.select(F.col(id_col), x.alias("_v"), scale)
+    qv = F.when(
+        F.col("scale") == 0.0,
+        F.transform(F.col("_v"), lambda v: F.lit(0)),
+    ).otherwise(
+        F.transform(
+            F.col("_v"),
+            lambda v: F.round(v.cast("double") / F.col("scale"), 0).cast(
+                "int"
+            ),
+        )
+    )
+    return out.select(F.col(id_col), qv.alias("qvec"), "scale")
+
+
+def dequantize_col(qvec: Column, scale: Column) -> Column:
+    """array<int> + scale -> array<double> (q_i * scale; exact IEEE
+    products, so both engines reconstruct identical doubles)."""
+    return F.transform(qvec, lambda q: q.cast("double") * scale)
+
+
+def quantized_cosine_topk(
+    qdf: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """cosine_topk over a quantize_embeddings output: dequantize
+    row-locally, then the same fixed-fold cosine + TakeOrdered as the
+    exact path — the int8 store changes the bytes scanned, not the
+    ranking semantics (up to quantization error)."""
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    deq = dequantize_col(F.col("qvec"), F.col("scale"))
+    scored = qdf.select(
+        F.col(id_col),
+        cosine_similarity_col(deq, q).alias("sim"),
+    )
+    return scored.orderBy(F.desc("sim"), F.asc(id_col)).limit(k)
+
+
 def _assign_expr(vec: Column, centroids: list[list[float]]) -> Column:
     """Index of the nearest centroid by squared L2 - an argmin over
     the (small) centroid list. Reference form; the k x dim HOF folds

@@ -311,3 +311,65 @@ class TestAdaptiveSalting:
         dim = spark.range(3).select(F.col("id").alias("k"))
         with pytest.raises(ValueError, match="streaming"):
             salted_join(stream, dim, ["k"], skew_sample=100)
+
+
+# ----------------------------------- int8 embedding quantization
+
+class TestQuantizedEmbeddings:
+    def test_codes_bounded_and_zero_vector(self, spark):
+        from pyspark.sql import functions as F
+        from seqtables_spark.pipeline.similarity import quantize_embeddings
+
+        df = spark.createDataFrame(
+            [(1, [3.0, -1.5, 0.75]), (2, [0.0, 0.0, 0.0])],
+            "vec_id long, embedding array<double>",
+        )
+        rows = {r["vec_id"]: r for r in quantize_embeddings(df).collect()}
+        assert rows[1]["scale"] == 3.0 / 127.0
+        assert rows[1]["qvec"] == [127, -64, 32]  # round(31.75) HALF_UP
+        assert max(map(abs, rows[1]["qvec"])) <= 127
+        assert rows[2]["scale"] == 0.0 and rows[2]["qvec"] == [0, 0, 0]
+
+    def test_dequantization_error_bound(self, spark):
+        """|x - q*scale| <= scale/2 for every coordinate."""
+        from pyspark.sql import functions as F
+        from seqtables_spark.pipeline.similarity import (
+            dequantize_col,
+            quantize_embeddings,
+        )
+
+        emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+        q = quantize_embeddings(emb).join(emb, "vec_id")
+        err = q.select(
+            F.array_max(
+                F.zip_with(
+                    dequantize_col(F.col("qvec"), F.col("scale")),
+                    F.col("embedding"),
+                    lambda d, x: F.abs(d - x.cast("double")) - F.col("scale") / 2,
+                )
+            ).alias("worst")
+        ).agg(F.max("worst")).first()[0]
+        assert err <= 1e-12  # never exceeds scale/2 (fp slack)
+
+    def test_recall_at_10_vs_exact(self, spark):
+        from seqtables_spark.pipeline.similarity import (
+            cosine_topk,
+            quantize_embeddings,
+            quantized_cosine_topk,
+        )
+        from pyspark.sql import functions as F
+
+        emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+        qvec = [
+            float(x)
+            for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]
+        ]
+        base = emb.filter(F.col("vec_id") != 0)
+        exact = {r["vec_id"] for r in cosine_topk(base, qvec, k=10).collect()}
+        quant = {
+            r["vec_id"]
+            for r in quantized_cosine_topk(
+                quantize_embeddings(base), qvec, k=10
+            ).collect()
+        }
+        assert len(exact & quant) >= 9  # recall@10 >= 0.9
