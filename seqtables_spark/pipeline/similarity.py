@@ -248,6 +248,234 @@ def quantized_cosine_topk(
     return scored.orderBy(F.desc("sim"), F.asc(id_col)).limit(k)
 
 
+def _fold_dot(a, b) -> float:
+    """Driver-side twin of _dot's sequential fold ((0.0 + a0*b0) +
+    a1*b1) + ... in python doubles — the same IEEE op order as the
+    Spark HOF and DuckDB's list_reduce, so LUT entries computed here
+    are bit-identical to a SQL replay."""
+    acc = 0.0
+    for x, y in zip(a, b):
+        acc = acc + float(x) * float(y)
+    return acc
+
+
+def pq_codebooks(
+    df: DataFrame,
+    m: int = 8,
+    ksub: int = 16,
+    n_iters: int = 1,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    dim: int | None = None,
+) -> list[list[list[float]]]:
+    """Train product-quantization codebooks: the vector is split into
+    `m` contiguous subspaces of dim/m and each subspace gets its own
+    `ksub`-centroid k-means quantizer. Returns codebooks[m][ksub][d].
+
+    The 100 TB ladder rung below int8: a 64-dim float32 embedding is
+    256 bytes; its PQ code is m int8 cells = 8 bytes — 32x — and ADC
+    search never touches the original vectors, so a petabyte
+    embedding store probes from an index that fits in executor
+    memory. (Faiss IVF_PQ composes exactly these two levers; here
+    pq_encode output composes under ivf_assign's partitioning the
+    same way.)
+
+    Deterministic like ivf_centroids, and by the same construction:
+    hash-ranked row seeding (the md5(vec_id) order), strict-< argmin
+    assignment, and a FIXED-POINT Lloyd mean (1e-6-quantized int64
+    component sums — order-free integer adds), so the trained
+    codebooks are bit-identical across partitionings AND engines and
+    the ann_pq query carries a value-exact DuckDB oracle
+    (_sql_ann_pq replays seeding, the Lloyd step, encoding and ADC
+    in SQL). One assign+mean job per iteration; the shuffle
+    collapses map-side to tasks x m x ksub x (dim/m) cells. At real
+    scale train on a bounded sample (codebooks are corpus
+    statistics, not per-row state); the full-corpus train here keeps
+    the oracle replayable."""
+    if dim is None:
+        first = df.select(vec_col).first()
+        if first is None:
+            raise ValueError("pq_codebooks: input has no rows")
+        dim = len(first[0])
+    if dim % m != 0:
+        raise ValueError(f"pq_codebooks: dim {dim} not divisible by m {m}")
+    d = dim // m
+    seeds = (
+        df.orderBy(F.md5(F.col(id_col).cast("string")), F.col(id_col))
+        .limit(ksub)
+        .select(vec_col)
+        .collect()
+    )
+    if not seeds:
+        raise ValueError("pq_codebooks: input has no rows")
+    full = [[float(x) for x in r[0]] for r in seeds]
+    ksub = len(full)  # fewer rows than ksub: every row seeds
+    books = [
+        [row[s * d:(s + 1) * d] for row in full] for s in range(m)
+    ]
+    for _ in range(n_iters):
+        enc = pq_encode(df.select(vec_col), books, vec_col=vec_col)
+        cells = enc.select(
+            F.posexplode("codes").alias("s", "c"),
+            F.col(vec_col).alias("_v"),
+        ).select(
+            "s", "c", F.expr(f"slice(_v, s * {d} + 1, {d})").alias("sv")
+        )
+        means = cells.groupBy("s", "c").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.array(
+                *[
+                    F.sum(
+                        F.round(
+                            F.col("sv")[i].cast("double") * 1_000_000
+                        ).cast("long")
+                    )
+                    for i in range(d)
+                ]
+            ).alias("sums"),
+        ).collect()
+        new = {
+            (r["s"], r["c"]): [(int(v) / 1e6) / r["n"] for v in r["sums"]]
+            for r in means
+        }
+        books = [
+            [new.get((s, c), books[s][c]) for c in range(ksub)]
+            for s in range(m)
+        ]
+    return books
+
+
+def pq_encode(
+    df: DataFrame,
+    codebooks: list[list[list[float]]],
+    vec_col: str = "embedding",
+    code_col: str = "codes",
+) -> DataFrame:
+    """Append the PQ code column: codes[s] = argmin_c ||v_sub_s -
+    codebook[s][c]||^2, the m-byte compressed representation. Arrow
+    batch kernel over the SHARED _ivf_argmin_np (sequential-fold
+    squared distance, strict-< first-min tie-break — the same pinned
+    argmin semantics as ivf_assign, so the SQL oracle's
+    row_number(ORDER BY d, c_idx) replay is bit-identical). Row-local
+    map: no shuffle, composes under any partitioning."""
+    import pyarrow as pa
+
+    from pyspark.sql.types import (
+        ArrayType, IntegerType, StructField, StructType,
+    )
+
+    m = len(codebooks)
+    d = len(codebooks[0][0])
+    cbs = [[list(map(float, c)) for c in cb] for cb in codebooks]
+    out_schema = StructType(
+        df.schema.fields
+        + [StructField(code_col, ArrayType(IntegerType()), True)]
+    )
+
+    def enc(batches):
+        import numpy as np
+
+        Cs = [np.asarray(cb, dtype=np.float64) for cb in cbs]
+        for batch in batches:
+            if batch.num_rows == 0:
+                continue
+            v = _list_to_2d(batch.column(vec_col)).astype(np.float64)
+            cols = [
+                _ivf_argmin_np(Cs[s], v[:, s * d:(s + 1) * d])
+                for s in range(m)
+            ]
+            codes = np.stack(cols, axis=1)
+            yield batch.append_column(
+                code_col, pa.array(list(codes), type=pa.list_(pa.int32()))
+            )
+
+    return df.mapInArrow(enc, out_schema)
+
+
+def pq_adc_topk(
+    encoded: DataFrame,
+    query_vec: list[float],
+    codebooks: list[list[list[float]]],
+    k: int = 10,
+    id_col: str = "vec_id",
+    code_col: str = "codes",
+) -> DataFrame:
+    """Asymmetric-distance (ADC) top-k over PQ codes: the query stays
+    un-quantized; per subspace a ksub-entry lookup table holds
+    dot(q_sub, centroid) and ||centroid||^2, and a row's score is a
+    pure m-step table lookup — sim = sum_s LUT_ip[s][code_s] /
+    (||q|| * sqrt(sum_s LUT_sq[s][code_s])), cosine against the
+    RECONSTRUCTED vector. The scan reads only the m-byte codes (the
+    32x lever), the LUTs ride into the task as m x ksub literal
+    doubles, and the plan is one row-local projection + TakeOrdered.
+
+    Every fold (LUT entries driver-side, the over-subspaces sums via
+    F.aggregate in subspace order) is the same left-associated IEEE
+    sequence the DuckDB oracle replays, so even this doubly-
+    approximate path is value-hash-checked, with recall vs the exact
+    top-k pinned separately in tests."""
+    m = len(codebooks)
+    d = len(codebooks[0][0])
+    q = [float(x) for x in query_vec]
+    lut_ip = [
+        [_fold_dot(q[s * d:(s + 1) * d], c) for c in codebooks[s]]
+        for s in range(m)
+    ]
+    lut_sq = [
+        [_fold_dot(c, c) for c in codebooks[s]] for s in range(m)
+    ]
+    qnorm = math.sqrt(_fold_dot(q, q))
+    ip_lit = F.array(*[F.array(*[F.lit(v) for v in row]) for row in lut_ip])
+    sq_lit = F.array(*[F.array(*[F.lit(v) for v in row]) for row in lut_sq])
+    codes = F.col(code_col)
+    vals_ip = F.transform(codes, lambda c, i: F.get(F.get(ip_lit, i), c))
+    vals_sq = F.transform(codes, lambda c, i: F.get(F.get(sq_lit, i), c))
+    ssum = F.aggregate(vals_ip, F.lit(0.0), lambda a, x: a + x)
+    rnorm = F.sqrt(F.aggregate(vals_sq, F.lit(0.0), lambda a, x: a + x))
+    scored = encoded.select(
+        F.col(id_col),
+        (ssum / (F.lit(qnorm) * rnorm)).alias("adc_sim"),
+    )
+    return scored.orderBy(F.desc("adc_sim"), F.asc(id_col)).limit(k)
+
+
+def pq_refine_topk(
+    encoded: DataFrame,
+    vectors: DataFrame,
+    query_vec: list[float],
+    codebooks: list[list[list[float]]],
+    k: int = 10,
+    shortlist: int = 50,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """The production PQ search shape (IVFPQ + refine): ADC over the
+    compressed codes shortlists `shortlist` candidates, then ONLY
+    those rows' original vectors are fetched for an exact cosine
+    re-rank to the final top-k. The big scan touches codes (the
+    compression lever); the float vectors are read for `shortlist`
+    point lookups — at a petabyte store that is the difference
+    between scanning 8 bytes/row and 256 bytes/row.
+
+    The shortlist is a TakeOrdered relation bounded by `shortlist`,
+    so the refine join broadcasts it (explicit F.broadcast — never
+    size-gated) and Catalyst pushes the id filter into the vector
+    scan. Measured recall of the true top-10 in the fixture sweep
+    (64-dim synthetic gaussians — the WORST case for PQ, no cluster
+    structure): m=8 (32x) 0.5, m=16 (16x) 0.7, m=32 (8x) 1.0 at
+    shortlist=50; tests pin the shipped configuration with margin."""
+    short = pq_adc_topk(
+        encoded, query_vec, codebooks, k=shortlist, id_col=id_col
+    ).select(id_col)
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    cand = vectors.join(F.broadcast(short), id_col)
+    scored = cand.select(
+        F.col(id_col),
+        cosine_similarity_col(F.col(vec_col), q).alias("sim"),
+    )
+    return scored.orderBy(F.desc("sim"), F.asc(id_col)).limit(k)
+
+
 def _assign_expr(vec: Column, centroids: list[list[float]]) -> Column:
     """Index of the nearest centroid by squared L2 - an argmin over
     the (small) centroid list. Reference form; the k x dim HOF folds

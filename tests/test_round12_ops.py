@@ -373,3 +373,109 @@ class TestQuantizedEmbeddings:
             ).collect()
         }
         assert len(exact & quant) >= 9  # recall@10 >= 0.9
+
+
+# ----------------------------------- product quantization (PQ + ADC)
+
+class TestProductQuantization:
+    def _fixture(self, spark):
+        emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+        qvec = [
+            float(x)
+            for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]
+        ]
+        return emb.filter(F.col("vec_id") != 0), qvec
+
+    def test_codes_shape_and_bounds(self, spark):
+        from seqtables_spark.pipeline.similarity import (
+            pq_codebooks,
+            pq_encode,
+        )
+
+        base, _ = self._fixture(spark)
+        books = pq_codebooks(base, m=8, ksub=16, n_iters=1, dim=64)
+        assert len(books) == 8 and all(len(b) == 16 for b in books)
+        assert all(len(c) == 8 for b in books for c in b)
+        stats = (
+            pq_encode(base, books)
+            .select(
+                F.size("codes").alias("m"),
+                F.array_min("codes").alias("lo"),
+                F.array_max("codes").alias("hi"),
+            )
+            .agg(
+                F.min("m"), F.max("m"), F.min("lo"), F.max("hi")
+            )
+            .first()
+        )
+        assert stats[0] == 8 and stats[1] == 8
+        assert stats[2] >= 0 and stats[3] <= 15
+
+    def test_dim_not_divisible_raises(self, spark):
+        from seqtables_spark.pipeline.similarity import pq_codebooks
+
+        base, _ = self._fixture(spark)
+        with pytest.raises(ValueError, match="divisible"):
+            pq_codebooks(base, m=7, ksub=16, dim=64)
+
+    def test_fewer_rows_than_ksub_shrinks(self, spark):
+        from seqtables_spark.pipeline.similarity import pq_codebooks
+
+        base, _ = self._fixture(spark)
+        books = pq_codebooks(base.limit(5), m=8, ksub=16, n_iters=1, dim=64)
+        assert all(len(b) == 5 for b in books)
+
+    def test_codebooks_partitioning_invariant(self, spark):
+        """The fixed-point Lloyd mean makes training independent of
+        physical partitioning — the property that lets ann_pq carry a
+        value-exact SQL oracle."""
+        from seqtables_spark.pipeline.similarity import pq_codebooks
+
+        base, _ = self._fixture(spark)
+        b2 = pq_codebooks(base.repartition(2), m=16, ksub=16, n_iters=1, dim=64)
+        b13 = pq_codebooks(base.repartition(13), m=16, ksub=16, n_iters=1, dim=64)
+        assert b2 == b13
+
+    def test_refine_recall_shipped_config(self, spark):
+        """Shipped ann_pq configuration (m=32, shortlist=50): the ADC
+        shortlist + exact refine recovers the true top-10 on the
+        gaussian fixture (measured 1.0; pinned with margin). The
+        sweep behind the m choice: m=8 -> 0.5, m=16 -> 0.7,
+        m=32 -> 1.0 recall of the true top-10 in the 50-shortlist."""
+        from seqtables_spark.pipeline.similarity import (
+            cosine_topk,
+            pq_codebooks,
+            pq_encode,
+            pq_refine_topk,
+        )
+
+        base, qvec = self._fixture(spark)
+        exact = {r["vec_id"] for r in cosine_topk(base, qvec, k=10).collect()}
+        books = pq_codebooks(base, m=32, ksub=16, n_iters=1, dim=64)
+        enc = pq_encode(base, books).select("vec_id", "codes")
+        got = {
+            r["vec_id"]
+            for r in pq_refine_topk(
+                enc, base, qvec, books, k=10, shortlist=50
+            ).collect()
+        }
+        assert len(exact & got) >= 8  # recall@10 >= 0.8 (measured 1.0)
+
+    def test_refine_broadcasts_shortlist(self, spark):
+        """The refine join must broadcast the bounded shortlist, not
+        shuffle the vector table."""
+        from seqtables_spark.pipeline.similarity import (
+            pq_codebooks,
+            pq_encode,
+            pq_refine_topk,
+        )
+
+        base, qvec = self._fixture(spark)
+        books = pq_codebooks(base, m=8, ksub=16, n_iters=1, dim=64)
+        enc = pq_encode(base, books).select("vec_id", "codes")
+        plan = (
+            pq_refine_topk(enc, base, qvec, books, k=10, shortlist=50)
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "BroadcastHashJoin" in plan
+        assert "SortMergeJoin" not in plan
