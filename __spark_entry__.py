@@ -2921,6 +2921,138 @@ def q_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return clean.select("doc_id", "text", "lang", "source", "n_chars")
 
 
+def q_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC interchange through REAL files (rounds out the format
+    family: parquet, JSONL, WARC, SAM/BAM, FASTQ): distributed ORC
+    write of the documents table, schema-pinned read-back, returned
+    rows value-checked against the original. ORC is Spark-native
+    (vectorized reader, predicate pushdown) — the test is that type
+    fidelity (longs) and unicode survive the columnar roundtrip."""
+    docs = _t(spark, sf_dir, "documents")
+    path = _rt_tmp("seqtables_orc_rt", sf_dir)
+    docs.write.mode("overwrite").orc(path)
+    back = spark.read.schema(
+        "doc_id long, text string, lang string, source string, n_chars long"
+    ).orc(path)
+    return back.select("doc_id", "text", "lang", "source", "n_chars")
+
+
+_layout_cache: dict = {}
+
+
+def q_partitioned_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Storage layout AS the query plan (sources/storage.py made
+    first-class): the events table is laid out hive-partitioned by
+    day — written ONCE per (session x sf), because a layout is
+    written once and queried many times — and a 3-day dashboard
+    query filters on the partition column, so 27 of 30 day
+    directories are pruned before a byte is read (PartitionFilters
+    pin + pruned-file-count proof in tests/test_plans.py). At 100 TB
+    partition pruning is the single biggest scan lever: the same
+    filter on the unpartitioned table scans everything. Day
+    derivation is exact integer arithmetic in the ns domain (UTC),
+    so the oracle's CAST(ts AS DATE) matches bit-for-bit."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    ev = _t(spark, sf_dir, "events")
+    key = ("events_by_day", sf_dir)
+    entry_ = _layout_cache.get(key)
+    if entry_ is None or entry_[0] is not spark:
+        if dict(ev.dtypes).get("ts") in ("bigint", "int", "long"):
+            day_ts = F.timestamp_seconds(
+                F.floor(F.col("ts") / 86_400_000_000_000) * 86400
+            )
+        else:
+            day_ts = F.date_trunc("day", F.col("ts"))
+        day = F.date_format(day_ts, "yyyy-MM-dd")
+        path = _rt_tmp("seqtables_events_by_day", sf_dir)
+        (
+            ev.withColumn("day", day)
+            .repartition("day")  # one file per day dir, not one per task
+            .write.mode("overwrite")
+            .partitionBy("day")
+            .parquet(path)
+        )
+        entry_ = (spark, path)
+        _layout_cache[key] = entry_
+    path = entry_[1]
+    part = spark.read.parquet(path).filter(
+        F.col("day").between("2024-01-05", "2024-01-07")
+    )
+    # partition-column type inference reads day back as DATE; pin the
+    # yyyy-MM-dd string so engine and oracle schemas agree exactly
+    part = part.withColumn("day", F.col("day").cast("string"))
+    return part.groupBy("day", "event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.round(F.col("value") * 100).cast("long")).alias("value_cents"),
+    )
+
+
+def q_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed co-location (sources/storage.save_bucketed made
+    first-class): customer and orders are persisted bucketed by the
+    join key (8 buckets, catalog tables under a temp-location
+    database — written ONCE per session x sf), so the join plans a
+    SortMergeJoin over FileScans with matching output partitioning
+    and ZERO Exchange on either side (plan pin in
+    tests/test_plans.py; the merge hint keeps the demo honest where
+    the small side would auto-broadcast at test sf). At 100 TB this
+    is THE repeated-join lever: co-located bucket i of both tables
+    reads on the same executor, shuffle amortized into the write."""
+    from seqtables_spark.sources.storage import bucketed_join, save_bucketed
+
+    key = ("bucketed_custkey", sf_dir)
+    entry_ = _layout_cache.get(key)
+    if entry_ is None or entry_[0] is not spark:
+        import hashlib
+
+        tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+        db = f"seqtables_bucket_{tag}"
+        loc = _rt_tmp("seqtables_warehouse", sf_dir)
+        spark.sql(f"CREATE DATABASE IF NOT EXISTS {db} LOCATION '{loc}'")
+        save_bucketed(
+            _t(spark, sf_dir, "customer"),
+            f"{db}.customer_b", "c_custkey", n_buckets=8,
+        )
+        save_bucketed(
+            _t(spark, sf_dir, "orders"),
+            f"{db}.orders_b", "o_custkey", n_buckets=8,
+        )
+        entry_ = (spark, db)
+        _layout_cache[key] = entry_
+    db = entry_[1]
+    joined = bucketed_join(
+        spark,
+        f"{db}.customer_b",
+        f"{db}.orders_b",
+        on=[F.col("c_custkey") == F.col("o_custkey")],
+        hint="merge",
+    )
+    return joined.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias(
+            "revenue_cents"
+        ),
+    )
+
+
+def q_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source corpus data card (the summary block every training
+    dataset ships with): document count, language spread, EXACT
+    distinct-text count (md5 keys — the same identity exact_dedup
+    uses, so `n_docs - n_unique_texts` is the duplicate mass), and
+    total characters. One pass, one shuffle on source; the two
+    count-distincts ride Spark's Expand, whose input is the
+    projected (source, lang, md5) relation — never the text bytes."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("lang").alias("n_langs"),
+        F.countDistinct(F.md5("text")).alias("n_unique_texts"),
+        F.sum("n_chars").alias("chars_total"),
+    )
+
+
 def q_intra_doc_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """WITHIN-document repeated-segment removal (C4 repeated-span /
     RefinedWeb intra-doc rule) at word granularity: keep each doc's
@@ -4152,6 +4284,11 @@ _ROUND_CHANGED = [
     # (32x), ADC LUT top-k (pipeline/similarity.pq_codebooks/
     # pq_encode/pq_adc_topk)
     "ann_pq",
+    # round 12: NEW queries - storage layout made first-class
+    # (hive-partition pruning + zero-exchange bucketed join), the ORC
+    # format roundtrip, and the per-source corpus data card
+    "partitioned_prune", "bucketed_join", "orc_roundtrip",
+    "corpus_stats",
     # round 12: NEW query - int8 embedding quantization + dequantized
     # exact top-k (pipeline/similarity.quantize_embeddings)
     "ann_quantized",
@@ -4341,6 +4478,10 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cosine_topk": q_cosine_topk,
         "ann_quantized": q_ann_quantized,
         "ann_pq": q_ann_pq,
+        "orc_roundtrip": q_orc_roundtrip,
+        "partitioned_prune": q_partitioned_prune,
+        "bucketed_join": q_bucketed_join,
+        "corpus_stats": q_corpus_stats,
         "seq_bits": q_seq_bits,
         "relative_entropy": q_relative_entropy,
         "plogo": q_plogo,
@@ -7092,6 +7233,42 @@ GROUP BY source
     )
     sqls["jsonl_roundtrip"] = """
 SELECT doc_id, text, lang, source, n_chars FROM documents
+"""
+
+    sqls["orc_roundtrip"] = """
+SELECT doc_id, text, lang, source, n_chars FROM documents
+"""
+
+    # partitioned_prune: the engine answers from the day-partitioned
+    # layout (27/30 dirs pruned); the oracle computes the same 3-day
+    # aggregate straight from the unpartitioned table — identical
+    # values prove the layout changes the scan, not the answer. Day =
+    # exact integer truncation in the ns domain (UTC) = CAST(ts AS DATE).
+    sqls["partitioned_prune"] = """
+SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day, event_type,
+       count(*) AS n,
+       sum(CAST(round(value * 100) AS BIGINT)) AS value_cents
+FROM events
+WHERE CAST(ts AS DATE) BETWEEN DATE '2024-01-05' AND DATE '2024-01-07'
+GROUP BY 1, 2
+"""
+
+    # bucketed_join: the engine joins the co-bucketed catalog tables
+    # with zero Exchange; the oracle joins the raw tables — identical
+    # values prove bucketing changes the plan, not the answer
+    sqls["bucketed_join"] = """
+SELECT c_mktsegment, count(*) AS n_orders,
+       sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS revenue_cents
+FROM customer JOIN orders ON c_custkey = o_custkey
+GROUP BY c_mktsegment
+"""
+
+    sqls["corpus_stats"] = """
+SELECT source, count(*) AS n_docs,
+       count(DISTINCT lang) AS n_langs,
+       count(DISTINCT md5(text)) AS n_unique_texts,
+       sum(n_chars) AS chars_total
+FROM documents GROUP BY source
 """
 
     sqls["warc_roundtrip"] = """

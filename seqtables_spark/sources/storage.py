@@ -68,9 +68,20 @@ def save_bucketed(
 
 
 def bucketed_join(
-    spark: SparkSession, left_table: str, right_table: str, on: str = "read_id"
+    spark: SparkSession,
+    left_table: str,
+    right_table: str,
+    on="read_id",
+    hint: str | None = None,
 ) -> DataFrame:
     """Join two co-bucketed catalog tables on their bucket key: the
     plan is SortMergeJoin over FileScans with matching output
-    partitioning - zero Exchange on either side."""
-    return spark.table(left_table).join(spark.table(right_table), on)
+    partitioning - zero Exchange on either side. `on` is a column
+    name (same-named key) or a join-condition list (differently-named
+    bucket columns, e.g. c_custkey == o_custkey). Pass hint="merge"
+    to pin the SMJ where a small side would otherwise auto-broadcast
+    (the zero-exchange property only shows on the merge plan)."""
+    left = spark.table(left_table)
+    if hint:
+        left = left.hint(hint)
+    return left.join(spark.table(right_table), on)

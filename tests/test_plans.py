@@ -665,3 +665,61 @@ def test_write_bam_sink_adds_no_shuffle(spark, tmp_path):
     # and the real sink works on that distribution
     manifest = write_bam(df, str(tmp_path / "s.bam"), [("c1", 100)])
     assert manifest.count() <= 4
+
+
+def test_partitioned_prune_query_scans_only_filtered_days(spark):
+    """q_partitioned_prune answers from the day-partitioned layout:
+    the 3-day filter lands in PartitionFilters, and — the proof that
+    pruned directories are never OPENED, same pattern as the BAM
+    shard-pruning test — corrupting a pruned day's file does not
+    affect the query, while reading that file directly fails."""
+    from __spark_entry__ import q_partitioned_prune
+
+    df = q_partitioned_prune(spark, SF_DIR)
+    plan = _plan(df)
+    assert "PartitionFilters" in plan
+    assert "(day" in plan and "2024-01-05" in plan
+    # inputFiles() lists the layout pre-pruning: all ~30 day dirs
+    victims = [
+        f for f in df.inputFiles() if "day=2024-01-20" in f
+    ]
+    assert victims, "layout should carry the pruned day"
+    vpath = victims[0].removeprefix("file:")
+    with open(vpath, "wb") as fh:
+        fh.write(b"not a parquet file")
+    got = q_partitioned_prune(spark, SF_DIR).collect()
+    assert {r["day"] for r in got} == {
+        "2024-01-05", "2024-01-06", "2024-01-07"
+    }
+    with pytest.raises(Exception):
+        spark.read.schema("event_id long").parquet(
+            os.path.dirname(vpath)
+        ).collect()
+
+
+def test_bucketed_join_query_join_is_exchange_free(spark):
+    """q_bucketed_join: the customer-orders join runs on the
+    co-bucketed catalog tables — SortMergeJoin with no exchange on
+    either input; the only exchange in the whole plan is the tiny
+    post-join mktsegment aggregate."""
+    from __spark_entry__ import q_bucketed_join
+
+    plan = _plan(q_bucketed_join(spark, SF_DIR))
+    assert "SortMergeJoin" in plan
+    assert plan.count("Bucketed: true") == 2
+    assert "BroadcastExchange" not in plan
+    assert plan.count("Exchange") == 1  # final c_mktsegment agg only
+    assert "hashpartitioning(c_mktsegment" in plan
+
+
+def test_corpus_stats_prunes_doc_id(spark):
+    """The data-card aggregate must not drag unused columns through
+    the scan: ReadSchema carries only source/lang/text/n_chars."""
+    from __spark_entry__ import q_corpus_stats
+
+    plan = _plan(q_corpus_stats(spark, SF_DIR))
+    assert "Expand" in plan  # the two count-distincts
+    import re
+
+    m = re.search(r"ReadSchema: ([^\n]*)", plan)
+    assert m and "doc_id" not in m.group(1)
