@@ -3036,6 +3036,26 @@ def q_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_leakage_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe train/valid/test split audit: documents are
+    assigned to splits by a deterministic hash of their SOURCE
+    (pipeline/sampling.group_split — 80/10/10), so a source's
+    near-duplicate pages can never straddle train and eval; the query
+    returns the per-split x lang audit table (doc counts, distinct
+    sources, char mass) a release review reads. Split integrity
+    (no source in two splits) is pinned in tests; the assignment is
+    a row-local projection whose only exchange is the audit
+    aggregate itself."""
+    from seqtables_spark.pipeline.sampling import group_split
+
+    docs = group_split(_t(spark, sf_dir, "documents"), "source")
+    return docs.groupBy("split", "lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("source").alias("n_sources"),
+        F.sum("n_chars").alias("chars_total"),
+    )
+
+
 def q_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source corpus data card (the summary block every training
     dataset ships with): document count, language spread, EXACT
@@ -4288,7 +4308,7 @@ _ROUND_CHANGED = [
     # (hive-partition pruning + zero-exchange bucketed join), the ORC
     # format roundtrip, and the per-source corpus data card
     "partitioned_prune", "bucketed_join", "orc_roundtrip",
-    "corpus_stats",
+    "corpus_stats", "leakage_split",
     # round 12: NEW query - int8 embedding quantization + dequantized
     # exact top-k (pipeline/similarity.quantize_embeddings)
     "ann_quantized",
@@ -4482,6 +4502,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "partitioned_prune": q_partitioned_prune,
         "bucketed_join": q_bucketed_join,
         "corpus_stats": q_corpus_stats,
+        "leakage_split": q_leakage_split,
         "seq_bits": q_seq_bits,
         "relative_entropy": q_relative_entropy,
         "plogo": q_plogo,
@@ -7261,6 +7282,24 @@ SELECT c_mktsegment, count(*) AS n_orders,
        sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS revenue_cents
 FROM customer JOIN orders ON c_custkey = o_custkey
 GROUP BY c_mktsegment
+"""
+
+    # leakage_split: replay the portable source-hash bucketing (md5
+    # prefix as int64 mod 2^31-1 mod 100) and the 80/10/10 thresholds
+    sqls["leakage_split"] = """
+WITH b AS (
+  SELECT lang, source, n_chars,
+         (CAST(('0x' || substring(md5(source), 1, 15)) AS BIGINT)
+          % 2147483647) % 100 AS bk
+  FROM documents
+)
+SELECT CASE WHEN bk < 80 THEN 'train'
+            WHEN bk < 90 THEN 'valid'
+            ELSE 'test' END AS split,
+       lang, count(*) AS n_docs,
+       count(DISTINCT source) AS n_sources,
+       sum(n_chars) AS chars_total
+FROM b GROUP BY 1, 2
 """
 
     sqls["corpus_stats"] = """

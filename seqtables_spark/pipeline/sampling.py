@@ -376,3 +376,45 @@ def weighted_sample(
         .filter(F.col("__aes_rk__") <= int(k))
         .drop("__aes_key__", "__aes_rk__")
     )
+
+
+def group_split(
+    df: DataFrame,
+    group_col: str = "source",
+    splits: tuple[tuple[str, int], ...] = (
+        ("train", 80), ("valid", 10), ("test", 10),
+    ),
+    split_col: str = "split",
+) -> DataFrame:
+    """Leakage-safe train/valid/test assignment: the split is a
+    deterministic hash of the GROUP (source/domain/site), never the
+    row, so every document of a group lands in the same split and
+    near-duplicates inside a group can never straddle train and eval
+    — the contamination rule corpus pipelines enforce at the domain
+    level (a per-row split leaks: two near-identical pages from one
+    site end up on both sides of the boundary).
+
+    Row-local projection (portable_string_hash(group) bucketed mod
+    100 against cumulative percentage thresholds): zero exchanges,
+    composes under any partitioning, identical assignment on any
+    engine with md5 — so the audit query carries a value-exact
+    oracle. `splits` are (name, percent) in threshold order and must
+    sum to 100."""
+    total = sum(p for _, p in splits)
+    if total != 100:
+        raise ValueError(f"group_split: splits must sum to 100, got {total}")
+    bucket = portable_string_hash(group_col) % 100
+    expr = None
+    acc = 0
+    for name, pct in splits[:-1]:
+        acc += pct
+        cond = bucket < acc
+        expr = (
+            F.when(cond, name) if expr is None else expr.when(cond, name)
+        )
+    expr = (
+        expr.otherwise(splits[-1][0])
+        if expr is not None
+        else F.lit(splits[-1][0])
+    )
+    return df.withColumn(split_col, expr)

@@ -479,3 +479,42 @@ class TestProductQuantization:
         )
         assert "BroadcastHashJoin" in plan
         assert "SortMergeJoin" not in plan
+
+
+# ----------------------------------- leakage-safe group split
+
+class TestGroupSplit:
+    def test_no_group_straddles_splits(self, spark):
+        from seqtables_spark.pipeline.sampling import group_split
+
+        docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+        worst = (
+            group_split(docs, "source")
+            .groupBy("source")
+            .agg(F.countDistinct("split").alias("k"))
+            .agg(F.max("k"))
+            .first()[0]
+        )
+        assert worst == 1
+
+    def test_splits_cover_and_sum_guard(self, spark):
+        from seqtables_spark.pipeline.sampling import group_split
+
+        docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+        got = {
+            r["split"]
+            for r in group_split(docs, "source").select("split").distinct().collect()
+        }
+        assert got <= {"train", "valid", "test"} and "train" in got
+        with pytest.raises(ValueError, match="sum to 100"):
+            group_split(docs, "source", splits=(("a", 50), ("b", 20)))
+
+    def test_assignment_is_row_local(self, spark):
+        from seqtables_spark.pipeline.sampling import group_split
+
+        docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+        plan = (
+            group_split(docs, "source")
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "Exchange" not in plan
