@@ -431,7 +431,12 @@ def main():
             m = os.path.getmtime(p)
             if m > newest:
                 newest, newest_path = m, p
-        if newest > pa_mtime:
+        # 60 s slack: a git clone/checkout writes every file within a
+        # couple of seconds, in arbitrary order, so a committed-fresh
+        # PLANAUDIT.json can land an instant BEFORE a source file and
+        # false-fail the gate on a pristine tree. Genuine staleness
+        # (editing a query after the last regenerate) is minutes+.
+        if newest > pa_mtime + 60:
             msg = (
                 "PLANAUDIT.json is STALE: "
                 f"{os.path.relpath(newest_path, repo_root)} is newer — "
