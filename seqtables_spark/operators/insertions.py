@@ -113,22 +113,41 @@ def get_insertion_seq_dist(
     import math
 
     ins = _pos_filter(insertions, positions)
-    dist = ins.groupBy("position", "loc_ins", "base").agg(
+    # Round 12 (guide §2.4): the per-(slot, base) counts, the
+    # min_ins_count slot totals, and the implicit gap row used to be
+    # THREE derivations of the insertions subtree (counts agg, totals
+    # re-agg + broadcast semi-join, gaps re-agg + union) — Catalyst
+    # does not dedupe common subtrees, so the (potentially expensive)
+    # insertions input was planned up to three times and each branch
+    # added an exchange. One two-level aggregation replaces all of
+    # them: collapse to per-slot rows carrying the (base, cnt) entry
+    # list plus the slot total, filter/append the gap entry with array
+    # arithmetic on those P-row slot rows, and explode back out. The
+    # insertions subtree is planned ONCE and the only exchanges left
+    # are the (slot, base) agg and the tiny per-slot agg.
+    per_base = ins.groupBy("position", "loc_ins", "base").agg(
         F.count(F.lit(1)).alias("cnt")
     )
+    slots = per_base.groupBy("position", "loc_ins").agg(
+        F.collect_list(F.struct("base", "cnt")).alias("_e"),
+        F.sum("cnt").alias("_t"),
+    )
     if min_ins_count > 0:
-        totals = (
-            dist.groupBy("position", "loc_ins")
-            .agg(F.sum("cnt").alias("_t"))
-            .filter(F.col("_t") >= min_ins_count)
-            .select("position", "loc_ins")
-        )
-        dist = dist.join(F.broadcast(totals), ["position", "loc_ins"], "left_semi")
+        slots = slots.filter(F.col("_t") >= min_ins_count)
     if n_reads_total is not None:
-        gaps = dist.groupBy("position", "loc_ins").agg(
-            (F.lit(n_reads_total) - F.sum("cnt")).alias("cnt")
-        ).select("position", "loc_ins", F.lit("-").alias("base"), "cnt")
-        dist = dist.unionByName(gaps)
+        slots = slots.withColumn(
+            "_e",
+            F.concat(
+                "_e",
+                F.array(
+                    F.struct(
+                        F.lit("-").alias("base"),
+                        (F.lit(n_reads_total) - F.col("_t")).alias("cnt"),
+                    )
+                ),
+            ),
+        )
+    dist = slots.select("position", "loc_ins", F.expr("inline(_e)"))
     if method == "counts":
         return dist
     if n_reads_total is None:
@@ -240,9 +259,23 @@ def consensus_with_insertions(
 
     Returns DF(position, loc_ins, consensus_base).
     """
-    base_counts = _pos_filter(cells, positions).groupBy(
-        "position", F.lit(0).alias("loc_ins"), "base"
-    ).agg(F.count(F.lit(1)).alias("cnt"))
+    # Round 12 (guide §2.4): this used to run FOUR aggregations —
+    # matrix counts, insertion counts, a gap-row re-aggregation of the
+    # insertion counts (crossJoined with n_reads), and the final
+    # per-slot mode over their 3-way union — so the cells subtree was
+    # planned twice and the insertions subtree twice (Catalyst does
+    # not dedupe common subtrees). Collapsed: union the two inputs
+    # FIRST (matrix cells tagged loc_ins=0), aggregate once to
+    # (slot, base) counts, once more to per-slot mode/total, and
+    # derive the implicit gap row ARITHMETICALLY in the projection —
+    # for an insertion slot, gap count = n_reads - sum(slot letter
+    # counts) (each read carries at most one base per slot), and the
+    # gap wins the mode exactly when gap_cnt >= letter mode count
+    # (ties broke toward the lowest ascii letter before, and '-' (45)
+    # sorts below every base letter, so >= reproduces the old
+    # max_by(base, struct(cnt, -ascii(base))) tie-break bit-exactly).
+    # Each input subtree is planned ONCE; the gap union, its
+    # re-aggregation and the BroadcastNestedLoopJoin are gone.
     ins = _pos_filter(insertions, positions)
     if min_ins_count > 0:
         keep = (
@@ -252,37 +285,34 @@ def consensus_with_insertions(
             .select("position", "loc_ins")
         )
         ins = ins.join(F.broadcast(keep), ["position", "loc_ins"], "left_semi")
-    ins_counts = ins.groupBy("position", "loc_ins", "base").agg(
+    all_cells = (
+        _pos_filter(cells, positions)
+        .select("position", F.lit(0).alias("loc_ins"), "base")
+        .unionByName(ins.select("position", "loc_ins", "base"))
+    )
+    counts = all_cells.groupBy("position", "loc_ins", "base").agg(
         F.count(F.lit(1)).alias("cnt")
     )
     n_reads = cells.select(
         F.countDistinct("read_id").alias("_n_reads")
     )
-    gap_rows = (
-        ins_counts.groupBy("position", "loc_ins")
-        .agg(F.sum("cnt").alias("_with_ins"))
-        .crossJoin(F.broadcast(n_reads))
-        .select(
-            "position",
-            "loc_ins",
-            F.lit("-").alias("base"),
-            (F.col("_n_reads") - F.col("_with_ins")).alias("cnt"),
-        )
-        .filter(F.col("cnt") > 0)
-    )
-    counts = base_counts.unionByName(ins_counts).unionByName(gap_rows)
     per_slot = counts.groupBy("position", "loc_ins").agg(
-        F.expr("max_by(base, struct(cnt, -ascii(base)))").alias("mode_base"),
-        F.max("cnt").alias("mode_cnt"),
-        F.sum("cnt").alias("total"),
-    )
+        F.expr("max_by(base, struct(cnt, -ascii(base)))").alias("letter_mode"),
+        F.max("cnt").alias("letter_cnt"),
+        F.sum("cnt").alias("letter_total"),
+    ).crossJoin(F.broadcast(n_reads))
+    gap_cnt = F.col("_n_reads") - F.col("letter_total")
+    gap_wins = (F.col("loc_ins") != 0) & (gap_cnt >= F.col("letter_cnt"))
+    mode_cnt = F.when(gap_wins, gap_cnt).otherwise(F.col("letter_cnt"))
+    mode_base = F.when(gap_wins, F.lit("-")).otherwise(F.col("letter_mode"))
+    total = F.when(
+        (F.col("loc_ins") != 0) & (gap_cnt > 0), F.col("_n_reads")
+    ).otherwise(F.col("letter_total"))
     cons = per_slot.select(
         "position",
         "loc_ins",
-        F.when(
-            F.col("mode_cnt") <= F.col("total") * F.lit(modecutoff), F.lit(fill)
-        )
-        .otherwise(F.col("mode_base"))
+        F.when(mode_cnt <= total * F.lit(modecutoff), F.lit(fill))
+        .otherwise(mode_base)
         .alias("consensus_base"),
     )
     if exclude_insertions_with_gap_cons:

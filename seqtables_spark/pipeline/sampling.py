@@ -109,14 +109,25 @@ def dsir_weights(
     # rows), not from the token stream: a direct toks.agg() would
     # re-reference the tokenize+explode subtree - Catalyst does not
     # dedupe common subtrees, so the corpus would be tokenized a
-    # third time for two numbers the bucket counts already determine
-    totals = bucket_counts.agg(
-        F.sum("n_raw").alias("t_raw"), F.sum("n_tgt").alias("t_tgt")
+    # third time for two numbers the bucket counts already determine.
+    # Round 12 (guide §2.4): the totals used to be a SEPARATE
+    # aggregate relation crossJoined in, which still re-planned the
+    # whole bucket_counts subtree (tokenize included) for its branch
+    # and put a BroadcastNestedLoopJoin in every plan. An
+    # unbounded-frame window over the <= n_buckets-row bucket table
+    # carries both totals onto every row in one tiny single-partition
+    # pass instead - the token stream is now planned exactly twice
+    # (score pass + bucket pass), never a third time.
+    from pyspark.sql import Window
+
+    w_all = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
     )
     B = float(n_buckets)
     # log ((n_tgt+1)/(t_tgt+B)) - log ((n_raw+1)/(t_raw+B)), fixed-point
     ratio = (
-        bucket_counts.crossJoin(F.broadcast(totals))
+        bucket_counts.withColumn("t_raw", F.sum("n_raw").over(w_all))
+        .withColumn("t_tgt", F.sum("n_tgt").over(w_all))
         .select(
             "__bucket__",
             F.round(

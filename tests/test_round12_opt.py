@@ -105,3 +105,159 @@ def test_global_running_sum_null_values_skip_like_window_sum(spark):
     )
     got = {(r["id"], r["cum"]) for r in out.collect()}
     assert got == {(1, 10), (2, 10), (3, 15), (4, 15), (5, 16)}
+
+
+def _plan(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+# ---- insertion-family collapse (round-12 optimization §2) ----------
+
+
+def _ins_fixture(spark):
+    cells = spark.createDataFrame(
+        [(str(r), p, b)
+         for r, row in enumerate(["AC", "AC", "GC", "GT"])
+         for p, b in enumerate(row, start=1)],
+        "read_id string, position long, base string",
+    )
+    # pos 1 loc 1: read 0 only -> A (gap 3 beats letter 1 AND the
+    # 0.5 modecutoff: consensus '-', slot excluded)
+    # pos 2 loc 1: reads 0,1,2 -> A,A,C (letters 2+1, gap 1; A wins the
+    # mode but 2 <= 4*0.5 -> modecutoff fill 'N')
+    # pos 2 loc 2: ALL reads -> T (gap cnt 0)
+    ins = spark.createDataFrame(
+        [("0", 1, 1, "A", 30),
+         ("0", 2, 1, "A", 30), ("1", 2, 1, "A", 30), ("2", 2, 1, "C", 30),
+         ("0", 2, 2, "T", 30), ("1", 2, 2, "T", 30), ("2", 2, 2, "T", 30),
+         ("3", 2, 2, "T", 30)],
+        "read_id string, position long, loc_ins long, base string, qual long",
+    )
+    return cells, ins
+
+
+def test_consensus_ins_gap_arithmetic_semantics(spark):
+    """The collapsed consensus reproduces the old union+gap-row
+    semantics: gap wins ties and outright majorities, gap-consensus
+    insertion slots drop under the exclude flag, full-coverage slots
+    (gap cnt 0) keep their letter, matrix slots are untouched."""
+    from seqtables_spark.operators.insertions import consensus_with_insertions
+
+    cells, ins = _ins_fixture(spark)
+    got = {(r["position"], r["loc_ins"]): r["consensus_base"]
+           for r in consensus_with_insertions(cells, ins).collect()}
+    # matrix: pos1 = A,A,G,G -> mode tie A/G cnt 2 <= 4*0.5 -> fill N;
+    # pos2 C,C,C,T -> C (3 > 2)
+    assert got[(1, 0)] == "N" and got[(2, 0)] == "C"
+    # pos1 loc1: gap(3) > A(1) and 3 > 4*0.5 -> '-' consensus -> EXCLUDED
+    assert (1, 1) not in got
+    # pos2 loc1: A(2) vs gap(1): A wins but 2 <= 4*0.5 -> modecutoff fill
+    assert got[(2, 1)] == "N"
+    # pos2 loc2: all reads carry T, gap cnt 0 -> T (4 > 2)
+    assert got[(2, 2)] == "T"
+    # exclude=False keeps the gap-consensus slot as '-'
+    keep = {(r["position"], r["loc_ins"]): r["consensus_base"]
+            for r in consensus_with_insertions(
+                cells, ins, exclude_insertions_with_gap_cons=False
+            ).collect()}
+    assert keep[(1, 1)] == "-"
+
+
+def test_consensus_ins_single_union_single_count_agg(spark):
+    """Plan pin for the collapse: ONE Union of the two inputs feeding
+    ONE (slot, base) count aggregation — the old shape had three
+    unioned aggregate branches and a gap-row re-aggregation."""
+    from seqtables_spark.operators.insertions import consensus_with_insertions
+
+    cells, ins = _ins_fixture(spark)
+    plan = _plan(consensus_with_insertions(cells, ins))
+    # one Union NODE (tree line " Union (" — the details section
+    # repeats each node id once)
+    assert plan.count(" Union (") == 1
+    # exactly two aggregation exchanges touch the unioned data
+    # (slot-base counts, then per-slot mode); the only other agg is the
+    # 1-row n_reads countDistinct branch
+    assert "max_by" in plan
+
+
+def test_insertion_seq_dist_gap_row_always_emitted(spark):
+    """The inline()-based rewrite keeps the old gap contract: with
+    n_reads_total the '-' row appears for EVERY slot, including
+    cnt=0 when all reads carry the insertion."""
+    from seqtables_spark.operators.insertions import get_insertion_seq_dist
+
+    _, ins = _ins_fixture(spark)
+    rows = {(r["position"], r["loc_ins"], r["base"]): r["cnt"]
+            for r in get_insertion_seq_dist(ins, n_reads_total=4).collect()}
+    assert rows[(1, 1, "-")] == 3  # 4 reads, 1 carries the insertion
+    assert rows[(2, 2, "-")] == 0          # full coverage -> explicit 0 gap
+    assert rows[(2, 1, "A")] == 2
+    # min_ins_count filters whole slots by their LETTER total
+    kept = {(r["position"], r["loc_ins"]) for r in get_insertion_seq_dist(
+        ins, n_reads_total=4, min_ins_count=3).collect()}
+    assert kept == {(2, 1), (2, 2)}
+
+
+def test_insertion_seq_dist_single_pass_plan(spark):
+    """Plan pin: the insertions input is planned ONCE (no union of a
+    gap-row re-aggregation branch, no broadcast semi-join for
+    min_ins_count)."""
+    from seqtables_spark.operators.insertions import get_insertion_seq_dist
+
+    _, ins = _ins_fixture(spark)
+    plan = _plan(get_insertion_seq_dist(ins, n_reads_total=4, min_ins_count=2))
+    assert "Union" not in plan
+    assert "Join" not in plan
+    # the generator explodes the per-slot entry arrays back out
+    assert "Generate" in plan
+
+
+def test_dsir_weights_no_nested_loop_join(spark):
+    """Plan pin for the totals window fold: the bucket totals ride the
+    <=n_buckets-row window — no separate aggregate relation, so no
+    BroadcastNestedLoopJoin and no third tokenize branch."""
+    from seqtables_spark.pipeline.sampling import dsir_weights
+
+    docs = spark.createDataFrame(
+        [(i, f"alpha beta gamma tok{i % 7}", "en" if i % 2 else "xx")
+         for i in range(50)],
+        "doc_id long, text string, lang string",
+    )
+    df = dsir_weights(docs, F.col("lang") == "en", n_buckets=64)
+    plan = _plan(df)
+    assert "BroadcastNestedLoopJoin" not in plan
+    # the token stream appears exactly twice (score pass + bucket pass)
+    assert plan.count("regexp_extract_all") == 2
+    assert len(df.collect()) == 50
+
+
+def test_kmv_banded_single_sketch_materialization(spark):
+    """Plan pin for the localCheckpoint: the banded estimator's FOUR
+    references to the sketch relation read the checkpointed RDD —
+    the sketch-build subtree (explode + distinct + top-k window)
+    appears ZERO times in the pairwise plan."""
+    from seqtables_spark.pipeline.sketch import (
+        kmv_pairwise_jaccard, kmv_pairwise_jaccard_banded, kmv_sketch,
+    )
+
+    df = spark.createDataFrame(
+        [(f"g{i % 4}", f"tok{i % 23}") for i in range(300)],
+        "source string, tok string",
+    )
+    sk = kmv_sketch(df, "tok", k=8, group_by=["source"])
+    banded = kmv_pairwise_jaccard_banded(sk, k=8)
+    plan = _plan(banded)
+    assert "ExistingRDD" in plan
+    # the sketch build (and anything below it) is behind the checkpoint
+    assert "WindowGroupLimit" not in plan and "dropDuplicates" not in plan
+    # values unchanged vs the all-pairs estimator restricted to
+    # overlapping pairs
+    key = lambda rows: sorted(
+        (r["src_a"], r["src_b"], r["n_shared_sketch"],
+         round(r["jaccard_est"], 9)) for r in rows
+    )
+    allp = [r for r in kmv_pairwise_jaccard(sk, k=8).collect()
+            if r["n_shared_sketch"] >= 1]
+    assert key(banded.collect()) == key(allp)

@@ -105,8 +105,15 @@ def main() -> int:
             f"rows={rows:>8d} exch={n_exch} py={n_py} joins={joins}",
             flush=True,
         )
-    with open(os.path.join(plans_dir, f"_qprof_{tag}.json"), "w") as fh:
-        json.dump(out, fh, indent=1, sort_keys=True)
+    # merge into the existing census so successive optimization passes
+    # accumulate per-query rows instead of clobbering each other
+    census_path = os.path.join(plans_dir, f"_qprof_{tag}.json")
+    merged = {}
+    if os.path.exists(census_path):
+        merged = json.load(open(census_path))
+    merged.update(out)
+    with open(census_path, "w") as fh:
+        json.dump(merged, fh, indent=1, sort_keys=True)
     spark.stop()
     return 0
 
