@@ -738,31 +738,155 @@ def semantic_dedup(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     cluster_col: str = "_c",
-    kernel: str = "arrow",
+    kernel: str = "grouped",
+    max_pair_block: int = 2_000_000,
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al. 2023):
     items are pruned when a more-canonical (lower-id) item in the SAME
     k-means cluster has cosine similarity >= tau.
 
     Input is the IVF/k-means cell assignment (ivf_assign) - clustering
-    first is what makes this scale: the pairwise cosine is an
-    EQUI-join on the cluster id, so cost is sum over clusters of
-    |cluster|^2, never N^2. At 100 TB, k grows with N (ivf_k_for:
-    fixed expected cluster size), the assignment is written out
-    partitioned by the cell id, and each cluster's pair generation is
-    a co-located partition-local join.
+    first is what makes this scale: the pairwise cosine never leaves
+    the cluster, so cost is sum over clusters of |cluster|^2, never
+    N^2. At 100 TB, k grows with N (ivf_k_for: fixed expected cell
+    size), so pair cost stays ~N * cell_size, linear in N.
 
-    kernel="arrow" (default) scores pairs with the vectorized Arrow
-    kernel (pair_cosine) - bit-identical values to the kernel="sql"
-    HOF expression (same sequential fold; pinned by
-    tests/test_pipeline.py) at ~200x the throughput, tau-filtered
-    inside the kernel so only survivors cross back.
+    kernel="grouped" (default, round 12): one hash exchange of the
+    assignment on the cluster id, then a per-cluster Arrow kernel
+    generates the (id_a > id_b) pairs, scores them, tau-filters and
+    reduces to the per-item (min keeper, max sim) INSIDE the kernel.
+    Each embedding crosses the Python boundary exactly ONCE - the
+    older kernel="arrow" path materialized every pair row with BOTH
+    vectors through a join and shipped sum(|cluster|^2) vector copies
+    over Arrow (measured 4.5x slower at bench scale; see
+    OPTIMIZATION_r12.md). Pair generation is blocked at
+    `max_pair_block` pairs so per-task memory stays O(block), not
+    O(|cluster|^2). Sims come from the same per-pair sequential fold
+    (_seq_dot_np order) as the other kernels, so all three are
+    bit-identical (pinned in tests). Requires an integer id column
+    (the reduction runs in numpy); non-integer ids fall back to
+    kernel="arrow" semantics via the pair join.
+
+    kernel="arrow" scores the joined pair relation with the
+    vectorized Arrow kernel (pair_cosine); kernel="sql" is the
+    interpreted HOF reference form.
 
     Returns DF(id, keeper_id, max_sim): one row per PRUNED item with
     the lowest-id qualifying neighbor as its keeper (deterministic
     policy, no iterative closure) and the max similarity that doomed
     it. Survivors = input ids minus returned ids.
     """
+    if kernel == "grouped":
+        from pyspark.sql.types import (
+            DoubleType,
+            LongType,
+            StructField,
+            StructType,
+        )
+
+        id_type = assigned.schema[id_col].dataType.simpleString()
+        # long ids only: the kernel's output schema is long/long/double,
+        # which must equal the pair-join form's output schema (it echoes
+        # the input id type) for the two kernels to be interchangeable
+        if id_type == "bigint":
+            out_schema = StructType(
+                [
+                    StructField(id_col, LongType(), False),
+                    StructField("keeper_id", LongType(), False),
+                    StructField("max_sim", DoubleType(), False),
+                ]
+            )
+            block = int(max_pair_block)
+
+            def prune(table):
+                import numpy as np
+                import pyarrow as pa
+
+                m = table.num_rows
+                if m < 2:
+                    return out_schema_empty()
+                ids = table.column(id_col).combine_chunks().to_numpy(
+                    zero_copy_only=False
+                ).astype(np.int64)
+                X = _list_to_2d(
+                    table.column(vec_col).combine_chunks()
+                ).astype(np.float64)
+                order = np.argsort(ids, kind="stable")
+                ids = ids[order]
+                X = X[order]
+                norms = _seq_norm_np(X)
+                keeper = np.full(m, np.iinfo(np.int64).max, dtype=np.int64)
+                best = np.full(m, -np.inf, dtype=np.float64)
+                found = np.zeros(m, dtype=bool)
+                # iterate q-blocks: all pairs (p < q) for q in the block,
+                # capped at ~`block` pairs per iteration
+                q = 1
+                while q < m:
+                    q_end, n_pairs = q, 0
+                    while q_end < m and (n_pairs + q_end) <= block:
+                        n_pairs += q_end
+                        q_end += 1
+                    if q_end == q:  # single q exceeds block: take it alone
+                        q_end = q + 1
+                    qs = np.arange(q, q_end)
+                    Q = np.repeat(qs, qs)
+                    P = np.concatenate([np.arange(x) for x in qs])
+                    # strict id inequality (duplicate ids never pair,
+                    # matching the join form's id_a > id_b condition)
+                    ok = ids[Q] > ids[P]
+                    if not ok.all():
+                        Q, P = Q[ok], P[ok]
+                    # same per-pair sequential fold as _seq_dot_np:
+                    # multiply-then-add one dimension at a time
+                    acc = np.zeros(len(Q), dtype=np.float64)
+                    for i in range(X.shape[1]):
+                        acc = acc + X[Q, i] * X[P, i]
+                    sim = acc / (norms[Q] * norms[P])
+                    sel = sim >= tau
+                    if sel.any():
+                        Qs, Ps, Ss = Q[sel], P[sel], sim[sel]
+                        np.minimum.at(keeper, Qs, ids[Ps])
+                        np.maximum.at(best, Qs, Ss)
+                        found[Qs] = True
+                    q = q_end
+                if not found.any():
+                    return out_schema_empty()
+                # collapse duplicate ids WITHIN the cluster to one row
+                # (min keeper / max sim), exactly as the pair-join
+                # form's groupBy(id_a) does
+                uids, inv = np.unique(ids, return_inverse=True)
+                fidx = np.nonzero(found)[0]
+                k2 = np.full(len(uids), np.iinfo(np.int64).max, np.int64)
+                b2 = np.full(len(uids), -np.inf, np.float64)
+                f2 = np.zeros(len(uids), dtype=bool)
+                np.minimum.at(k2, inv[fidx], keeper[fidx])
+                np.maximum.at(b2, inv[fidx], best[fidx])
+                f2[inv[fidx]] = True
+                return pa.table(
+                    {
+                        id_col: pa.array(uids[f2], pa.int64()),
+                        "keeper_id": pa.array(k2[f2], pa.int64()),
+                        "max_sim": pa.array(b2[f2], pa.float64()),
+                    }
+                )
+
+            def out_schema_empty():
+                import pyarrow as pa
+
+                return pa.table(
+                    {
+                        id_col: pa.array([], pa.int64()),
+                        "keeper_id": pa.array([], pa.int64()),
+                        "max_sim": pa.array([], pa.float64()),
+                    }
+                )
+
+            return (
+                assigned.select(id_col, cluster_col, vec_col)
+                .groupBy(cluster_col)
+                .applyInArrow(prune, out_schema)
+            )
+        kernel = "arrow"  # non-integer ids: pair-join fallback
     a = assigned.select(
         F.col(id_col).alias("id_a"),
         F.col(cluster_col).alias("_ca"),

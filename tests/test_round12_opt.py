@@ -261,3 +261,48 @@ def test_kmv_banded_single_sketch_materialization(spark):
     allp = [r for r in kmv_pairwise_jaccard(sk, k=8).collect()
             if r["n_shared_sketch"] >= 1]
     assert key(banded.collect()) == key(allp)
+
+
+def test_semantic_dedup_grouped_kernel_matches_pair_join(spark):
+    """Round-12 grouped kernel: per-cluster applyInArrow must be
+    row- AND bit-identical to the pair-join + groupBy formulation,
+    including the pair-block chunking path and duplicate ids within
+    a cluster (which collapse to one output row, as the join form's
+    groupBy(id_a) does)."""
+    from seqtables_spark.pipeline.similarity import semantic_dedup
+
+    rows = []
+    for c in range(6):
+        for i in range(c * 37):  # cluster sizes 0..185
+            vid = c * 100_000 + i * 7
+            v = [float(((vid * 31 + d * 17) % 97) - 48) / 7.0
+                 for d in range(8)]
+            rows.append((vid, c, v))
+    # duplicate ids within one cluster + a singleton cluster
+    rows += [(9_000_001, 50, [1.0] * 8), (9_000_001, 50, [1.0] * 8),
+             (9_000_000, 50, [1.0] * 8), (1, 51, [2.0] * 8)]
+    df = spark.createDataFrame(
+        rows, "vec_id long, _c int, embedding array<double>"
+    ).cache()
+    df.count()
+    ref = sorted(map(tuple, semantic_dedup(df, tau=0.3, kernel="arrow").collect()))
+    for kwargs in ({}, {"max_pair_block": 53}):
+        got = sorted(map(tuple, semantic_dedup(
+            df, tau=0.3, kernel="grouped", **kwargs).collect()))
+        assert got == ref  # bit-exact, incl. max_sim doubles
+    df.unpersist()
+
+
+def test_semantic_dedup_grouped_plan_has_no_join(spark):
+    """Plan pin: the grouped kernel moves each embedding over exactly
+    one exchange into the per-cluster kernel — no join operator, no
+    pair materialization in the JVM."""
+    from seqtables_spark.pipeline.similarity import semantic_dedup
+
+    df = spark.createDataFrame(
+        [(1, 0, [1.0, 2.0]), (2, 0, [1.0, 2.1])],
+        "vec_id long, _c int, embedding array<double>",
+    )
+    plan = semantic_dedup(df, tau=0.1)._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan
+    assert "FlatMapGroupsInArrow" in plan or "MapGroups" in plan
