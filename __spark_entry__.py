@@ -3207,16 +3207,34 @@ def q_curate_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             "text"
         ),
     )
-    flagged = near_dup_contamination(
+    # Round 12 (opt): the flag relation used to LEFT-join back onto
+    # the annotated corpus on doc_id purely so one conditional agg
+    # could count it — a SortMergeJoin that exchanged+sorted the
+    # whole annotated corpus a second time. The flagged set is BY
+    # CONSTRUCTION a subset of the quality-kept docs (it derives from
+    # g = docs_ann.filter(keep)), so n_decon = n_quality − |flagged|:
+    # count each side independently and combine the two 1-row
+    # aggregates with a union — zero joins, the corpus is never
+    # re-exchanged. Value-identical (oracle-checked).
+    flagged_n = near_dup_contamination(
         g, evals, n_hashes=MINHASH_N, bands=LSH_BANDS, k=LSH_K
-    ).select("doc_id", F.lit(True).alias("_contaminated"))
-    ann = docs_ann.join(flagged, "doc_id", "left")
-    agg = ann.agg(
+    ).agg(F.count(F.lit(1)).alias("n_flagged"))
+    corpus_agg = docs_ann.agg(
         F.count(F.lit(1)).alias("n_raw"),
         F.sum(F.col("keep").cast("long")).alias("n_quality"),
-        F.sum(
-            (F.col("keep") & F.col("_contaminated").isNull()).cast("long")
-        ).alias("n_decon"),
+    )
+    zero = F.lit(0).cast("long")
+    u = corpus_agg.select(
+        "n_raw", "n_quality", zero.alias("n_flagged")
+    ).unionByName(
+        flagged_n.select(
+            zero.alias("n_raw"), zero.alias("n_quality"), "n_flagged"
+        )
+    )
+    agg = u.agg(
+        F.sum("n_raw").alias("n_raw"),
+        F.sum("n_quality").alias("n_quality"),
+        (F.sum("n_quality") - F.sum("n_flagged")).alias("n_decon"),
     )
     return agg.select(
         F.expr(

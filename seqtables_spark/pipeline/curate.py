@@ -208,6 +208,16 @@ def curate_documents_full(
             F.col("contamination") > max_contamination
         ).select(id_col)
         cur = cur.join(dirty, id_col, "left_anti")
+        if materialize_stages and dsir_target is not None:
+            # LAZY boundary (materialized by the consumer's own
+            # action, so the decontamination work stays on-clock,
+            # once): the DSIR stage references `cur` three times
+            # (score pass, bucket pass, final logw join) and without
+            # it Catalyst re-plans — and the executor re-runs — the
+            # whole contamination anti-join subtree (eval-set gram
+            # aggregation + corpus gram explode) per reference
+            # (round 12: curate_full planned that subtree 3x).
+            cur = cur.localCheckpoint(eager=False)
     if dsir_target is not None:
         w = dsir_weights(
             cur, dsir_target, text_col=text_col, id_col=id_col,

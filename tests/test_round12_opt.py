@@ -306,3 +306,91 @@ def test_semantic_dedup_grouped_plan_has_no_join(spark):
     plan = semantic_dedup(df, tau=0.1)._jdf.queryExecution().executedPlan().toString()
     assert "Join" not in plan
     assert "FlatMapGroupsInArrow" in plan or "MapGroups" in plan
+
+
+def _mini_docs(spark, n=60):
+    from pyspark.sql import functions as F
+
+    words = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+             "lambda mu nu xi omicron pi rho sigma tau upsilon")
+    return spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.concat_ws(
+            " ",
+            F.lit(words),
+            F.concat(F.lit("doc"), (F.col("id") % 7).cast("string")),
+            F.when(F.col("id") % 5 == 0, F.lit(words)).otherwise(
+                F.concat(F.lit("tail"), F.col("id").cast("string"))
+            ),
+        ).alias("text"),
+        F.lit("en").alias("pred_lang_hint"),
+    )
+
+
+def test_curate_full_dsir_boundary_single_contamination_pass(spark):
+    """Round-12 opt pin: with materialize_stages=True the
+    decontaminated relation is a LAZY localCheckpoint, so the DSIR
+    stage's three references read the boundary instead of re-planning
+    the contamination anti-join (before: the eval-gram aggregation +
+    corpus gram explode appeared per reference). The anti-join is
+    behind the boundary -> ZERO LeftAnti in the final plan; values
+    are identical to the unmaterialized form."""
+    from pyspark.sql import functions as F
+
+    from seqtables_spark.pipeline.curate import curate_documents_full
+
+    docs = _mini_docs(spark)
+    corpus = docs.filter(F.col("doc_id") % 10 != 0)
+    evals = docs.filter(F.col("doc_id") % 10 == 0)
+    kw = dict(
+        eval_set=evals, lsh_hashes=4, lsh_bands=2, shingle_k=5,
+        min_jaccard=0.9, contamination_k=8, max_contamination=0.8,
+        dsir_target=F.col("pred_lang") == "en", dsir_buckets=16,
+        min_tokens=2, max_tokens=10_000, min_alpha_ratio=0.1,
+    )
+    mat = curate_documents_full(corpus, materialize_stages=True, **kw)
+    plan = mat._jdf.queryExecution().executedPlan().toString()
+    assert "LeftAnti" not in plan
+    key = lambda df: sorted(
+        (r["doc_id"], r["n_tokens"], round(r["logw"], 9))
+        for r in df.collect()
+    )
+    unmat = curate_documents_full(corpus, materialize_stages=False, **kw)
+    assert key(mat) == key(unmat)
+
+
+def test_curate_funnel_counts_need_no_join(monkeypatch, spark):
+    """Round-12 opt pin for the funnel arithmetic: flagged docs are a
+    subset of quality-kept docs, so n_decon = n_quality - |flagged|.
+    Replays the query's aggregation shape on a mini corpus and checks
+    it against the naive join formulation."""
+    from pyspark.sql import functions as F
+
+    from seqtables_spark.pipeline.dedup import near_dup_contamination
+    from seqtables_spark.pipeline.text import gopher_quality_filter
+
+    docs = _mini_docs(spark)
+    ann = gopher_quality_filter(
+        docs, min_tokens=2, max_tokens=10_000, min_mean_word_len=1.0,
+        max_mean_word_len=99.0, min_alpha_ratio=0.1,
+        min_stopword_ratio=0.0, max_digit_ratio=1.0,
+    ).select("doc_id", "text", "keep")
+    g = ann.filter(F.col("keep")).select("doc_id", "text")
+    evals = docs.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 10_000).alias("doc_id"), "text"
+    )
+    flagged = near_dup_contamination(g, evals, n_hashes=4, bands=2, k=5)
+    # naive join formulation (the pre-round-12 shape)
+    joined = ann.join(
+        flagged.select("doc_id", F.lit(True).alias("_c")), "doc_id", "left"
+    ).agg(
+        F.count(F.lit(1)).alias("n_raw"),
+        F.sum(F.col("keep").cast("long")).alias("n_quality"),
+        F.sum((F.col("keep") & F.col("_c").isNull()).cast("long")).alias("n_decon"),
+    ).first()
+    n_raw = ann.count()
+    n_quality = ann.filter("keep").count()
+    n_flagged = flagged.count()
+    assert (joined["n_raw"], joined["n_quality"], joined["n_decon"]) == (
+        n_raw, n_quality, n_quality - n_flagged
+    )
