@@ -4230,6 +4230,15 @@ def q_token_freq_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     exact = toks.groupBy("word").agg(F.count(F.lit(1)).alias("exact_cnt"))
     top = exact.orderBy(F.desc("exact_cnt"), F.asc("word")).limit(CMS_TOPN)
+    # Round 12 (opt, guide §2.4): `top` (CMS_TOPN rows) is referenced
+    # twice — as the final join's left side and as the estimate
+    # probe — and Catalyst re-planned the whole exact tokenize +
+    # count + top-k corpus pass per reference (3 corpus scans total).
+    # A lazy boundary materializes the 20-row relation once; the
+    # query now tokenizes the corpus exactly twice (exact pass + CMS
+    # pass — two different aggregation keys over the token stream,
+    # the documented deliberate recompute).
+    top = top.localCheckpoint(eager=False)
     cms = cms_build(
         toks, "word", width=CMS_WIDTH, depth=CMS_DEPTH, seed=CMS_SEED
     )

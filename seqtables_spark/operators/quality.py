@@ -50,6 +50,71 @@ def even_bins(min_position: int, max_position: int, n: int = 10) -> list[tuple[i
     return out
 
 
+#: positions spanned beyond which the literal-array bin lookup would
+#: bloat the plan; such bin tables fall back to the broadcast range join
+_BIN_LOOKUP_MAX_SPAN = 8192
+
+
+def _attach_bins(spark, qcells: DataFrame, bin_list) -> DataFrame:
+    """Attach (bin_name, bin_lo, bin_hi) to each cell row and drop
+    rows covered by no bin (inner-join semantics, e.g. the fastqc
+    (75,79) gap).
+
+    Fast path (round 12, guide §3): when the bins are non-overlapping
+    and span a bounded position domain — always true for the
+    even/fastqc presets, whose positions are read offsets — the
+    assignment is a row-local ``element_at`` on literal arrays
+    indexed by position. The previous broadcast range join planned as
+    a BroadcastNestedLoopJoin that evaluated every bin's BETWEEN
+    predicate against every cell row (|bins| ~ 60 comparisons/cell);
+    the lookup is O(1) per row and removes the join node entirely.
+    Overlapping or unbounded bin tables keep the range join (a
+    position matching several bins must emit one row per match)."""
+    lo_all = min(lo for lo, _ in bin_list)
+    hi_all = max(hi for _, hi in bin_list)
+    span = hi_all - lo_all + 1
+    non_overlapping = all(
+        a[1] < b[0] for a, b in zip(sorted(bin_list), sorted(bin_list)[1:])
+    )
+    if non_overlapping and 0 < span <= _BIN_LOOKUP_MAX_SPAN:
+        names: list[str | None] = [None] * span
+        los: list[int | None] = [None] * span
+        his: list[int | None] = [None] * span
+        for lo, hi in bin_list:
+            nm = f"{lo}-{hi}" if lo != hi else str(lo)
+            for p in range(lo, hi + 1):
+                names[p - lo_all] = nm
+                los[p - lo_all] = lo
+                his[p - lo_all] = hi
+        name_arr = F.array(*[F.lit(n).cast("string") for n in names])
+        lo_arr = F.array(*[F.lit(v).cast("long") for v in los])
+        hi_arr = F.array(*[F.lit(v).cast("long") for v in his])
+        idx = (F.col("position") - F.lit(lo_all) + 1).cast("int")
+        return (
+            qcells.filter(
+                F.col("position").between(F.lit(lo_all), F.lit(hi_all))
+            )
+            .withColumns(
+                {
+                    "bin_name": F.element_at(name_arr, idx),
+                    "bin_lo": F.element_at(lo_arr, idx),
+                    "bin_hi": F.element_at(hi_arr, idx),
+                }
+            )
+            .filter(F.col("bin_name").isNotNull())
+        )
+    bins_df = spark.createDataFrame(
+        spark.sparkContext.parallelize(
+            [(f"{lo}-{hi}" if lo != hi else str(lo), lo, hi) for lo, hi in bin_list], 1
+        ),
+        "bin_name string, bin_lo long, bin_hi long",
+    )
+    return qcells.join(
+        F.broadcast(bins_df),
+        (F.col("position") >= F.col("bin_lo")) & (F.col("position") <= F.col("bin_hi")),
+    )
+
+
 def quality_dist(
     cells: DataFrame,
     bins: str | Sequence[tuple[int, int]] = "even",
@@ -83,16 +148,7 @@ def quality_dist(
         bin_list = [(int(lo), int(hi)) for lo, hi in bins]
 
     spark = SparkSession.getActiveSession()
-    bins_df = spark.createDataFrame(
-        spark.sparkContext.parallelize(
-            [(f"{lo}-{hi}" if lo != hi else str(lo), lo, hi) for lo, hi in bin_list], 1
-        ),
-        "bin_name string, bin_lo long, bin_hi long",
-    )
-    joined = qcells.join(
-        F.broadcast(bins_df),
-        (F.col("position") >= F.col("bin_lo")) & (F.col("position") <= F.col("bin_hi")),
-    )
+    joined = _attach_bins(spark, qcells, bin_list)
     pset = sorted(set(int(p) for p in percentiles) | {0, 10, 25, 50, 75, 90, 100})
 
     # (bin x qual) histogram: the ONLY aggregation that sees the raw

@@ -845,6 +845,16 @@ def dedup_survivors(
             .filter(F.col("_rk") > 1)
             .select(F.col("doc_id").alias(id_col))
         )
+        # LAZY boundary (round 12, guide §2.4/§3.3): when `df` is a
+        # union, Catalyst pushes this anti-join below it and
+        # re-plans — and the executor re-runs — the whole losers
+        # subtree (cluster/score join + window + its corpus rescans
+        # for the score column) once PER UNION BRANCH. Checkpointing
+        # the loser ids (a tiny id-only relation, bounded by the
+        # clustered docs) makes every branch read the one
+        # materialization; lazy, so the work stays on the consumer's
+        # clock and plan build stays action-free.
+        losers = losers.localCheckpoint(eager=False)
     return df.join(losers, id_col, "left_anti")
 
 

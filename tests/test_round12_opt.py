@@ -394,3 +394,101 @@ def test_curate_funnel_counts_need_no_join(monkeypatch, spark):
     assert (joined["n_raw"], joined["n_quality"], joined["n_decon"]) == (
         n_raw, n_quality, n_quality - n_flagged
     )
+
+
+# ---- quality_dist row-local bin lookup (round-12 optimization) -----
+
+
+def test_quality_dist_lookup_matches_range_join(spark):
+    """The element_at literal-array bin assignment must be
+    row-identical to the broadcast range join it replaced, including
+    the fastqc (75,79) coverage gap (rows there are DROPPED, the
+    inner-join semantics)."""
+    from seqtables_spark.operators import quality as Q
+
+    rows = [
+        (f"r{i}", p, (i * 7 + p * 3) % 40 + 1)
+        for i in range(40)
+        for p in range(1, 96)
+    ]
+    cells = spark.createDataFrame(
+        rows, "read_id string, position long, qual long"
+    )
+    got = {
+        tuple(r) for r in Q.quality_dist(cells, bins="fastqc").collect()
+    }
+    # force the fallback path by monkeying the span guard to 0
+    orig = Q._BIN_LOOKUP_MAX_SPAN
+    try:
+        Q._BIN_LOOKUP_MAX_SPAN = 0
+        want = {
+            tuple(r) for r in Q.quality_dist(cells, bins="fastqc").collect()
+        }
+    finally:
+        Q._BIN_LOOKUP_MAX_SPAN = orig
+    assert got == want
+    # the (75,79) gap: no bin named for those positions in the output
+    for r in got:
+        assert not any(str(p) in r[0].split("-") for p in (76, 77, 78))
+
+
+def test_quality_dist_lookup_plan_has_single_cross(spark):
+    """Plan pin: with preset bins the only nested-loop node left is
+    the tiny hist x percentile cross — the cells-side range join is
+    a row-local projection now."""
+    from seqtables_spark.operators.quality import quality_dist
+
+    cells = spark.createDataFrame(
+        [(f"r{i}", i % 9 + 1, i % 30 + 1) for i in range(200)],
+        "read_id string, position long, qual long",
+    )
+    plan = _plan(quality_dist(cells, bins="even"))
+    # formatted explain mentions each node twice (tree + detail):
+    # exactly ONE nested-loop node = the hist x pct cross
+    assert plan.count("BroadcastNestedLoopJoin") == 2
+    assert "element_at" in plan
+
+
+def test_quality_dist_overlapping_bins_fall_back_to_join(spark):
+    """Overlapping explicit bins must keep the range join (a position
+    matching two bins emits a row per match)."""
+    from seqtables_spark.operators.quality import quality_dist
+
+    cells = spark.createDataFrame(
+        [(f"r{i}", i % 6 + 1, i % 20 + 1) for i in range(60)],
+        "read_id string, position long, qual long",
+    )
+    df = quality_dist(cells, bins=[(1, 4), (3, 6)])
+    plan = _plan(df)
+    # TWO nested-loop nodes (2 mentions each): the kept range join
+    # plus the hist x pct cross
+    assert plan.count("BroadcastNestedLoopJoin") == 4
+    assert df.count() == 2  # one row per bin, both covering position 3-4
+
+
+def test_dedup_survivors_pref_losers_planned_once(spark):
+    """Plan pin: the anti-join pushed below a corpus Union must read
+    the checkpointed loser ids (ExistingRDD), not re-plan the
+    window/score subtree per branch."""
+    from seqtables_spark.pipeline.dedup import dedup_survivors
+
+    docs = spark.createDataFrame(
+        [(i, "x" * (i % 7 + 1)) for i in range(40)], "doc_id long, text string"
+    )
+    corpus = docs.filter("doc_id % 2 = 0").unionByName(
+        docs.filter("doc_id % 2 = 1")
+    ).withColumn("_len", F.length("text"))
+    pairs = spark.createDataFrame(
+        [(0, 1), (1, 2), (10, 11)], "id_a long, id_b long"
+    )
+    df = dedup_survivors(corpus, pairs, prefer_col="_len", descending=False)
+    plan = _plan(df)
+    # the union pushes the anti-join into both branches, but the
+    # losers side of each is the one checkpointed relation
+    assert plan.count("Window") == 0  # window ran inside the checkpoint lineage, not in this plan
+    kept = {r["doc_id"] for r in df.select("doc_id").collect()}
+    # cluster {0,1,2}: shortest text wins -> len('x'*(i%7+1)): 0->1,1->2,2->3 => keep 0
+    # cluster {10,11}: 10->len 4, 11->len 5 => keep 10
+    assert 0 in kept and 1 not in kept and 2 not in kept
+    assert 10 in kept and 11 not in kept
+    assert all(i in kept for i in range(12, 40))
