@@ -58,6 +58,17 @@ def _ranked_parts(
     rp = df.repartitionByRange(parts, *order_by).withColumn(
         "__pid__", F.spark_partition_id()
     )
+    # Round 12 (opt): LAZY boundary. The local and offsets branches
+    # both reference `rp`, but range exchanges are never reused at
+    # runtime (AQE's ReusedExchange fires for hash partitioning, not
+    # RangePartitioning — measured on the final adaptive plans), so
+    # without the boundary the WHOLE upstream subtree (scan,
+    # aggregations, the range shuffle itself) executes once per
+    # branch. Checkpointing the ranged relation materializes it once;
+    # lazy, so plan build stays action-free and the work lands on the
+    # consumer's own clock. Partition indices (and hence __pid__ and
+    # the within-partition positions below) are preserved.
+    rp = rp.localCheckpoint(eager=False)
     # Round 12: the local rank used to be row_number() OVER
     # (PARTITION BY __pid__ ORDER BY ...). That window's required
     # ClusteredDistribution(__pid__) re-shuffled the WHOLE relation
@@ -183,6 +194,10 @@ def global_running_sum(
     rp = df.repartitionByRange(parts, *order_by).withColumn(
         "__pid__", F.spark_partition_id()
     )
+    # LAZY boundary — same rationale as _ranked_parts: range
+    # exchanges never hit AQE's runtime reuse, so the cumsum and
+    # offsets branches would each re-execute the scan + range shuffle
+    rp = rp.localCheckpoint(eager=False)
     v = F.col(value_col).cast("long")
     # Round 12: the per-partition running sum used to be a window
     # PARTITION BY __pid__, whose required distribution re-shuffled
