@@ -4326,6 +4326,24 @@ def _prepared(name: str, fn: Callable) -> Callable:
 # lead _ORACLE_PRIORITY so the driver's 50-query correctness sample
 # attests exactly the code that moved.
 _ROUND_CHANGED = [
+    # --- round 12 OPTIMIZATION head (results identical, plans
+    # changed; OPTIMIZATION_r12.md sections 1-8) ---
+    # section 7: losers-subtree checkpoint / top-k checkpoint /
+    # literal-array bin lookup
+    "dedup_survivors_pref", "dedup_survivors", "token_freq_cms",
+    "quality_dist", "quality_dist_fastqc",
+    # sections 1+8: rank framework (second exchange dropped, ranged
+    # relation checkpointed - range exchanges never runtime-reuse)
+    "token_budget", "customer_deciles", "training_order",
+    "weighted_sample_docs", "running_revenue", "event_quantiles",
+    # section 2: insertion family union-then-aggregate + gap row
+    "consensus_ins", "insertion_seq_dist", "seq_logo_ins",
+    "seq_dist_ins",
+    # sections 3-6: dsir totals window, banded-KMV single pass,
+    # semantic_dedup grouped kernel, curate boundaries/funnel
+    "dsir_weights", "source_overlap_banded", "semantic_dedup",
+    "curate_full", "curate_funnel",
+    # --- round 12 build head ---
     # round 12: NEW query - product quantization: per-subspace
     # codebooks (hash-ranked seeds + fixed-point Lloyd), 8-byte codes
     # (32x), ADC LUT top-k (pipeline/similarity.pq_codebooks/
