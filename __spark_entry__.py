@@ -2950,21 +2950,40 @@ def q_partitioned_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     pin + pruned-file-count proof in tests/test_plans.py). At 100 TB
     partition pruning is the single biggest scan lever: the same
     filter on the unpartitioned table scans everything. Day
-    derivation is exact integer arithmetic in the ns domain (UTC),
-    so the oracle's CAST(ts AS DATE) matches bit-for-bit."""
+    derivation is exact integer arithmetic (epoch-day = ts div
+    ns-or-us-per-day, then date_from_unix_date), so the oracle's
+    CAST(ts AS DATE) matches bit-for-bit on EITHER data shape AND
+    under ANY session timezone — round 13 removed both the
+    session-global timeZone mutation (it leaked UTC into every
+    later query built in the driver's session) and the old
+    float-division + date_format path, which was only correct with
+    that mutation in place."""
+    # nanosAsLong is REQUIRED to read the driver's TIMESTAMP(NANOS)
+    # events parquet and is runtime-settable only; every events
+    # reader sets it before its first _t() call (the established,
+    # driver-green pattern — see q_events_hourly etc.).
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
     ev = _t(spark, sf_dir, "events")
     key = ("events_by_day", sf_dir)
     entry_ = _layout_cache.get(key)
     if entry_ is None or entry_[0] is not spark:
-        if dict(ev.dtypes).get("ts") in ("bigint", "int", "long"):
-            day_ts = F.timestamp_seconds(
-                F.floor(F.col("ts") / 86_400_000_000_000) * 86400
-            )
+        ts_type = dict(ev.dtypes).get("ts")
+        if ts_type in ("bigint", "int", "long"):
+            # driver shape: raw int64 nanos. Integer div, never a
+            # double division (53-bit mantissa cannot hold ns ticks).
+            day = F.date_from_unix_date(
+                F.expr("ts div 86400000000000").cast("int")
+            ).cast("string")
+        elif ts_type == "timestamp_ntz":
+            # local shape: TIMESTAMP(MICROS, ntz). NTZ->date is a
+            # wall-clock truncation — tz-independent by definition.
+            day = F.col("ts").cast("date").cast("string")
         else:
-            day_ts = F.date_trunc("day", F.col("ts"))
-        day = F.date_format(day_ts, "yyyy-MM-dd")
+            # ltz fallback: truncate the UTC instant via the integer
+            # micros value, independent of the session timezone.
+            day = F.date_from_unix_date(
+                F.expr("unix_micros(ts) div 86400000000").cast("int")
+            ).cast("string")
         path = _rt_tmp("seqtables_events_by_day", sf_dir)
         (
             ev.withColumn("day", day)
@@ -3005,9 +3024,16 @@ def q_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     entry_ = _layout_cache.get(key)
     if entry_ is None or entry_[0] is not spark:
         import hashlib
+        import os
 
+        # PID in the database name: a persistent metastore in the
+        # calling session's cwd (derby metastore_db survives across
+        # driver invocations) would otherwise resolve CREATE DATABASE
+        # IF NOT EXISTS to a STALE location from a dead process; a
+        # per-process name can never collide with leftover catalog
+        # state (round-13 session-hermeticity hardening).
         tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
-        db = f"seqtables_bucket_{tag}"
+        db = f"seqtables_bucket_{tag}_{os.getpid()}"
         loc = _rt_tmp("seqtables_warehouse", sf_dir)
         spark.sql(f"CREATE DATABASE IF NOT EXISTS {db} LOCATION '{loc}'")
         save_bucketed(
@@ -7310,10 +7336,16 @@ SELECT doc_id, text, lang, source, n_chars FROM documents
     # aggregate straight from the unpartitioned table — identical
     # values prove the layout changes the scan, not the answer. Day =
     # exact integer truncation in the ns domain (UTC) = CAST(ts AS DATE).
+    # CAST(sum(..) AS BIGINT): DuckDB's sum(BIGINT) returns HUGEINT
+    # (int128). Row values are identical, but the driver's hasher is
+    # type-sensitive where selfcheck's normalize() is not — the four
+    # round-12b oracles that omitted this repo-wide cast convention
+    # were EXACTLY the four driver-red hash failures of round 12
+    # (CORRECTNESS_r12.json); every other oracle already casts.
     sqls["partitioned_prune"] = """
 SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day, event_type,
        count(*) AS n,
-       sum(CAST(round(value * 100) AS BIGINT)) AS value_cents
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
 FROM events
 WHERE CAST(ts AS DATE) BETWEEN DATE '2024-01-05' AND DATE '2024-01-07'
 GROUP BY 1, 2
@@ -7324,7 +7356,8 @@ GROUP BY 1, 2
     # values prove bucketing changes the plan, not the answer
     sqls["bucketed_join"] = """
 SELECT c_mktsegment, count(*) AS n_orders,
-       sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS revenue_cents
+       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+         AS revenue_cents
 FROM customer JOIN orders ON c_custkey = o_custkey
 GROUP BY c_mktsegment
 """
@@ -7343,7 +7376,7 @@ SELECT CASE WHEN bk < 80 THEN 'train'
             ELSE 'test' END AS split,
        lang, count(*) AS n_docs,
        count(DISTINCT source) AS n_sources,
-       sum(n_chars) AS chars_total
+       CAST(sum(n_chars) AS BIGINT) AS chars_total
 FROM b GROUP BY 1, 2
 """
 
@@ -7351,7 +7384,7 @@ FROM b GROUP BY 1, 2
 SELECT source, count(*) AS n_docs,
        count(DISTINCT lang) AS n_langs,
        count(DISTINCT md5(text)) AS n_unique_texts,
-       sum(n_chars) AS chars_total
+       CAST(sum(n_chars) AS BIGINT) AS chars_total
 FROM documents GROUP BY source
 """
 

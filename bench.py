@@ -259,6 +259,15 @@ def main() -> int:
         "reps": reps,
     }
     run_t1, run_s1 = _cpu_counters()
+    # The on-disk artifact carries everything; the STDOUT line stays
+    # bounded (round-13, verdict item #2): the r11 driver capture
+    # truncated mid-line inside the auxiliary per-query maps and the
+    # whole round-over-round comparison was lost (`BENCH_r11.json`
+    # parsed: null). The contract keys (metric/value/unit/queries/sf)
+    # plus scalars stay on stdout; the three bulky diagnostic maps
+    # (duck_queries, query_steal_pct, steal_retries) now live ONLY in
+    # BENCH.json. No timing methodology changed.
+    artifact = dict(payload)
     if run_t1 > run_t0:
         # hypervisor steal share over the whole run + per-query map
         # (sampled around each query's SPARK reps - the parallel side
@@ -267,20 +276,24 @@ def main() -> int:
         payload["steal_pct"] = round(
             100.0 * (run_s1 - run_s0) / (run_t1 - run_t0), 2
         )
-        payload["query_steal_pct"] = steal_pcts
+        artifact["steal_pct"] = payload["steal_pct"]
+        artifact["query_steal_pct"] = steal_pcts
     if steal_retries:
         payload["steal_retry_bar_pct"] = round(steal_bar, 2)
-        payload["steal_retries"] = steal_retries
+        artifact["steal_retry_bar_pct"] = payload["steal_retry_bar_pct"]
+        artifact["steal_retries"] = steal_retries
     if duck_timings:
         duck_total = round(sum(duck_timings.values()), 3)
         # ratio over the PAIRED set only, so NO_ORACLE queries don't
         # inflate the engine side of a self-interpreting number
         spark_paired = sum(t for q, t in timings.items() if q in duck_timings)
-        payload["duck_queries"] = duck_timings
         payload["duck_total"] = duck_total
         payload["vs_oracle_ratio"] = (
             round(spark_paired / duck_total, 3) if duck_total > 0 else None
         )
+        artifact["duck_queries"] = duck_timings
+        artifact["duck_total"] = duck_total
+        artifact["vs_oracle_ratio"] = payload["vs_oracle_ratio"]
     print(json.dumps(payload))
     # also persist as a parseable artifact at the repo root: the
     # driver's BENCH_r0N.json keeps only a truncated stdout tail, so
@@ -293,7 +306,7 @@ def main() -> int:
     name = "BENCH.json" if sf == 0.1 else f"BENCH_sf{sf:g}.json"
     out = os.path.join(os.path.dirname(os.path.abspath(__file__)), name)
     with open(out, "w") as fh:
-        json.dump(payload, fh, indent=1, sort_keys=True)
+        json.dump(artifact, fh, indent=1, sort_keys=True)
     spark.stop()
     return 0
 

@@ -1,0 +1,133 @@
+"""Round-13 regression pins for the four round-12 driver-red queries.
+
+Root cause (CORRECTNESS_r12.json): the four hash-failing oracles —
+partitioned_prune, bucketed_join, corpus_stats, leakage_split — were
+EXACTLY the four (of 163) whose DuckDB result carried a HUGEINT
+column (DuckDB's sum(BIGINT) widens to int128). selfcheck's
+normalize() canonicalizes ints so the mismatch was invisible locally,
+but the driver's hasher is type-sensitive. The repo-wide convention
+is CAST(sum(..) AS BIGINT); these pins keep the invariant from
+regressing, and pin the session-hermeticity fixes that came with it
+(no session-global timeZone mutation at plan build; integer-exact
+day derivation on the TIMESTAMP(NANOS) driver data shape; PID-scoped
+bucket database so stale catalog state can never alias).
+"""
+
+import os
+
+import pytest
+
+SF_DIR = "/root/testdata/sf0.001"
+
+# The canonical DuckDB output types the driver's hasher has been
+# proven green on (every other type below appears in at least one
+# driver-verified oracle; HUGEINT appeared ONLY in the four r12
+# failures).
+_ALLOWED_DUCK_TYPES = {
+    "BIGINT", "INTEGER", "VARCHAR", "DOUBLE", "BOOLEAN", "DECIMAL(38,2)",
+}
+
+
+def test_no_hugeint_in_any_oracle():
+    """Planning-only type audit of all 163 oracle SQLs: no column may
+    come back HUGEINT (or any type outside the driver-proven set).
+    DuckDB binds the relation without executing it, so this covers
+    the full suite in seconds."""
+    import duckdb
+
+    import __spark_entry__ as entry
+
+    con = duckdb.connect()
+    for t in (
+        "region nation customer supplier part orders lineitem events "
+        "documents embeddings"
+    ).split():
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"parquet_scan('{SF_DIR}/{t}.parquet')"
+        )
+    bad = []
+    for name, sql in sorted(entry.oracle_sql().items()):
+        rel = con.sql(sql)
+        for c, ty in zip(rel.columns, rel.types):
+            if str(ty) not in _ALLOWED_DUCK_TYPES:
+                bad.append((name, c, str(ty)))
+    assert bad == [], (
+        "oracle columns with non-canonical DuckDB types (the r12 "
+        f"driver-red signature): {bad}"
+    )
+
+
+def test_partitioned_prune_does_not_mutate_session_timezone(spark):
+    """r12 leaked spark.sql.session.timeZone=UTC into the calling
+    session at plan-build time; the day derivation is now integer-
+    exact and tz-independent, so the query must leave the session
+    timezone alone."""
+    from __spark_entry__ import q_partitioned_prune
+
+    before = spark.conf.get("spark.sql.session.timeZone")
+    try:
+        spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+        rows = q_partitioned_prune(spark, SF_DIR).collect()
+        assert len(rows) > 0
+        assert (
+            spark.conf.get("spark.sql.session.timeZone")
+            == "America/New_York"
+        ), "q_partitioned_prune mutated the session timezone"
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", before)
+
+
+def test_partitioned_prune_nanos_shape_matches_micros_shape(
+    spark, tmp_path
+):
+    """The driver's events.parquet is TIMESTAMP(NANOS), which Spark
+    reads as BIGINT under nanosAsLong — a completely different day-
+    derivation branch from the local TIMESTAMP(MICROS) one. Same
+    instants through both branches must give identical results."""
+    pa = pytest.importorskip("pyarrow")
+    import pyarrow.parquet as pq
+
+    from __spark_entry__ import q_partitioned_prune
+
+    nanos_dir = tmp_path / "sf_nanos"
+    nanos_dir.mkdir()
+    t = pq.read_table(f"{SF_DIR}/events.parquet")
+    i = t.schema.get_field_index("ts")
+    t = t.set_column(
+        i, pa.field("ts", pa.timestamp("ns")),
+        t.column("ts").cast(pa.timestamp("ns")),
+    )
+    pq.write_table(t, str(nanos_dir / "events.parquet"), store_schema=False)
+
+    # sanity: the nanos copy really takes the bigint branch
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    dt = dict(
+        spark.read.parquet(str(nanos_dir / "events.parquet")).dtypes
+    )["ts"]
+    assert dt == "bigint", f"nanos fixture read as {dt}, expected bigint"
+
+    base = {
+        tuple(r) for r in q_partitioned_prune(spark, SF_DIR).collect()
+    }
+    nanos = {
+        tuple(r)
+        for r in q_partitioned_prune(spark, str(nanos_dir)).collect()
+    }
+    assert base == nanos
+
+
+def test_bucketed_join_database_is_pid_scoped(spark):
+    """A persistent metastore in the calling session's cwd must never
+    resolve the bucket database to a stale location from a dead
+    process: the database name carries this PID."""
+    from __spark_entry__ import q_bucketed_join
+
+    q_bucketed_join(spark, SF_DIR).collect()
+    pid = str(os.getpid())
+    dbs = [d.name for d in spark.catalog.listDatabases()]
+    ours = [d for d in dbs if d.startswith("seqtables_bucket_")]
+    assert ours, f"no bucket database found in {dbs}"
+    assert all(d.endswith(f"_{pid}") for d in ours), (
+        f"bucket databases not PID-scoped: {ours}"
+    )

@@ -8,7 +8,7 @@ bench/driver protocol uses, count plan nodes (Exchange / *EvalPython
 full `.explain("formatted")` text.
 
 Usage:
-    python tools/qprof.py [--tag before|after] [--reps 3] q1 q2 ...
+    python tools/qprof.py [--tag before|after] [--reps 3] [--round r13] q1 q2 ...
     python tools/qprof.py --tag before --all-over 0.5   # from BENCH baseline
 """
 
@@ -41,12 +41,15 @@ def main() -> int:
     args = sys.argv[1:]
     tag = "before"
     reps = 3
+    rnd = "r13"
     names: list[str] = []
     i = 0
     while i < len(args):
         a = args[i]
         if a == "--tag":
             tag = args[i + 1]; i += 2
+        elif a == "--round":
+            rnd = args[i + 1]; i += 2
         elif a == "--reps":
             reps = int(args[i + 1]); i += 2
         elif a == "--all-over":
@@ -67,7 +70,7 @@ def main() -> int:
     spark.range(32).repartition(32).mapInPandas(lambda it: it, "id long").collect()
 
     qfns = entry.queries(cached=False)
-    plans_dir = os.path.join(REPO, "plans", "r12")
+    plans_dir = os.path.join(REPO, "plans", rnd)
     os.makedirs(plans_dir, exist_ok=True)
 
     out = {}
