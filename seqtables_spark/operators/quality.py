@@ -70,6 +70,17 @@ def _attach_bins(spark, qcells: DataFrame, bin_list) -> DataFrame:
     the lookup is O(1) per row and removes the join node entirely.
     Overlapping or unbounded bin tables keep the range join (a
     position matching several bins must emit one row per match)."""
+    if not bin_list:
+        # r12 ADVICE: min() over an empty bin list raised ValueError
+        # where the range-join path it replaced returned an empty
+        # DataFrame; preserve the old contract.
+        return qcells.withColumns(
+            {
+                "bin_name": F.lit(None).cast("string"),
+                "bin_lo": F.lit(None).cast("long"),
+                "bin_hi": F.lit(None).cast("long"),
+            }
+        ).filter(F.lit(False))
     lo_all = min(lo for lo, _ in bin_list)
     hi_all = max(hi for _, hi in bin_list)
     span = hi_all - lo_all + 1

@@ -94,6 +94,37 @@ def shingles(
     )
 
 
+def minhash_signature_cols(
+    text_col: str = "text",
+    n_hashes: int = 16,
+    k: int = 5,
+    seed: int = 42,
+) -> list:
+    """The mh_0..mh_{n-1} signature columns as bare expressions (the
+    row-local fold of minhash_signatures, exposed so a caller that is
+    already making a pass over the text — e.g. a quality-annotate
+    stage — can ride the signatures on the SAME scan instead of
+    paying a second one; guide §2.3 'shuffle keys and metadata
+    instead of payloads' / §8 'decide with small rows'). Only
+    meaningful where length(text) >= k — callers carry their own
+    validity flag; rows below k fold over an empty shingle array and
+    keep the HASH_PRIME sentinel accumulator."""
+    arr = shingle_array(text_col, k, lowercase=True, distinct=True)
+    hashes = F.transform(arr, lambda t: portable_string_hash(t))
+    params = minhash_params(n_hashes, seed)
+    acc0 = F.array_repeat(F.lit(HASH_PRIME).cast("long"), n_hashes)
+    cand = lambda h: F.array(  # noqa: E731
+        *[universal_hash(h, a, b) for a, b in params]
+    )
+    mins = F.aggregate(
+        hashes, acc0,
+        lambda acc, h: F.zip_with(acc, cand(h), lambda x, y: F.least(x, y)),
+    )
+    return [
+        F.element_at(mins, j + 1).alias(f"mh_{j}") for j in range(n_hashes)
+    ]
+
+
 def minhash_signatures(
     df: DataFrame,
     n_hashes: int = 16,
@@ -120,21 +151,10 @@ def minhash_signatures(
     explode+groupBy plan it replaces, on top of dropping its
     exchange.)"""
     txt = F.lower(F.col(text_col))
-    arr = shingle_array(text_col, k, lowercase=True, distinct=True)
-    hashes = F.transform(arr, lambda t: portable_string_hash(t))
-    params = minhash_params(n_hashes, seed)
-    acc0 = F.array_repeat(F.lit(HASH_PRIME).cast("long"), n_hashes)
-    cand = lambda h: F.array(  # noqa: E731
-        *[universal_hash(h, a, b) for a, b in params]
-    )
-    mins = F.aggregate(
-        hashes, acc0,
-        lambda acc, h: F.zip_with(acc, cand(h), lambda x, y: F.least(x, y)),
-    )
     return df.filter(F.length(txt) >= k).select(
         F.col(id_col),
         *[F.col(c) for c in carry_cols],
-        *[F.element_at(mins, j + 1).alias(f"mh_{j}") for j in range(n_hashes)],
+        *minhash_signature_cols(text_col, n_hashes, k, seed),
     )
 
 
@@ -158,11 +178,30 @@ def minhash_band_keys(
     `carry_cols` rides extra columns through the projection (e.g. the
     event-time column a TTL'd streaming aggregation groups on)."""
     assert n_hashes % bands == 0
-    rows = n_hashes // bands
-    carry = [F.col(c) for c in carry_cols]
     sigs = minhash_signatures(
         df, n_hashes, k, text_col, id_col, seed, carry_cols=carry_cols
     )
+    return band_keys_from_signatures(
+        sigs, n_hashes, bands, id_col, carry_cols
+    )
+
+
+def band_keys_from_signatures(
+    sigs: DataFrame,
+    n_hashes: int = 16,
+    bands: int = 4,
+    id_col: str = "doc_id",
+    carry_cols: Sequence[str] = (),
+) -> DataFrame:
+    """minhash_band_keys' banding stage over an ALREADY-computed
+    signature relation DF(id[, carry...], mh_0..mh_{n-1}): band_hash
+    = md5 of the band's comma-joined signature rows, one output row
+    per (doc, band). Split out (round 13) so a caller that derived
+    signatures on a shared scan (minhash_signature_cols) can band
+    them without re-touching the text."""
+    assert n_hashes % bands == 0
+    rows = n_hashes // bands
+    carry = [F.col(c) for c in carry_cols]
     band_structs = F.array(
         *[
             F.struct(
@@ -1040,6 +1079,14 @@ def contamination_check(
         F.explode(shingle_array(text_col, k)).alias("gram"),
     )
     if max_broadcast_grams is not None:
+        # Round 13: the count guard EXECUTES the eval subtree (scan +
+        # explode + 2-level distinct), and the join build used to
+        # execute it a second time. A lazy boundary makes the guard's
+        # count() materialize the distinct-gram relation once and the
+        # broadcast (or shuffle) build read it back — the relation is
+        # bounded by the guard itself (<= max_broadcast_grams rows on
+        # the fast path, else it is the join's shuffle input anyway).
+        eval_grams = eval_grams.localCheckpoint(eager=False)
         if eval_grams.count() <= int(max_broadcast_grams):
             eval_grams = F.broadcast(eval_grams)
         else:
@@ -1127,6 +1174,11 @@ def near_dup_contamination(
         eval_set, n_hashes, bands, k, text_col, id_col, seed
     ).withColumnRenamed(id_col, "_eval_id")
     if max_broadcast_rows is not None:
+        # same round-13 boundary as contamination_check: the count
+        # guard already executes the eval-side scan + signature fold +
+        # band explode; checkpoint lazily so the join build reads the
+        # materialized bands instead of executing that subtree again
+        eb = eb.localCheckpoint(eager=False)
         if eb.count() <= int(max_broadcast_rows):
             eb = F.broadcast(eb)
         else:

@@ -442,11 +442,14 @@ def test_quality_dist_lookup_plan_has_single_cross(spark):
         [(f"r{i}", i % 9 + 1, i % 30 + 1) for i in range(200)],
         "read_id string, position long, qual long",
     )
-    plan = _plan(quality_dist(cells, bins="even"))
-    # formatted explain mentions each node twice (tree + detail):
-    # exactly ONE nested-loop node = the hist x pct cross
-    assert plan.count("BroadcastNestedLoopJoin") == 2
-    assert "element_at" in plan
+    df = quality_dist(cells, bins="even")
+    # executedPlan().toString() lists each physical node exactly once
+    # (the formatted explain's doubled tree+detail mentions were a
+    # brittle pin — r12 ADVICE): exactly ONE nested-loop node = the
+    # hist x pct cross
+    exec_plan = df._jdf.queryExecution().executedPlan().toString()
+    assert exec_plan.count("BroadcastNestedLoopJoin") == 1
+    assert "element_at" in _plan(df)
 
 
 def test_quality_dist_overlapping_bins_fall_back_to_join(spark):
@@ -459,10 +462,11 @@ def test_quality_dist_overlapping_bins_fall_back_to_join(spark):
         "read_id string, position long, qual long",
     )
     df = quality_dist(cells, bins=[(1, 4), (3, 6)])
-    plan = _plan(df)
-    # TWO nested-loop nodes (2 mentions each): the kept range join
-    # plus the hist x pct cross
-    assert plan.count("BroadcastNestedLoopJoin") == 4
+    # TWO nested-loop nodes in the executed plan (one mention each —
+    # r12 ADVICE dropped the doubled formatted-explain counting): the
+    # kept range join plus the hist x pct cross
+    exec_plan = df._jdf.queryExecution().executedPlan().toString()
+    assert exec_plan.count("BroadcastNestedLoopJoin") == 2
     assert df.count() == 2  # one row per bin, both covering position 3-4
 
 

@@ -117,6 +117,57 @@ def test_partitioned_prune_nanos_shape_matches_micros_shape(
     assert base == nanos
 
 
+def test_ranks_boundary_none_is_value_identical(spark):
+    """r12 ADVICE: the O(N) localCheckpoint of the ranged relation is
+    unsafe under executor loss / dynamic allocation; the
+    spark.seqtables.ranks.boundary=none escape hatch re-executes the
+    branches instead — results must be identical either way."""
+    from pyspark.sql import functions as F
+
+    from seqtables_spark.operators.ranks import (
+        global_ntile, global_row_number, global_running_sum,
+    )
+
+    df = spark.range(1000).select(
+        F.col("id"),
+        (F.col("id") * 37 % 101).alias("k"),
+        (F.col("id") % 13).alias("v"),
+    )
+    order = [F.col("k").asc(), F.col("id").asc()]
+
+    def run():
+        rn = global_row_number(df, order, num_partitions=7)
+        nt = global_ntile(df, order, 10, num_partitions=7)
+        rs = global_running_sum(df, order, "v", num_partitions=7)
+        return (
+            sorted(map(tuple, rn.collect())),
+            sorted(map(tuple, nt.collect())),
+            sorted(map(tuple, rs.collect())),
+        )
+
+    base = run()
+    spark.conf.set("spark.seqtables.ranks.boundary", "none")
+    try:
+        none_mode = run()
+    finally:
+        spark.conf.unset("spark.seqtables.ranks.boundary")
+    assert base == none_mode
+
+
+def test_quality_dist_empty_bins_returns_empty(spark):
+    """r12 ADVICE: bins=[] raised ValueError in the literal-lookup
+    path; the range-join path it replaced returned an empty result."""
+    from seqtables_spark.operators.quality import _attach_bins
+
+    cells = spark.createDataFrame(
+        [("r1", 1, 30), ("r2", 2, 20)],
+        "read_id string, position long, qual long",
+    )
+    out = _attach_bins(spark, cells, [])
+    assert out.count() == 0
+    assert {"bin_name", "bin_lo", "bin_hi"} <= set(out.columns)
+
+
 def test_bucketed_join_database_is_pid_scoped(spark):
     """A persistent metastore in the calling session's cwd must never
     resolve the bucket database to a stale location from a dead

@@ -80,6 +80,12 @@ def library_alignment_details_arrow(
                 "expected_mut_aa",
             )}
             for (L, l) in sorted(set(zip(alen.tolist(), llen.tolist()))):
+                if l == 0:
+                    # r12 ADVICE: an empty library_seq yields a 0-byte
+                    # buffer that cannot reshape to (n, 1); such rows
+                    # have no alignment by definition — skip the group
+                    # (the JVM path emits no offsets for them either).
+                    continue
                 sel = np.flatnonzero((alen == L) & (llen == l))
                 n = len(sel)
                 A = np.frombuffer(
