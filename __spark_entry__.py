@@ -4383,6 +4383,47 @@ def _prepared(name: str, fn: Callable) -> Callable:
 # lead _ORACLE_PRIORITY so the driver's 50-query correctness sample
 # attests exactly the code that moved.
 _ROUND_CHANGED = [
+    # --- round 13 OPTIMIZATION head (results identical;
+    # OPTIMIZATION_r13.md) ---
+    # §0 gate fix: the four r12 driver-red queries — oracle sums now
+    # CAST(... AS BIGINT) (DuckDB HUGEINT widening was the hash
+    # breaker); partitioned_prune day derivation integer-exact and
+    # tz-independent (no session timeZone mutation); bucketed_join
+    # catalog database PID-scoped
+    "partitioned_prune", "bucketed_join", "corpus_stats",
+    "leakage_split",
+    # §2 curate_funnel single corpus pass (keep flag + signature fold
+    # share one scan; banded contamination count from the slim
+    # signature relation)
+    "curate_funnel",
+    # §3 count-guarded eval subtrees checkpointed once
+    # (contamination_check / near_dup_contamination; curate_* consume
+    # contamination_check via pipeline/curate.py)
+    "contamination", "fuzzy_contamination", "curate_full",
+    "curate_corpus", "curate_llm",
+    # ranks.py boundary config gate (default plan unchanged — listed
+    # so the rank family re-attests on the touched module)
+    "token_budget", "customer_deciles", "training_order",
+    "weighted_sample_docs", "running_revenue", "event_quantiles",
+    # quality.py empty-bins guard (plans unchanged on the preset
+    # paths; re-attest the consumers)
+    "quality_dist", "quality_dist_fastqc",
+]
+
+# Prior-round heads + rotation re-entries: names that must stay high
+# in the driver's 50-query sample without claiming a THIS-round code
+# change (check_priority_rotation only gates _ROUND_CHANGED).
+_PRIOR_HEADS = [
+    # --- r12 rotation re-entry (VERDICT r12 item 7: the 21 queries
+    # rotated OUT of the r12 sample re-enter so their attestation
+    # does not go stale) ---
+    "audio_features", "bpe_merges", "bpe_tokens", "bpe_vocab",
+    "curate_corpus", "curate_llm", "dedup_clusters",
+    "dedup_clusters_star", "event_sessions", "fuzzy_contamination",
+    "image_resize", "image_thumbs_packed", "intra_doc_dedup",
+    "minhash_lsh_pairs", "repetition", "streaming_token_cms",
+    "text_quality", "token_count", "value_quantiles_sketch",
+    "video_frames", "warc_gz_roundtrip", "warc_roundtrip",
     # --- round 12 OPTIMIZATION head (results identical, plans
     # changed; OPTIMIZATION_r12.md sections 1-8) ---
     # section 7: losers-subtree checkpoint / top-k checkpoint /
@@ -4452,7 +4493,7 @@ _ROUND_CHANGED = [
     "pending_orders_priority",
 ]
 
-_ORACLE_PRIORITY = _ROUND_CHANGED + [
+_ORACLE_PRIORITY = _ROUND_CHANGED + _PRIOR_HEADS + [
     # then the round-10 head
     "semantic_dedup", "ann_ivf", "cluster_mix", "embedding_near_dups",
     "classifier_score",
